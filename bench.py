@@ -1,0 +1,89 @@
+"""Benchmark harness (driver contract, see repo instructions).
+
+Runs the headline queries from the registry at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is executed to completion (count-consumed, results not
+collected to the driver) and timed wall-clock. A warmup pass on the
+smallest table absorbs JVM/codegen startup so the numbers measure the
+plans, not session bring-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from movievectorsearch_spark.plans import queries as Q
+from movievectorsearch_spark.session import get_spark
+
+# headline set: one per operator family — relational scans/aggs/joins,
+# TPC-H shapes, vector search, dedup, text analysis, events/windows
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "agg_counts_by_type",
+    "window_topk_per_group",
+    "knn_topk",
+    "knn_batch",
+    "search_vector",
+    "fuzzy_band_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "text_profile",
+    "lang_detect",
+    "events_props_json",
+    "events_hourly",
+    "events_sessionize",
+    "upsert_latest_wins",
+    "ingest_parse",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="mvs-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch the session + codegen paths once
+    Q.QUERIES["count_scan"]["spark"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = Q.QUERIES[name]["spark"]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full execution without driver-side collect
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

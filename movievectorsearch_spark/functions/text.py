@@ -1,0 +1,81 @@
+"""Text expression builders.
+
+Ports of the reference's string functions (SURVEY.md §2.8) as chained
+built-in expressions: the markdown cleaner (movie_generator.py:329-338),
+dedup-key normalization (movie_generator.py:74), the slug id
+(movie_generator.py:384), plus the tokenize/shingle primitives the
+large-scale dedup and text-analysis operators are built on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def clean_text(col: Column) -> Column:
+    """Strip markdown ``**``/``*``/``_``/quotes, collapse whitespace,
+    drop leading ``NN. `` numbering (reference movie_generator.py:329-338)."""
+    c = F.regexp_replace(col, r"[\*_\"']", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"^\d+\.\s*", "")
+    return F.trim(c)
+
+
+def normalize_key(col: Column) -> Column:
+    """lower(trim(x)) — the reference's dedup key normalization."""
+    return F.lower(F.trim(col))
+
+
+def slug_id(title: Column, year: Column) -> Column:
+    """``lower(title) spaces→'_' + '_' + year`` (movie_generator.py:384)."""
+    return F.concat_ws(
+        "_", F.regexp_replace(F.lower(title), " ", "_"), year.cast("string")
+    )
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.filter(F.split(normalize_key(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """n-gram word shingles joined with ' ' → array<string>.
+
+    Built from sequence+transform so it remains a native expression;
+    the shingle array feeds MinHash / Jaccard dedup.
+    """
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+# ---- DuckDB mirrors --------------------------------------------------------
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower(trim({expr})), '\\s+'), t -> t <> '')"
+    )
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    """DuckDB mirror of :func:`word_shingles`. ``expr`` should be a
+    simple column reference (it is inlined several times)."""
+    toks = tokens_sql(expr)
+    parts = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 2}), i -> {parts}) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )

@@ -1,0 +1,350 @@
+"""Deduplication operators — the reference's dedup loop re-expressed
+for scale, plus the large-pipeline dedup family (exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine).
+
+Reference semantics ported:
+- exact key anti-join on ``(lower(trim(title)), year)`` —
+  movie_generator.py:199-204 (J2)
+- fuzzy similarity self-join, year-band ±1 blocking + ratio ≥ 0.85 —
+  movie_generator.py:83-94 (J1)
+
+Scale design
+------------
+Every operator here is join/groupBy shaped — never a driver-side loop:
+
+- exact:       one hash aggregation on the normalized key (map-side
+               partial agg for free).
+- minhash-lsh: explode shingles → per-doc signature (one groupBy) →
+               band keys → self-join on band key. The band join only
+               compares docs that collide in ≥1 band, so the candidate
+               set is ~linear, not quadratic. Signatures are built from
+               the portable polynomial hash so the DuckDB oracle can
+               reproduce them exactly.
+- simhash:     bit-vote aggregation per doc (one groupBy), bucket by
+               fingerprint for exact-fingerprint dedup; hamming-join by
+               banding the fingerprint into chunks.
+- ngram-jaccard: token-pair join with a cheap blocking key to prune the
+               cross product (same idea as the reference's year band).
+- embedding:   cosine self-join blocked by label/LSH bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movievectorsearch_spark.functions.hashing import (
+    P,
+    minhash_coeffs,
+    minhash_permute,
+    poly_hash,
+)
+from movievectorsearch_spark.functions.text import normalize_key, word_shingles
+from movievectorsearch_spark.functions.vector import cosine_similarity
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (J2 / hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_dedup_keep_first(
+    df: DataFrame, key_cols: list[Column], order_col: str
+) -> DataFrame:
+    """Keep the first row (by ``order_col``) per normalized key —
+    one shuffle on the key, executed as partial + final aggregation."""
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def anti_join_new_keys(
+    new: DataFrame, existing: DataFrame, key_exprs: list[str]
+) -> DataFrame:
+    """Reference J2: reject candidates whose key is already present.
+    ``existing`` is broadcast (the seen-set is small relative to the
+    incoming batch), so the big side never shuffles."""
+    return new.join(F.broadcast(existing), on=key_exprs, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy title dedup (J1) — band-blocked similarity self-join
+# ---------------------------------------------------------------------------
+
+def levenshtein_ratio(a: Column, b: Column) -> Column:
+    """1 - lev(a,b)/max(len) — the SQL-expressible similarity standing
+    in for difflib.SequenceMatcher.ratio (see functions note in
+    SURVEY.md §7 Hard parts; difflib parity is a separate UDF below)."""
+    denom = F.greatest(F.length(a), F.length(b))
+    return F.when(denom == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(a, b) / denom
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    title_col: str,
+    year_col: str,
+    threshold: float = 0.85,
+    year_band: int = 1,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: |Δyear| ≤ band AND
+    similarity ≥ threshold (movie_generator.py:83-94 semantics).
+
+    Blocking: each row is replicated into the year buckets it can
+    match (year-band duplication), making the join an EQUI-join on the
+    bucket — a hash join, not a theta/nested-loop join. At 1000
+    executors this partitions cleanly by year bucket; the reference's
+    O(N) linear scan per candidate becomes O(pairs-in-band).
+    """
+    a = df.select(
+        F.col(id_col).alias("a_id"),
+        normalize_key(F.col(title_col)).alias("a_title"),
+        F.col(year_col).alias("a_year"),
+    )
+    b = df.select(
+        F.col(id_col).alias("b_id"),
+        normalize_key(F.col(title_col)).alias("b_title"),
+        F.col(year_col).alias("b_year"),
+    )
+    # replicate side A into every year bucket within the band → equi-join
+    a_exp = a.withColumn(
+        "bucket", F.explode(F.sequence(F.col("a_year") - year_band, F.col("a_year") + year_band))
+    )
+    pairs = a_exp.join(b, a_exp.bucket == b.b_year).filter(
+        (F.col("a_id") < F.col("b_id"))
+        & (F.abs(F.col("a_year") - F.col("b_year")) <= year_band)
+    )
+    sim = levenshtein_ratio(F.col("a_title"), F.col("b_title"))
+    return pairs.withColumn("similarity", sim).filter(
+        F.col("similarity") >= threshold
+    ).select("a_id", "b_id", "a_title", "b_title", "a_year", "b_year", "similarity")
+
+
+def sequence_matcher_ratio_udf():
+    """difflib.SequenceMatcher parity UDF (Ratcliff-Obershelp), for the
+    sampled cross-check only — NEVER in the 100 TB hot path."""
+    from difflib import SequenceMatcher
+
+    from pyspark.sql.types import DoubleType
+
+    @F.udf(DoubleType())
+    def _ratio(a: str, b: str) -> float:
+        if a is None or b is None:
+            return None
+        return float(SequenceMatcher(None, a, b).ratio())
+
+    return _ratio
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (shingle → minhash → band → bucket join)
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: explode shingles, one groupBy with
+    ``min((a_i*h + b_i) mod P)`` per permutation. All portable-hash
+    expressions → bit-identical in the DuckDB oracle."""
+    coeffs = minhash_coeffs(num_hashes)
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).withColumn("h", poly_hash(F.col("shingle")))
+    aggs = [
+        F.min(minhash_permute(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become
+    candidate pairs. Self-join is on the (band_idx, band_key) equi-key
+    → hash join whose input is ~linear in corpus size."""
+    rows_per_band = num_hashes // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_cols).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("bkey")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(
+    sig: DataFrame, pairs: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """Estimated Jaccard = fraction of matching signature components."""
+    a_sig = sig.select(
+        F.col(id_col).alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(num_hashes)],
+    )
+    b_sig = sig.select(
+        F.col(id_col).alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(num_hashes)],
+    )
+    joined = pairs.join(a_sig, "a_id").join(b_sig, "b_id")
+    matches = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return joined.select(
+        "a_id", "b_id", (matches / F.lit(float(num_hashes))).alias("est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash fingerprint: per-token portable hash, ±1 vote per bit,
+    sign of the vote sum → bit. One explode + one groupBy; entirely
+    native expressions (the bit tests are arithmetic, oracle-friendly).
+    """
+    from movievectorsearch_spark.functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", poly_hash(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(F.lit(1 << i))) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    fp = sum(
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    ).cast("bigint")
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact, blocked)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-shingle sets.
+
+    intersection via explode+join on the shingle value, union via
+    |A|+|B|-∩. ``block_cols`` (e.g. ['lang']) restricts candidate
+    pairs, the standard blocking trick: at 100 TB you NEVER do this
+    unblocked — compose with minhash_lsh_pairs as the candidate
+    generator and this as the exact verifier.
+    """
+    base = df.select(
+        F.col(id_col).alias("did"),
+        *[F.col(c) for c in (block_cols or [])],
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    sizes = base.groupBy("did").agg(F.count("*").alias("nsh"))
+    a = base.select(
+        F.col("did").alias("a_id"),
+        *[F.col(c).alias(f"a_{c}") for c in (block_cols or [])],
+        "shingle",
+    )
+    b = base.select(
+        F.col("did").alias("b_id"),
+        *[F.col(c).alias(f"b_{c}") for c in (block_cols or [])],
+        "shingle",
+    )
+    cond = [a.shingle == b.shingle] + [
+        F.col(f"a_{c}") == F.col(f"b_{c}") for c in (block_cols or [])
+    ]
+    inter = (
+        a.join(b, cond)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("did", "a_id").withColumnRenamed("nsh", "a_n"), "a_id")
+        .join(sizes.withColumnRenamed("did", "b_id").withColumnRenamed("nsh", "b_n"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("a_n") + F.col("b_n") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("a_id", "b_id", "inter", "a_n", "b_n", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, blocked by
+    ``block_col`` (at scale: an LSH/IVF bucket id instead of a label)."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)).select(*cols)
+    a = base.select(
+        F.col("id").alias("a_id"), F.col("v").alias("a_v"),
+        *([F.col("blk").alias("a_blk")] if block_col else []),
+    )
+    b = base.select(
+        F.col("id").alias("b_id"), F.col("v").alias("b_v"),
+        *([F.col("blk").alias("b_blk")] if block_col else []),
+    )
+    cond = [F.col("a_id") < F.col("b_id")]
+    join_on = [F.col("a_blk") == F.col("b_blk")] if block_col else []
+    joined = a.join(b, join_on) if join_on else a.crossJoin(b)
+    joined = joined.filter(cond[0])
+    return (
+        joined.withColumn("cos", cosine_similarity(F.col("a_v"), F.col("b_v")))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )

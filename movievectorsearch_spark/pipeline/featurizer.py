@@ -1,0 +1,76 @@
+"""Deterministic local embedding featurizer — the test stand-in for the
+reference's external embedding call (``create_embedding``,
+ai_service.py:23-42; SURVEY.md §2.9 V5).
+
+Design: seeded hash projection. Each token hashes (portable polynomial
+hash) into one of ``dim`` buckets with a ±1 sign bit; the doc vector is
+the L2-normalized bucket-count vector. Properties that matter:
+- fully deterministic (oracle/test friendly),
+- pure Column expressions → runs at scan speed, and the REAL embedding
+  model swaps in as a ``mapInPandas`` stage with the same signature
+  (text column in, array<double> out) without touching the plan shape.
+
+The external-model variant (`embed_with_model`) shows that boundary:
+an Arrow-batched iterator UDF — the only place the pipeline leaves the
+JVM — kept out of tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from movievectorsearch_spark.functions.hashing import P, poly_hash
+from movievectorsearch_spark.functions.text import tokens
+
+DEFAULT_DIM = 64
+
+
+def hash_embed(text: Column, dim: int = DEFAULT_DIM) -> Column:
+    """text → unit-norm array<double> of size ``dim``."""
+    tok_h = F.transform(tokens(text), lambda t: poly_hash(t))
+    # counts[j] = sum over tokens of sign, where bucket = h % dim,
+    # sign = +1 if (h // dim) % 2 == 0 else -1
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.aggregate(
+            tok_h,
+            F.lit(0.0),
+            lambda acc, h: acc
+            + F.when(h % dim == j, F.when((h / dim).cast("bigint") % 2 == 0, 1.0).otherwise(-1.0)).otherwise(0.0),
+        ),
+    )
+    norm = F.sqrt(F.aggregate(counts, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(norm != 0.0, F.transform(counts, lambda x: x / norm))
+
+
+def embed_documents(
+    docs: DataFrame, text_col: str = "text", dim: int = DEFAULT_DIM,
+    out_col: str = "embedding",
+) -> DataFrame:
+    return docs.withColumn(out_col, hash_embed(F.col(text_col), dim))
+
+
+def embed_with_model(
+    docs: DataFrame,
+    call_model: Callable[[list[str]], list[list[float]]],
+    text_col: str = "text",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """The production boundary: batch texts through an external
+    embedding model inside ``mapInPandas`` (Arrow-batched; one HTTP
+    call per batch, not per row — the reference does one call per text,
+    movie_generator.py:425-450, which cannot scale)."""
+    import pandas as pd
+
+    schema = docs.schema.add(out_col, "array<double>")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = call_model(pdf[text_col].tolist())
+            yield pdf
+
+    return docs.mapInPandas(run, schema=schema)

@@ -1,0 +1,1334 @@
+"""The engine's named query registry.
+
+Every entry is one operator (or operator composition) from SURVEY.md §2,
+as a pair: a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+and, where SQL-expressible, a DuckDB oracle SQL string computing the
+same result on the same parquet views. The driver hash-compares them at
+sf0.01 (see __spark_entry__.py), so both sides are written for
+*bit-deterministic* equality:
+
+- money math in integer cents (sums are exact, no float-order drift),
+- vector math in DOUBLE with identical fold order, rounded to 6dp,
+- portable polynomial hashing (functions/hashing.py) for MinHash /
+  SimHash / fingerprints,
+- every LIMIT preceded by a total ORDER BY,
+- no arrays in checked outputs (arrays are joined to CSV strings).
+
+Reference-parity queries cite reference file:line in their docstrings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movievectorsearch_spark.catalog import films_view, load_table
+from movievectorsearch_spark.functions.hashing import (
+    P,
+    minhash_coeffs,
+    poly_hash,
+    poly_hash_sql,
+)
+from movievectorsearch_spark.functions.text import (
+    clean_text,
+    normalize_key,
+    slug_id,
+    tokens,
+    tokens_sql,
+)
+from movievectorsearch_spark.functions.vector import (
+    cosine_similarity,
+    cosine_sql,
+    l2_norm,
+    vector_lit,
+)
+from movievectorsearch_spark.operators import dedup as D
+from movievectorsearch_spark.operators import textanalysis as TA
+from movievectorsearch_spark.operators.upsert import upsert_latest_wins
+
+# ---------------------------------------------------------------------------
+# deterministic query vectors (the test stand-in for create_embedding,
+# reference ai_service.py:23-42 — FIXTURES.md §B3)
+# ---------------------------------------------------------------------------
+
+def _qvecs(n: int = 3, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in rng.uniform(-1, 1, dim).round(6)] for _ in range(n)]
+
+
+QVECS = _qvecs()
+QUERY_VEC = QVECS[0]
+
+
+def vec_sql(v: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+# ---------------------------------------------------------------------------
+# the films view as a DuckDB CTE — exact SQL mirror of catalog.films_view
+# ---------------------------------------------------------------------------
+
+GENRES_SQL = (
+    "['drama','comedy','thriller','scifi','horror',"
+    "'romance','action','documentary','noir','western']"
+)
+
+FILMS_SQL = f"""
+SELECT
+  replace(lower('doc ' || d.doc_id::VARCHAR), ' ', '_') || '_'
+    || (1900 + d.doc_id % 130)::VARCHAR AS id,
+  'doc ' || d.doc_id::VARCHAR AS title,
+  (1900 + d.doc_id % 130)::BIGINT AS year,
+  CASE WHEN d.doc_id % 10 <> 0 THEN 'dir_' || (d.doc_id % 50)::VARCHAR END AS director,
+  CASE WHEN d.doc_id % 10 = 0 THEN ['dir_' || (d.doc_id % 50)::VARCHAR] END AS directors,
+  list_transform(range(1, d.doc_id % 3 + 5),
+                 i -> 'actor_' || ((d.doc_id + i) % 40)::VARCHAR) AS "cast",
+  list_transform(range(0, d.doc_id % 3 + 1),
+                 i -> ({GENRES_SQL})[((d.doc_id * 7) % 10 + i) % 10 + 1]) AS genres,
+  d.text AS plot,
+  CASE WHEN d.doc_id % 7 <> 0 THEN d.text END AS description,
+  CASE WHEN d.doc_id % 5 <> 0 THEN 'enrichment for doc ' || d.doc_id::VARCHAR END
+    AS enrichment_response,
+  CASE WHEN d.doc_id % 5 = 0 THEN 'analysis for doc ' || d.doc_id::VARCHAR END AS analysis,
+  CASE WHEN d.doc_id % 13 <> 0 THEN e.embedding END AS embedding,
+  CAST(NULL AS VARCHAR) AS poster_url,
+  'streamlined_generated' AS source,
+  CASE WHEN d.doc_id % 11 = 0 THEN 'pending'
+       WHEN d.doc_id % 3 = 0 THEN 'llm_generated'
+       ELSE 'enriched' END AS processing_status,
+  'openai' AS ai_provider,
+  TIMESTAMP '2024-01-01 00:00:00' + to_minutes(d.doc_id) AS created_at,
+  d.lang AS lang,
+  d.source AS doc_source,
+  d.doc_id AS doc_id
+FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+FILMS_CTE = f"WITH films AS ({FILMS_SQL})"
+STATUS_PRED = "processing_status IN ('enriched', 'llm_generated')"
+
+# integer-cents helpers (exact money sums — no float accumulation drift)
+CENTS = "CAST(round({col} * 100, 0) AS BIGINT)"
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100, 0).cast("bigint")
+
+
+QUERIES: dict[str, dict] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = {"spark": fn, "sql": sql}
+        return fn
+    return deco
+
+
+# ===========================================================================
+# Scans / filters / projections (S1-S6, P1-P8, T1-T8)
+# ===========================================================================
+
+@q(
+    "scan_filter_limit",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_orderkey LIMIT 50 OFFSET 10
+    """,
+)
+def scan_filter_limit(spark, sf_dir):
+    """S1: find(filter).limit(n).skip(k) — reference database.py:49-54."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .orderBy("o_orderkey")
+        .offset(10)
+        .limit(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@q(
+    "point_lookup",
+    "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer WHERE c_custkey = 42",
+)
+def point_lookup(spark, sf_dir):
+    """S2: profiles.find_one({'_id': id}) — reference database.py:70-75."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+
+
+@q(
+    "count_scan",
+    "SELECT count(*) AS n_rows FROM lineitem WHERE l_returnflag = 'R'",
+)
+def count_scan(spark, sf_dir):
+    """S3: count_documents(filter) — reference database.py:56-61."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@q(
+    "distinct_keys",
+    "SELECT DISTINCT lang, source AS doc_source FROM documents",
+)
+def distinct_keys(spark, sf_dir):
+    """S5/U2: key-projection distinct — reference movie_generator.py:69-81."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.col("source").alias("doc_source"))
+        .distinct()
+    )
+
+
+@q(
+    "projection_coalesce",
+    f"""
+    {FILMS_CTE}
+    SELECT id, title, year,
+           COALESCE(director, directors[1], '') AS director,
+           array_to_string(COALESCE("cast", []), ', ') AS cast_csv,
+           array_to_string(COALESCE(genres, []), ', ') AS genres_csv,
+           COALESCE(plot, description, '') AS plot,
+           COALESCE(enrichment_response, analysis, '') AS chatgpt_description,
+           0.0 AS similarity,
+           poster_url, processing_status, ai_provider
+    FROM films WHERE {STATUS_PRED}
+    """,
+)
+def projection_coalesce(spark, sf_dir):
+    """P1+P2: the search result projection with coalesce chains and
+    defaults — reference search.py:18-20, 46-60."""
+    films = films_view(spark, sf_dir, register=False)
+    return films.filter(
+        F.col("processing_status").isin("enriched", "llm_generated")
+    ).select(
+        "id",
+        "title",
+        "year",
+        F.coalesce(F.col("director"), F.element_at("directors", 1), F.lit(""))
+        .alias("director"),
+        F.array_join(F.coalesce("cast", F.array().cast("array<string>")), ", ")
+        .alias("cast_csv"),
+        F.array_join(F.coalesce("genres", F.array().cast("array<string>")), ", ")
+        .alias("genres_csv"),
+        F.coalesce("plot", "description", F.lit("")).alias("plot"),
+        F.coalesce("enrichment_response", "analysis", F.lit(""))
+        .alias("chatgpt_description"),
+        F.lit(0.0).alias("similarity"),
+        "poster_url",
+        "processing_status",
+        "ai_provider",
+    )
+
+
+@q(
+    "year_patch_clamp",
+    """
+    SELECT o_orderkey,
+           CASE WHEN year(o_orderdate) + o_orderkey % 200 BETWEEN 1900 AND 2030
+                THEN year(o_orderdate) + o_orderkey % 200
+                ELSE 2000 END AS year_patched
+    FROM orders ORDER BY o_orderkey LIMIT 500
+    """,
+)
+def year_patch_clamp(spark, sf_dir):
+    """P6/F3: year validation — out-of-band years patched to 2000
+    (reference movie_generator.py:375-377)."""
+    o = load_table(spark, sf_dir, "orders")
+    pseudo = F.year("o_orderdate").cast("bigint") + F.col("o_orderkey") % 200
+    patched = F.when((pseudo >= 1900) & (pseudo <= 2030), pseudo).otherwise(
+        F.lit(2000).cast("bigint")
+    )
+    return (
+        o.select("o_orderkey", patched.alias("year_patched"))
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+@q(
+    "slug_derive",
+    """
+    SELECT doc_id,
+           replace(lower(lang || ' ' || source), ' ', '_') || '_' || n_chars::VARCHAR AS slug
+    FROM documents
+    """,
+)
+def slug_derive(spark, sf_dir):
+    """P8/F5/F6: the slug-id derivation — reference movie_generator.py:384."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        slug_id(F.concat_ws(" ", "lang", "source"), F.col("n_chars")).alias("slug"),
+    )
+
+
+# ===========================================================================
+# Aggregations (A1-A4)
+# ===========================================================================
+
+@q(
+    "agg_counts_by_type",
+    """
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_counts_by_type(spark, sf_dir):
+    """A1: per-group counts — reference database.py:18-19, routes.py:25."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@q(
+    "min_max_year_range",
+    """
+    SELECT min(year(o_orderdate))::BIGINT AS min_year,
+           max(year(o_orderdate))::BIGINT AS max_year,
+           min(year(o_orderdate))::VARCHAR || '-' || max(year(o_orderdate))::VARCHAR
+             AS year_range
+    FROM orders
+    """,
+)
+def min_max_year_range(spark, sf_dir):
+    """A2: year_range = f"{min}-{max}" — reference routes.py:80-85."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.min(F.year("o_orderdate")).cast("bigint").alias("min_year"),
+        F.max(F.year("o_orderdate")).cast("bigint").alias("max_year"),
+    )
+    return agg.select(
+        "min_year",
+        "max_year",
+        F.concat(
+            F.col("min_year").cast("string"), F.lit("-"), F.col("max_year").cast("string")
+        ).alias("year_range"),
+    )
+
+
+@q(
+    "explode_top_words",
+    f"""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest({tokens_sql('text')}) AS word FROM documents)
+    GROUP BY word ORDER BY n DESC, word LIMIT 10
+    """,
+)
+def explode_top_words(spark, sf_dir):
+    """A3: flatten + distinct + head-n with an imposed total order
+    (reference routes.py:81-86; Python set order → count desc, word asc,
+    SURVEY.md §7)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(10)
+    )
+
+
+@q(
+    "genre_groups",
+    f"""
+    {FILMS_CTE},
+    m AS (SELECT title, genres FROM films WHERE {STATUS_PRED}),
+    tot AS (SELECT count(*) AS c FROM m),
+    e AS (SELECT title, unnest(genres) AS genre FROM m)
+    SELECT genre || ' films' AS subtheme,
+           array_to_string(list_sort(list(title)), ',') AS movies_csv,
+           count(*) AS n,
+           round(count(*) / (SELECT c FROM tot), 6) AS confidence
+    FROM e GROUP BY genre HAVING count(*) >= 2
+    ORDER BY n DESC, genre LIMIT 3
+    """,
+)
+def genre_groups(spark, sf_dir):
+    """A4: explode genres → grouped members, HAVING n≥2, top-3 by size,
+    confidence = n/total — reference routes.py:116-139."""
+    films = films_view(spark, sf_dir, register=False)
+    m = films.filter(
+        F.col("processing_status").isin("enriched", "llm_generated")
+    ).select("title", "genres")
+    total = m.agg(F.count("*").alias("c"))
+    e = m.select("title", F.explode("genres").alias("genre"))
+    g = (
+        e.groupBy("genre")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("title")), ",").alias("movies_csv"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(F.desc("n"), F.asc("genre"))
+        .limit(3)
+    )
+    return g.crossJoin(F.broadcast(total)).select(
+        F.concat("genre", F.lit(" films")).alias("subtheme"),
+        "movies_csv",
+        "n",
+        F.round(F.col("n") / F.col("c"), 6).alias("confidence"),
+    ).filter(F.col("n") >= 2)
+
+
+# ===========================================================================
+# Sorts / windows / set ops (T2-T8, 2.5, U1)
+# ===========================================================================
+
+@q(
+    "top_k_sort",
+    """
+    SELECT event_id, event_type, value FROM events
+    ORDER BY value DESC, event_id LIMIT 20
+    """,
+)
+def top_k_sort(spark, sf_dir):
+    """T2/T3: sort desc + head-k → TakeOrderedAndProject
+    (reference ai_service.py:115, search.py:40)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+        .select("event_id", "event_type", "value")
+    )
+
+
+@q(
+    "multi_key_sort",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    ORDER BY lang, n_chars DESC, doc_id LIMIT 100
+    """,
+)
+def multi_key_sort(spark, sf_dir):
+    """T6: multi-key sort (reference movie_generator.py:618)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .orderBy(F.asc("lang"), F.desc("n_chars"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@q(
+    "window_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn AS rank
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey)::INTEGER AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    """§2.5: per-group top-k via row_number window — the Spark form of
+    the reference's per-query rank (SURVEY.md §2.5)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+# ===========================================================================
+# Joins (J1-J3 + the standard equi-join family the oracle suite needs)
+# ===========================================================================
+
+@q(
+    "anti_join_new_keys",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def anti_join_new_keys_q(spark, sf_dir):
+    """J2: exact-key anti-join (reference movie_generator.py:199-204) —
+    customers with no pending order. Broadcast-able at dimension scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "semi_join_active",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def semi_join_active(spark, sf_dir):
+    """Semi join (the dual of J2)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "fuzzy_band_join",
+    f"""
+    {FILMS_CTE},
+    t AS (SELECT id, lower(trim(title)) AS tkey, year FROM films)
+    SELECT a.id AS a_id, b.id AS b_id,
+           round(1.0 - levenshtein(a.tkey, b.tkey)
+                 / greatest(length(a.tkey), length(b.tkey)), 6) AS similarity
+    FROM t a JOIN t b
+      ON b.year BETWEEN a.year - 1 AND a.year + 1 AND a.id < b.id
+    WHERE 1.0 - levenshtein(a.tkey, b.tkey)
+          / greatest(length(a.tkey), length(b.tkey)) >= 0.85
+    """,
+)
+def fuzzy_band_join(spark, sf_dir):
+    """J1/P7: fuzzy near-duplicate pairs — year band ±1 blocking +
+    similarity ≥ 0.85 (reference movie_generator.py:83-94). The Spark
+    plan replicates rows into year buckets so the join is an EQUI hash
+    join (SURVEY.md §4 'year-band blocking')."""
+    films = films_view(spark, sf_dir, register=False)
+    pairs = D.fuzzy_pairs(films, "id", "title", "year", 0.85, 1)
+    return pairs.select(
+        "a_id", "b_id", F.round("similarity", 6).alias("similarity")
+    )
+
+
+# ===========================================================================
+# TPC-H-shaped analytics (the oracle suite's standard join/agg coverage)
+# ===========================================================================
+
+@q(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM({CENTS.format(col='l_extendedprice')}) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(SUM({CENTS.format(col='l_extendedprice')} * (100 - {CENTS.format(col='l_discount')})) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(SUM({CENTS.format(col='l_extendedprice')} * (100 - {CENTS.format(col='l_discount')}) * (100 + {CENTS.format(col='l_tax')})) AS BIGINT) / 1000000.0 AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / count(*) AS avg_qty,
+           CAST(SUM({CENTS.format(col='l_extendedprice')}) AS BIGINT) / 100.0 / count(*) AS avg_price,
+           CAST(SUM({CENTS.format(col='l_discount')}) AS BIGINT) / 100.0 / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: grouped sums/avgs over the fact table. Money in
+    integer cents so Spark's partial-agg order and DuckDB's sequential
+    order produce the SAME bits. One scan, map-side partial agg, tiny
+    shuffle — the plan is scale-free."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+    )
+    price_c = _cents("l_extendedprice")
+    disc_c = _cents("l_discount")
+    tax_c = _cents("l_tax")
+    qty = F.col("l_quantity").cast("bigint")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("sum_qty"),
+        (F.sum(price_c) / 100.0).alias("sum_base_price"),
+        (F.sum(price_c * (100 - disc_c)) / 10000.0).alias("sum_disc_price"),
+        (F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0).alias("sum_charge"),
+        (F.sum(qty) / F.count("*")).alias("avg_qty"),
+        (F.sum(price_c) / 100.0 / F.count("*")).alias("avg_price"),
+        (F.sum(disc_c) / 100.0 / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({CENTS.format(col='l.l_extendedprice')} * (100 - {CENTS.format(col='l.l_discount')})) AS BIGINT) / 10000.0 AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + grouped revenue + top-10. customer
+    is the small side → broadcast (no shuffle of lineitem by custkey)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q5_region_revenue",
+    f"""
+    SELECT n.n_name,
+           CAST(SUM({CENTS.format(col='l.l_extendedprice')} * (100 - {CENTS.format(col='l.l_discount')})) AS BIGINT) / 10000.0 AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join (4 broadcast dims + 1 fact-fact join)
+    with local-supplier predicate. region/nation/customer/supplier all
+    broadcast; lineitem⋈orders is the only real shuffle."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ===========================================================================
+# Vector search (V1-V4)
+# ===========================================================================
+
+def _knn_sql(filter_pred: str, k: int, qvec: list[float]) -> str:
+    cos = cosine_sql(vec_sql(qvec), "embedding")
+    return f"""
+    SELECT vec_id, label, round({cos}, 6) AS score
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0 AND ({filter_pred})
+    ORDER BY score DESC, vec_id LIMIT {k}
+    """
+
+
+@q("knn_topk", _knn_sql("TRUE", 20, QUERY_VEC))
+def knn_topk_q(spark, sf_dir):
+    """V2: exact brute-force KNN, TakeOrderedAndProject physical plan —
+    reference manual_vector_search ai_service.py:98-119."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    scored = e.select(
+        "vec_id",
+        "label",
+        F.round(cosine_similarity(vector_lit(QUERY_VEC), F.col("embedding")), 6)
+        .alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(20)
+
+
+@q("knn_prefiltered", _knn_sql("label = 3", 10, QVECS[1]))
+def knn_prefiltered(spark, sf_dir):
+    """V3 semantics (exact form): Atlas $vectorSearch with pre-filter —
+    reference ai_service.py:59-96. The label predicate is pushed into
+    the parquet scan before any scoring."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("label") == 3)
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+    )
+    scored = e.select(
+        "vec_id",
+        "label",
+        F.round(cosine_similarity(vector_lit(QVECS[1]), F.col("embedding")), 6)
+        .alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+_BATCH_K = 5
+_KNN_BATCH_SQL = f"""
+WITH q AS (
+  {' UNION ALL '.join(f"SELECT {i + 1} AS qid, {vec_sql(v)} AS qvec" for i, v in enumerate(QVECS))}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round({cosine_sql('q.qvec', 'e.embedding')}, 6) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
+)
+SELECT qid, vec_id, score, rn::INTEGER AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= {_BATCH_K}
+"""
+
+
+@q("knn_batch", _KNN_BATCH_SQL)
+def knn_batch_q(spark, sf_dir):
+    """J3/V4 generalized: per-query top-k for a batch of query vectors.
+    broadcast(queries) × corpus — corpus scanned once for all queries,
+    then one window shuffle keyed by qid."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    qdf = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(QVECS)], "qid INT, qvec ARRAY<DOUBLE>"
+    )
+    scored = e.crossJoin(F.broadcast(qdf)).select(
+        "qid",
+        "vec_id",
+        F.round(cosine_similarity(F.col("qvec"), F.col("embedding")), 6).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BATCH_K)
+        .select("qid", "vec_id", "score", "rank")
+    )
+
+
+_NORM_SQL = "sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x), (a,b) -> a+b))"
+
+
+@q(
+    "avg_norm_by_label",
+    f"""
+    SELECT label, count(*) AS n, round(avg({_NORM_SQL}), 6) AS avg_norm
+    FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+    GROUP BY label ORDER BY label
+    """,
+)
+def avg_norm_by_label(spark, sf_dir):
+    """V1-adjacent: aggregate over a vector expression (norm stats per
+    class) — the 'vector column is a first-class column' check."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(l2_norm(F.col("embedding"))), 6).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@q(
+    "search_vector",
+    f"""
+    {FILMS_CTE},
+    scored AS (
+      SELECT id, title, year,
+             CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+                  THEN round({cosine_sql(vec_sql(QUERY_VEC), 'embedding')}, 6)
+             END AS similarity
+      FROM films WHERE {STATUS_PRED}
+    )
+    SELECT id, title, year, similarity FROM scored
+    ORDER BY (similarity IS NOT NULL) DESC, similarity DESC, id LIMIT 20
+    """,
+)
+def search_vector(spark, sf_dir):
+    """The flagship read path (SURVEY.md §3.1): status filter → cosine
+    score → ranked-then-unranked order (U1, ai_service.py:117-119) →
+    top-20 (T3) → projection."""
+    films = films_view(spark, sf_dir, register=False)
+    base = films.filter(
+        F.col("processing_status").isin("enriched", "llm_generated")
+    )
+    scored = base.select(
+        "id",
+        "title",
+        "year",
+        F.when(
+            F.col("embedding").isNotNull() & (F.size("embedding") > 0),
+            F.round(cosine_similarity(vector_lit(QUERY_VEC), F.col("embedding")), 6),
+        ).alias("similarity"),
+    )
+    return scored.orderBy(
+        F.desc(F.col("similarity").isNotNull()), F.desc("similarity"), F.asc("id")
+    ).limit(20)
+
+
+@q(
+    "search_browse",
+    f"""
+    {FILMS_CTE}
+    SELECT id, title, year,
+           COALESCE(director, directors[1], '') AS director,
+           array_to_string(genres, ',') AS genres_csv
+    FROM films WHERE {STATUS_PRED}
+    ORDER BY id LIMIT 20
+    """,
+)
+def search_browse(spark, sf_dir):
+    """S1/T1: the empty-query browse branch (reference search.py:22-24,
+    database.py:49-54) with a pinned deterministic order."""
+    films = films_view(spark, sf_dir, register=False)
+    return (
+        films.filter(F.col("processing_status").isin("enriched", "llm_generated"))
+        .select(
+            "id",
+            "title",
+            "year",
+            F.coalesce("director", F.element_at("directors", 1), F.lit(""))
+            .alias("director"),
+            F.array_join("genres", ",").alias("genres_csv"),
+        )
+        .orderBy("id")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# Dedup family
+# ===========================================================================
+
+@q(
+    "dedup_exact",
+    """
+    SELECT doc_id, lang FROM documents
+    QUALIFY row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized text, keep first by id
+    (J2/U2 at corpus scale; one shuffle on the text key)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(normalize_key(F.col("text"))).orderBy("doc_id")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang")
+    )
+
+
+_MH_N = 16
+_MH_COEFFS = minhash_coeffs(_MH_N)
+_SHINGLE_N = 3
+
+
+def _shingles_inline_sql() -> str:
+    # word 3-shingles of documents.text (matches functions.text.word_shingles)
+    from movievectorsearch_spark.functions.text import shingles_sql
+
+    return shingles_sql("text", _SHINGLE_N)
+
+
+_MINHASH_SIG_SQL_BODY = f"""
+sh AS (SELECT doc_id, unnest({_shingles_inline_sql()}) AS shingle FROM documents),
+hh AS (SELECT doc_id, {poly_hash_sql('shingle')} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         {', '.join(f'min((h * {a} + {b}) % {P}) AS mh{i}' for i, (a, b) in enumerate(_MH_COEFFS))}
+  FROM hh GROUP BY doc_id
+)
+"""
+
+_MINHASH_SIG_SQL = f"WITH {_MINHASH_SIG_SQL_BODY} SELECT * FROM sig"
+
+
+@q("dedup_minhash_signature", _MINHASH_SIG_SQL)
+def dedup_minhash_signature(spark, sf_dir):
+    """MinHash signatures (shingle → portable hash → min over affine
+    permutations). One explode + one groupBy; signature build is the
+    scan-speed part of MinHash-LSH dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_signature(d, "doc_id", "text", _MH_N, _SHINGLE_N)
+
+
+_ROWS_PER_BAND = 4
+_BANDS = _MH_N // _ROWS_PER_BAND
+_BAND_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band, "
+    + " || '_' || ".join(
+        f"mh{bi * _ROWS_PER_BAND + r}::VARCHAR" for r in range(_ROWS_PER_BAND)
+    )
+    + " AS bkey FROM sig"
+    for bi in range(_BANDS)
+)
+
+_MINHASH_LSH_SQL = f"""
+WITH {_MINHASH_SIG_SQL_BODY},
+bands AS ({_BAND_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.a_id, p.b_id,
+       ({' + '.join(f'CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END' for i in range(_MH_N))}) / {float(_MH_N)} AS est_jaccard
+FROM pairs p JOIN sig sa ON sa.doc_id = p.a_id JOIN sig sb ON sb.doc_id = p.b_id
+"""
+
+
+@q("dedup_minhash_lsh", _MINHASH_LSH_SQL)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates: band→bucket equi-join (candidate
+    set ~linear, never the quadratic cross product) + estimated Jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(d, "doc_id", "text", _MH_N, _SHINGLE_N)
+    sig.persist()
+    pairs = D.minhash_lsh_pairs(sig, "doc_id", _MH_N, _BANDS)
+    return D.minhash_jaccard_estimate(sig, pairs, "doc_id", _MH_N)
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents),
+hh AS (SELECT doc_id, {poly_hash_sql('tok')} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {', '.join(f'SUM(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS v{i}' for i in range(_SIMHASH_BITS))}
+  FROM hh GROUP BY doc_id
+)
+SELECT doc_id,
+       ({' + '.join(f'CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END' for i in range(_SIMHASH_BITS))})::BIGINT AS simhash
+FROM votes
+"""
+
+
+@q("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints (bit votes over token hashes)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash(d, "doc_id", "text", _SIMHASH_BITS)
+
+
+_NGRAM_THRESHOLD = 0.02
+_NGRAM_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, unnest(list_distinct({_shingles_inline_sql()})) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM base GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM base a JOIN base b ON a.shingle = b.shingle AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a_id, i.b_id, i.inter, sa.nsh AS a_n, sb.nsh AS b_n,
+       round(i.inter / (sa.nsh + sb.nsh - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE i.inter / (sa.nsh + sb.nsh - i.inter) >= {_NGRAM_THRESHOLD}
+"""
+
+
+@q("dedup_ngram_jaccard", _NGRAM_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs, blocked by lang (explode+join on the
+    shingle value — intersection counting without a cross product)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", _SHINGLE_N, _NGRAM_THRESHOLD, ["lang"]
+    )
+    return out.select(
+        "a_id", "b_id", "inter", "a_n", "b_n", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_NEARDUP_THRESHOLD = 0.3
+_NEARDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {_NEARDUP_THRESHOLD}
+"""
+
+
+@q("dedup_embedding_cosine", _NEARDUP_SQL)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (at scale the
+    block key is an LSH/IVF bucket — see operators/ann.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_pairs(e, "vec_id", "embedding", "label", _NEARDUP_THRESHOLD)
+    return pairs.select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+       len({tokens_sql('text')})::BIGINT AS n_tokens,
+       round(
+         0.4 * (CASE WHEN len({tokens_sql('text')}) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END)
+         + 0.3 * least(len(list_filter({tokens_sql('text')},
+               t -> t IN ({', '.join(repr(s) for s in TA.STOPWORDS)})))
+             / greatest(len({tokens_sql('text')})::DOUBLE, 1.0) * 5.0, 1.0)
+         + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             / greatest(length(text)::DOUBLE, 1.0)),
+         6) AS quality,
+       {poly_hash_sql(f"array_to_string({tokens_sql('text')}, ' ')")} AS fingerprint
+FROM documents
+"""
+
+
+@q("text_profile", _QUALITY_SQL)
+def text_profile(spark, sf_dir):
+    """Token count + quality score + rolling-hash fingerprint, one pass."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(tokens(t)).cast("bigint").alias("n_tokens"),
+        TA.quality_score(t).alias("quality"),
+        TA.fingerprint(t).alias("fingerprint"),
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    in_list = ", ".join(repr(m) for m in markers)
+    toks = tokens_sql("text")
+    return (
+        f"(len(list_filter({toks}, t -> t IN ({in_list})))"
+        f" / greatest(len({toks}), 1))"
+    )
+
+
+_LANGS_SORTED = sorted(TA.LANG_MARKERS)
+_LANG_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {', '.join(f'{_lang_score_sql(TA.LANG_MARKERS[lg])} AS s_{lg}' for lg in _LANGS_SORTED)}
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE {' '.join(f"WHEN s_{lg} > 0 AND {' AND '.join(f's_{lg} >= s_{other}' for other in _LANGS_SORTED if other != lg)} THEN '{lg}'" for lg in _LANGS_SORTED)}
+       ELSE 'und' END AS lang_guess
+FROM s
+"""
+
+
+@q("lang_detect", _LANG_SQL)
+def lang_detect(spark, sf_dir):
+    """Stopword-marker language ID (argmax of marker-hit ratios with a
+    deterministic tie-break by language code)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TA.detect_lang(F.col("text")).alias("lang_guess"))
+
+
+# ===========================================================================
+# Events: JSON props, windows, sessionization (F14, ST1-ST3 batch analogs)
+# ===========================================================================
+
+@q(
+    "events_props_json",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           min(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS min_k,
+           max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS max_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_json(spark, sf_dir):
+    """F14: JSON-string column → typed value → aggregate (the
+    events.props contract from TESTDATA.md)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark, sf_dir):
+    """Tumbling-window aggregate (batch form of streaming/events.py
+    tumbling_counts — same logical plan readStream would run)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias("sum_value"),
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+_SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@q("events_sessionize", _SESSION_SQL)
+def events_sessionize(spark, sf_dir):
+    """Sessionization (30-min gap) via gaps-and-islands — the batch
+    twin of streaming session_window (streaming/events.py sessionize).
+    All arithmetic on integer epoch-micros for cross-engine exactness."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    eus = F.unix_micros("ts")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag(eus).over(w).isNull()
+            | ((eus - F.lag(eus).over(w)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w2))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias("sum_value"),
+    )
+
+
+# ===========================================================================
+# Upsert (S7) + ingestion parser round-trip (F1-F4, P6)
+# ===========================================================================
+
+@q(
+    "upsert_latest_wins",
+    f"""
+    {FILMS_CTE},
+    incoming AS (
+      SELECT * REPLACE ('dir_updated' AS director,
+                        created_at + INTERVAL 1 DAY AS created_at)
+      FROM films WHERE doc_id % 17 = 0
+    ),
+    merged AS (
+      SELECT *, 0 AS __is_new FROM films
+      UNION ALL
+      SELECT *, 1 AS __is_new FROM incoming
+    )
+    SELECT title, year, director,
+           strftime(created_at, '%Y-%m-%d %H:%M:%S') AS created_str
+    FROM merged
+    QUALIFY row_number() OVER (PARTITION BY lower(trim(title)), year
+                               ORDER BY created_at DESC, __is_new DESC) = 1
+    """,
+)
+def upsert_latest_wins_q(spark, sf_dir):
+    """S7: upsert as latest-wins MERGE emulation — reference
+    store_movie movie_generator.py:452-467 (Delta MERGE at scale;
+    window row_number here)."""
+    films = films_view(spark, sf_dir, register=False)
+    incoming = (
+        films.filter(F.col("doc_id") % 17 == 0)
+        .withColumn("director", F.lit("dir_updated"))
+        .withColumn("created_at", F.col("created_at") + F.expr("INTERVAL 1 DAY"))
+    )
+    merged = upsert_latest_wins(films, incoming)
+    return merged.select(
+        "title",
+        "year",
+        "director",
+        F.date_format("created_at", "yyyy-MM-dd HH:mm:ss").alias("created_str"),
+    )
+
+
+_RAW_TEXT_SQL = """
+SELECT doc_id,
+       '**' || chr(10) || '1. TITLE: Doc ' || doc_id::VARCHAR || '  ' || chr(10) ||
+       'YEAR: released in ' || (1900 + doc_id % 130)::VARCHAR || '!' || chr(10) ||
+       'DIRECTOR: *Dir ' || (doc_id % 50)::VARCHAR || '*' || chr(10) ||
+       'CAST: actor ' || (doc_id % 40)::VARCHAR || ', actor ' || ((doc_id + 1) % 40)::VARCHAR || ', , extra guy' || chr(10) ||
+       'GENRES: g' || (doc_id % 10)::VARCHAR || ', g' || ((doc_id * 3) % 10)::VARCHAR || chr(10) ||
+       'PLOT: ' || substr(text, 1, 80) AS raw_text
+FROM documents
+"""
+
+_CLEAN_SQL = (
+    "trim(regexp_replace(regexp_replace(regexp_replace({x}, "
+    "'[\\*_\"'']', '', 'g'), '\\s+', ' ', 'g'), '^\\d+\\.\\s*', '', 'g'))"
+)
+
+
+def _field_sql(name: str) -> str:
+    # a field line may carry the LLM's list numbering ("1. TITLE: ...");
+    # horizontal whitespace only ([ \t]) so an empty field never
+    # swallows the following line
+    ext = (
+        f"regexp_extract(raw_text, '(?m)^(?:\\d+\\.[ \\t]*)?{name}:[ \\t]*(.*?)[ \\t]*$', 1)"
+    )
+    return _CLEAN_SQL.format(x=ext)
+
+
+_PARSE_SQL = f"""
+WITH raw AS ({_RAW_TEXT_SQL}),
+parsed AS (
+  SELECT doc_id,
+         {_field_sql('TITLE')} AS title,
+         regexp_extract({_field_sql('YEAR')}, '\\b(19|20)\\d{{2}}\\b', 0) AS year_str,
+         {_field_sql('DIRECTOR')} AS director,
+         array_to_string(list_filter(list_transform(string_split({_field_sql('CAST')}, ','), x -> trim(x)), x -> x <> ''), '|') AS cast_psv,
+         array_to_string(list_filter(list_transform(string_split({_field_sql('GENRES')}, ','), x -> trim(x)), x -> x <> ''), '|') AS genres_psv,
+         {_field_sql('PLOT')} AS plot
+  FROM raw
+)
+SELECT doc_id, title,
+       CASE WHEN year_str = '' THEN 2000
+            WHEN CAST(year_str AS BIGINT) BETWEEN 1900 AND 2030 THEN CAST(year_str AS BIGINT)
+            ELSE 2000 END AS year,
+       director, cast_psv, genres_psv, plot
+FROM parsed WHERE title <> ''
+"""
+
+
+@q("ingest_parse", _PARSE_SQL)
+def ingest_parse(spark, sf_dir):
+    """F1+F2+F3+F4+P6: the LLM-response parser round-trip — dirty
+    markdown-decorated TITLE:/YEAR:/.../PLOT: text (built from
+    documents) parsed back to typed columns. Mirrors reference
+    movie_generator.py:329-386."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("**\n1. TITLE: Doc "), F.col("doc_id").cast("string"), F.lit("  \n"),
+            F.lit("YEAR: released in "), (F.lit(1900) + F.col("doc_id") % 130).cast("string"), F.lit("!\n"),
+            F.lit("DIRECTOR: *Dir "), (F.col("doc_id") % 50).cast("string"), F.lit("*\n"),
+            F.lit("CAST: actor "), (F.col("doc_id") % 40).cast("string"),
+            F.lit(", actor "), ((F.col("doc_id") + 1) % 40).cast("string"), F.lit(", , extra guy\n"),
+            F.lit("GENRES: g"), (F.col("doc_id") % 10).cast("string"),
+            F.lit(", g"), ((F.col("doc_id") * 3) % 10).cast("string"), F.lit("\n"),
+            F.lit("PLOT: "), F.substring("text", 1, 80),
+        ).alias("raw_text"),
+    )
+
+    def field(name):
+        return clean_text(
+            F.regexp_extract(
+                "raw_text", rf"(?m)^(?:\d+\.[ \t]*)?{name}:[ \t]*(.*?)[ \t]*$", 1
+            )
+        )
+
+    def csv_psv(col):
+        return F.array_join(
+            F.filter(F.transform(F.split(col, ","), lambda x: F.trim(x)), lambda x: x != ""),
+            "|",
+        )
+
+    year_str = F.regexp_extract(field("YEAR"), r"\b(19|20)\d{2}\b", 0)
+    year = (
+        F.when(year_str == "", F.lit(2000).cast("bigint"))
+        .when(
+            year_str.cast("bigint").between(1900, 2030), year_str.cast("bigint")
+        )
+        .otherwise(F.lit(2000).cast("bigint"))
+    )
+    parsed = raw.select(
+        "doc_id",
+        field("TITLE").alias("title"),
+        year.alias("year"),
+        field("DIRECTOR").alias("director"),
+        csv_psv(field("CAST")).alias("cast_psv"),
+        csv_psv(field("GENRES")).alias("genres_psv"),
+        field("PLOT").alias("plot"),
+    )
+    return parsed.filter(F.col("title") != "")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec["spark"] for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec["sql"] for name, spec in QUERIES.items() if spec["sql"] is not None
+    }

@@ -1,0 +1,150 @@
+"""Dedup operator checks: fuzzy-join parity with a pure-Python model,
+MinHash estimate quality vs exact Jaccard, SimHash invariants."""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import pytest
+from pyspark.sql import functions as F
+
+from movievectorsearch_spark.catalog import films_view, load_table
+from movievectorsearch_spark.functions.text import word_shingles
+from movievectorsearch_spark.operators import dedup as D
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def py_lev_ratio(a: str, b: str) -> float:
+    m = max(len(a), len(b))
+    return 1.0 if m == 0 else 1.0 - _lev(a, b) / m
+
+
+def test_fuzzy_pairs_matches_python_model(spark, sf_dir):
+    films = films_view(spark, sf_dir, register=False)
+    rows = films.select(
+        "id", F.lower(F.trim("title")).alias("t"), "year"
+    ).collect()
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in D.fuzzy_pairs(films, "id", "title", "year", 0.85, 1).collect()
+    }
+    expected = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            x, y = (a, b) if a["id"] < b["id"] else (b, a)
+            if abs(x["year"] - y["year"]) <= 1 and py_lev_ratio(x["t"], y["t"]) >= 0.85:
+                expected.add((x["id"], y["id"]))
+    assert got == expected
+
+
+def test_sequence_matcher_udf_parity(spark):
+    pairs = [
+        ("the matrix", "the matrix"),
+        ("the matrix", "the matrix reloaded"),
+        ("heat", "heist"),
+        ("alien", "aliens"),
+    ]
+    ratio = D.sequence_matcher_ratio_udf()
+    df = spark.createDataFrame(pairs, "a STRING, b STRING")
+    got = df.select("a", "b", ratio("a", "b").alias("r")).collect()
+    for r in got:
+        assert r["r"] == pytest.approx(
+            SequenceMatcher(None, r["a"], r["b"]).ratio()
+        )
+
+
+def test_exact_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "A ", 2000), (2, "a", 2000), (3, "b", 2001)],
+        "id INT, title STRING, year INT",
+    )
+    out = D.exact_dedup_keep_first(
+        df, [F.lower(F.trim("title")), F.col("year")], "id"
+    ).collect()
+    assert sorted(r["id"] for r in out) == [1, 3]
+
+
+def test_anti_join_new_keys(spark):
+    new = spark.createDataFrame(
+        [("the matrix", 1999), ("heat", 1995)], "k STRING, year INT"
+    )
+    existing = spark.createDataFrame([("heat", 1995)], "k STRING, year INT")
+    out = D.anti_join_new_keys(new, existing, ["k", "year"]).collect()
+    assert [r["k"] for r in out] == ["the matrix"]
+
+
+def _exact_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(80)
+    rows = d.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh")
+    ).collect()
+    sets = {r["doc_id"]: set(r["sh"]) for r in rows}
+    return sets
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(80)
+    sig = D.minhash_signature(d, "doc_id", "text", num_hashes=32)
+    pairs = D.minhash_lsh_pairs(sig, "doc_id", num_hashes=32, bands=8)
+    est = D.minhash_jaccard_estimate(sig, pairs, "doc_id", num_hashes=32).collect()
+    sets = _exact_jaccard(spark, sf_dir)
+    # every LSH candidate's estimate within 0.35 of exact (32 hashes →
+    # std ~0.09; 0.35 is ~4 sigma)
+    for r in est:
+        a, b = sets[r["a_id"]], sets[r["b_id"]]
+        exact = len(a & b) / len(a | b) if a | b else 1.0
+        assert abs(r["est_jaccard"] - exact) <= 0.35, (r["a_id"], r["b_id"])
+
+
+def test_simhash_identical_docs_same_fingerprint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different sentence about spark engines"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash(df, "doc_id", "text", 32).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x", "alpha beta gamma delta epsilon"),
+            (2, "x", "alpha beta gamma delta zeta"),
+            (3, "x", "one two three four five"),
+        ],
+        "doc_id INT, lang STRING, text STRING",
+    )
+    out = D.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.01, ["lang"]).collect()
+    got = {(r["a_id"], r["b_id"]): r["jaccard"] for r in out}
+    # docs 1,2: shingles {a b g, b g d, g d e} vs {a b g, b g d, g d z}
+    # → inter 2, union 4 → 0.5
+    assert got[(1, 2)] == pytest.approx(0.5)
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_embedding_neardup_blocked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.999, 0.01]),
+            (3, 0, [0.0, 1.0]),
+            (4, 1, [1.0, 0.0]),  # other block — never paired with 1
+        ],
+        "vec_id INT, label INT, embedding ARRAY<DOUBLE>",
+    )
+    out = D.embedding_neardup_pairs(df, "vec_id", "embedding", "label", 0.95).collect()
+    assert {(r["a_id"], r["b_id"]) for r in out} == {(1, 2)}

@@ -1,0 +1,118 @@
+"""Unit tests for the expression builders against pure-Python models."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from movievectorsearch_spark.functions.hashing import P, minhash_coeffs, poly_hash
+from movievectorsearch_spark.functions.text import (
+    clean_text,
+    normalize_key,
+    slug_id,
+    tokens,
+    word_shingles,
+)
+from movievectorsearch_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+    l2_normalize,
+    vector_lit,
+)
+
+
+def py_poly_hash(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % P
+    return acc
+
+
+def test_poly_hash_matches_python_model(spark):
+    samples = ["", "a", "hello world", "The quick brown fox", "doc 42"]
+    df = spark.createDataFrame([(s,) for s in samples], "s STRING")
+    got = {r["s"]: r["h"] for r in df.select("s", poly_hash(F.col("s")).alias("h")).collect()}
+    for s in samples:
+        assert got[s] == py_poly_hash(s), s
+
+
+def test_minhash_coeffs_deterministic_and_odd():
+    c1 = minhash_coeffs(16)
+    c2 = minhash_coeffs(16)
+    assert c1 == c2
+    assert all(a % 2 == 1 for a, _ in c1)
+    assert len({(a, b) for a, b in c1}) == 16
+
+
+def test_clean_text(spark):
+    cases = [
+        ("**Bold Title**", "Bold Title"),
+        ("1. The  Matrix ", "The Matrix"),
+        ("'quoted' _under_  *star*", "quoted under star"),
+        ("42. Some Movie", "Some Movie"),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in cases], "s STRING")
+    got = [r["c"] for r in df.select(clean_text(F.col("s")).alias("c")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_normalize_key_and_slug(spark):
+    df = spark.createDataFrame([("  The Matrix  ", 1999)], "t STRING, y INT")
+    row = df.select(
+        normalize_key(F.col("t")).alias("k"),
+        slug_id(F.trim(F.col("t")), F.col("y")).alias("slug"),
+    ).collect()[0]
+    assert row["k"] == "the matrix"
+    assert row["slug"] == "the_matrix_1999"
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("The quick  Brown fox jumps",)], "s STRING")
+    row = df.select(
+        tokens(F.col("s")).alias("t"),
+        word_shingles(F.col("s"), 3).alias("sh"),
+    ).collect()[0]
+    assert row["t"] == ["the", "quick", "brown", "fox", "jumps"]
+    assert row["sh"] == [
+        "the quick brown",
+        "quick brown fox",
+        "brown fox jumps",
+    ]
+    # short text → single joined shingle
+    short = spark.createDataFrame([("one two",)], "s STRING")
+    assert short.select(word_shingles(F.col("s"), 3).alias("sh")).collect()[0][
+        "sh"
+    ] == ["one two"]
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.RandomState(0)
+    a = rng.uniform(-1, 1, 16)
+    b = rng.uniform(-1, 1, 16)
+    expected = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    df = spark.range(1)
+    got = df.select(
+        cosine_similarity(vector_lit(a.tolist()), vector_lit(b.tolist())).alias("c"),
+        dot(vector_lit(a.tolist()), vector_lit(b.tolist())).alias("d"),
+        l2_norm(vector_lit(a.tolist())).alias("n"),
+    ).collect()[0]
+    assert abs(got["c"] - expected) < 1e-12
+    assert abs(got["d"] - float(a @ b)) < 1e-12
+    assert abs(got["n"] - float(np.linalg.norm(a))) < 1e-12
+
+
+def test_cosine_zero_vector_is_null(spark):
+    df = spark.range(1)
+    got = df.select(
+        cosine_similarity(vector_lit([0.0, 0.0]), vector_lit([1.0, 2.0])).alias("c")
+    ).collect()[0]
+    assert got["c"] is None
+
+
+def test_l2_normalize_unit_norm(spark):
+    df = spark.range(1)
+    got = df.select(
+        l2_norm(l2_normalize(vector_lit([3.0, 4.0]))).alias("n")
+    ).collect()[0]
+    assert abs(got["n"] - 1.0) < 1e-12

@@ -1,0 +1,64 @@
+"""KNN operators vs a NumPy brute-force model on the real testdata."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from movievectorsearch_spark.catalog import load_table
+from movievectorsearch_spark.operators.knn import knn_batch, knn_topk, knn_topk_filtered
+from movievectorsearch_spark.plans.queries import QVECS
+
+
+def _corpus(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, labels, mat
+
+
+def _numpy_topk(ids, mat, q, k):
+    q = np.asarray(q, dtype=np.float64)
+    scores = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -scores))[:k]
+    return list(ids[order])
+
+
+def test_knn_topk_matches_numpy(spark, sf_dir):
+    ids, _, mat = _corpus(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = [r["vec_id"] for r in knn_topk(emb, QVECS[0], k=15).collect()]
+    assert got == _numpy_topk(ids, mat, QVECS[0], 15)
+
+
+def test_knn_topk_filtered(spark, sf_dir):
+    ids, labels, mat = _corpus(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = [
+        r["vec_id"]
+        for r in knn_topk_filtered(emb, QVECS[1], F.col("label") == 2, k=5).collect()
+    ]
+    keep = labels == 2
+    assert got == _numpy_topk(ids[keep], mat[keep], QVECS[1], 5)
+    for r in knn_topk_filtered(emb, QVECS[1], F.col("label") == 2, k=5).collect():
+        assert r["label"] == 2
+
+
+def test_knn_batch_matches_per_query(spark, sf_dir):
+    ids, _, mat = _corpus(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(QVECS)], "qid INT, qvec ARRAY<DOUBLE>"
+    )
+    out = knn_batch(emb, qdf, k=7).collect()
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["qid"], r["rank"])):
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    for i, q in enumerate(QVECS):
+        assert by_q[i] == _numpy_topk(ids, mat, q, 7), f"query {i}"

@@ -1,0 +1,93 @@
+"""Structured Streaming analogs (ST1-ST3): the same transformation
+function must produce identical results on a stream (availableNow over
+the events parquet) and on the batch DataFrame."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from movievectorsearch_spark.catalog import load_table, table_path
+from movievectorsearch_spark.streaming import events as SE
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, sf_dir, tmp_path_factory):
+    """events.parquet rewritten through the catalog (nanos ts → proper
+    timestamp) into a stream-source dir."""
+    src = tmp_path_factory.mktemp("events_src")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(str(src / "data"))
+    return str(src / "data")
+
+
+def _run_stream(spark, stream_df, tmp_path, name):
+    out = str(tmp_path / f"{name}_out")
+    ckpt = str(tmp_path / f"{name}_ckpt")
+    q = SE.run_to_sink(stream_df, ckpt, out, trigger_once=True)
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def _sorted_tuples(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_counts_stream_equals_batch(spark, stream_src, tmp_path):
+    """Append-mode semantics: every emitted window matches the batch
+    result exactly; only windows still inside the watermark horizon at
+    end-of-stream may be withheld (they're open state, not lost)."""
+    import datetime
+
+    batch = SE.tumbling_counts(spark.read.parquet(stream_src))
+    stream = SE.tumbling_counts(SE.read_event_stream(spark, stream_src))
+    got = _run_stream(spark, stream, tmp_path, "tumbling")
+    got_t, batch_t = set(_sorted_tuples(got)), set(_sorted_tuples(batch))
+    assert got_t <= batch_t
+    missing = batch_t - got_t
+    max_ts = spark.read.parquet(stream_src).agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=3)  # watermark 2h + window 1h
+    assert all(w[0] >= horizon for w in missing), missing
+
+
+def test_sessionize_stream_runs_and_covers_all_users(spark, stream_src, tmp_path):
+    stream = SE.sessionize(SE.read_event_stream(spark, stream_src))
+    got = _run_stream(spark, stream, tmp_path, "session")
+    batch_users = {
+        r["user_id"] for r in spark.read.parquet(stream_src).select("user_id").distinct().collect()
+    }
+    assert {r["user_id"] for r in got.collect()} == batch_users
+    # session windows never overlap per user
+    rows = sorted(got.collect(), key=lambda r: (r["user_id"], r["session_start"]))
+    for a, b in zip(rows, rows[1:]):
+        if a["user_id"] == b["user_id"]:
+            assert a["session_end"] <= b["session_start"]
+
+
+def test_dedup_stream_checkpoint_resume(spark, stream_src, tmp_path):
+    """ST1+ST2: run, then re-run with the same checkpoint — no new
+    output (exactly-once over the same offsets, the resume semantics
+    the reference hand-rolls with pickle files)."""
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    stream = SE.dedup_stream(SE.read_event_stream(spark, stream_src))
+    q = SE.run_to_sink(stream, ckpt, out, trigger_once=True)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == spark.read.parquet(stream_src).count()  # event_id unique
+
+    q2 = SE.run_to_sink(
+        SE.dedup_stream(SE.read_event_stream(spark, stream_src)), ckpt, out, trigger_once=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1  # nothing reprocessed
+
+
+def test_parse_props(spark, stream_src):
+    df = SE.parse_props(spark.read.parquet(stream_src))
+    rows = df.select("props", "props_k").limit(20).collect()
+    import json
+
+    for r in rows:
+        assert r["props_k"] == json.loads(r["props"])["k"]
