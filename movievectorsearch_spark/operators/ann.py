@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from movievectorsearch_spark.functions.vector import (
     cosine_similarity,
+    cosine_to_query,
     dot,
     vector_lit,
 )
@@ -93,7 +94,7 @@ def srp_search(
     probes = _probe_buckets(_bucket_of(query_vec, planes), n_planes, max_hamming)
     cand = bucketed.filter(F.col("__bucket").isin(probes))
     scored = cand.withColumn(
-        "score", cosine_similarity(vector_lit(query_vec), F.col(vec_col))
+        "score", cosine_to_query(query_vec, F.col(vec_col))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k).drop("__bucket")
 
@@ -168,6 +169,6 @@ def ivf_search(
     cells = order[:nprobe]
     cand = assigned.filter(F.col("__cell").isin(cells))
     scored = cand.withColumn(
-        "score", cosine_similarity(vector_lit(query_vec), F.col(vec_col))
+        "score", cosine_to_query(query_vec, F.col(vec_col))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k).drop("__cell")

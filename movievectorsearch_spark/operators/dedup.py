@@ -327,24 +327,29 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, blocked by
     ``block_col`` (at scale: an LSH/IVF bucket id instead of a label)."""
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    from movievectorsearch_spark.functions.vector import dot, l2_normalize
+
+    # normalize ONCE per row before the self-join: cos(a,b) over raw
+    # vectors recomputes both norms per PAIR (O(pairs) array folds);
+    # dot over pre-normalized vectors is one fold per pair and O(rows)
+    # normalizations — at block size m that's 3× less pair work
+    cols = [F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("nv")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
     base = emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)).select(*cols)
     a = base.select(
-        F.col("id").alias("a_id"), F.col("v").alias("a_v"),
+        F.col("id").alias("a_id"), F.col("nv").alias("a_nv"),
         *([F.col("blk").alias("a_blk")] if block_col else []),
     )
     b = base.select(
-        F.col("id").alias("b_id"), F.col("v").alias("b_v"),
+        F.col("id").alias("b_id"), F.col("nv").alias("b_nv"),
         *([F.col("blk").alias("b_blk")] if block_col else []),
     )
-    cond = [F.col("a_id") < F.col("b_id")]
     join_on = [F.col("a_blk") == F.col("b_blk")] if block_col else []
     joined = a.join(b, join_on) if join_on else a.crossJoin(b)
-    joined = joined.filter(cond[0])
+    joined = joined.filter(F.col("a_id") < F.col("b_id"))
     return (
-        joined.withColumn("cos", cosine_similarity(F.col("a_v"), F.col("b_v")))
+        joined.withColumn("cos", dot(F.col("a_nv"), F.col("b_nv")))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )

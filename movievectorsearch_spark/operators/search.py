@@ -15,7 +15,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from movievectorsearch_spark.functions.vector import cosine_similarity, vector_lit
+from movievectorsearch_spark.functions.vector import cosine_similarity, cosine_to_query, vector_lit
 
 DEFAULT_LIMIT = 20   # reference config.py:25
 MAX_LIMIT = 100      # reference config.py:26
@@ -81,7 +81,7 @@ def vector_search(
         "similarity",
         F.when(
             F.col("embedding").isNotNull() & (F.size("embedding") > 0),
-            cosine_similarity(vector_lit(query_vec), F.col("embedding")),
+            cosine_to_query(query_vec, F.col("embedding")),
         ),
     )
     ranked = scored.orderBy(

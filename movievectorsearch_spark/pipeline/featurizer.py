@@ -29,17 +29,27 @@ DEFAULT_DIM = 64
 
 
 def hash_embed(text: Column, dim: int = DEFAULT_DIM) -> Column:
-    """text → unit-norm array<double> of size ``dim``."""
+    """text → unit-norm array<double> of size ``dim``.
+
+    counts[j] = sum over tokens of sign, where bucket = h % dim,
+    sign = +1 if (h // dim) % 2 == 0 else -1. One fold over the token
+    hashes building the whole bucket array — NOT one aggregate per
+    bucket, which would re-hash every token ``dim`` times (interpreted
+    higher-order functions do no common-subexpression elimination).
+    """
     tok_h = F.transform(tokens(text), lambda t: poly_hash(t))
-    # counts[j] = sum over tokens of sign, where bucket = h % dim,
-    # sign = +1 if (h // dim) % 2 == 0 else -1
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.aggregate(
-            tok_h,
-            F.lit(0.0),
-            lambda acc, h: acc
-            + F.when(h % dim == j, F.when((h / dim).cast("bigint") % 2 == 0, 1.0).otherwise(-1.0)).otherwise(0.0),
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    counts = F.aggregate(
+        tok_h,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, j: x
+            + F.when(
+                h % dim == j,
+                F.when((h / dim).cast("bigint") % 2 == 0, 1.0).otherwise(-1.0),
+            ).otherwise(0.0),
         ),
     )
     norm = F.sqrt(F.aggregate(counts, F.lit(0.0), lambda a, x: a + x * x))

@@ -43,9 +43,14 @@ from movievectorsearch_spark.functions.text import (
 from movievectorsearch_spark.functions.vector import (
     cosine_similarity,
     cosine_sql,
+    cosine_to_query,
+    cosine_to_query_sql,
+    dot_sql,
     l2_norm,
+    py_l2_norm,
     vector_lit,
 )
+from movievectorsearch_spark.operators.knn import knn_batch_literal
 from movievectorsearch_spark.operators import dedup as D
 from movievectorsearch_spark.operators import textanalysis as TA
 from movievectorsearch_spark.operators.upsert import upsert_latest_wins
@@ -660,7 +665,7 @@ def q5_region_revenue(spark, sf_dir):
 # ===========================================================================
 
 def _knn_sql(filter_pred: str, k: int, qvec: list[float]) -> str:
-    cos = cosine_sql(vec_sql(qvec), "embedding")
+    cos = cosine_to_query_sql(qvec, vec_sql(qvec), "embedding")
     return f"""
     SELECT vec_id, label, round({cos}, 6) AS score
     FROM embeddings
@@ -679,7 +684,7 @@ def knn_topk_q(spark, sf_dir):
     scored = e.select(
         "vec_id",
         "label",
-        F.round(cosine_similarity(vector_lit(QUERY_VEC), F.col("embedding")), 6)
+        F.round(cosine_to_query(QUERY_VEC, F.col("embedding")), 6)
         .alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(20)
@@ -698,20 +703,22 @@ def knn_prefiltered(spark, sf_dir):
     scored = e.select(
         "vec_id",
         "label",
-        F.round(cosine_similarity(vector_lit(QVECS[1]), F.col("embedding")), 6)
+        F.round(cosine_to_query(QVECS[1], F.col("embedding")), 6)
         .alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
 
 
 _BATCH_K = 5
+_NORM_E = "sqrt(list_reduce(list_transform(e.embedding::DOUBLE[], x -> x*x), (a,b) -> a+b))"
 _KNN_BATCH_SQL = f"""
 WITH q AS (
-  {' UNION ALL '.join(f"SELECT {i + 1} AS qid, {vec_sql(v)} AS qvec" for i, v in enumerate(QVECS))}
+  {' UNION ALL '.join(f"SELECT {i + 1} AS qid, {vec_sql(v)} AS qvec, {py_l2_norm(v)!r} AS qnorm" for i, v in enumerate(QVECS))}
 ),
 scored AS (
   SELECT q.qid, e.vec_id,
-         round({cosine_sql('q.qvec', 'e.embedding')}, 6) AS score
+         round(CASE WHEN q.qnorm * {_NORM_E} <> 0
+               THEN ({dot_sql('q.qvec', 'e.embedding')}) / (q.qnorm * {_NORM_E}) END, 6) AS score
   FROM embeddings e CROSS JOIN q
   WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
 )
@@ -725,24 +732,14 @@ WHERE rn <= {_BATCH_K}
 @q("knn_batch", _KNN_BATCH_SQL)
 def knn_batch_q(spark, sf_dir):
     """J3/V4 generalized: per-query top-k for a batch of query vectors.
-    broadcast(queries) × corpus — corpus scanned once for all queries,
-    then one window shuffle keyed by qid."""
-    e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
-    )
-    qdf = spark.createDataFrame(
-        [(i + 1, v) for i, v in enumerate(QVECS)], "qid INT, qvec ARRAY<DOUBLE>"
-    )
-    scored = e.crossJoin(F.broadcast(qdf)).select(
-        "qid",
-        "vec_id",
-        F.round(cosine_similarity(F.col("qvec"), F.col("embedding")), 6).alias("score"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BATCH_K)
-        .select("qid", "vec_id", "score", "rank")
+    The driver-known batch is inlined as a literal struct array and
+    exploded against the corpus (operators/knn.knn_batch_literal) — one
+    corpus scan for all queries, no join/broadcast machinery, one
+    window shuffle keyed by qid."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = knn_batch_literal(e, QVECS, k=_BATCH_K)
+    return out.select(
+        "qid", "vec_id", F.round("score", 6).alias("score"), "rank"
     )
 
 
@@ -780,7 +777,7 @@ def avg_norm_by_label(spark, sf_dir):
     scored AS (
       SELECT id, title, year,
              CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
-                  THEN round({cosine_sql(vec_sql(QUERY_VEC), 'embedding')}, 6)
+                  THEN round({cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), 'embedding')}, 6)
              END AS similarity
       FROM films WHERE {STATUS_PRED}
     )
@@ -802,7 +799,7 @@ def search_vector(spark, sf_dir):
         "year",
         F.when(
             F.col("embedding").isNotNull() & (F.size("embedding") > 0),
-            F.round(cosine_similarity(vector_lit(QUERY_VEC), F.col("embedding")), 6),
+            F.round(cosine_to_query(QUERY_VEC, F.col("embedding")), 6),
         ).alias("similarity"),
     )
     return scored.orderBy(
@@ -989,15 +986,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 _NEARDUP_THRESHOLD = 0.3
+# mirror of the Spark plan: L2-normalize per ROW, dot per PAIR — the
+# identical op sequence keeps the floats bit-equal across engines
+_NORM_EMB = "sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x), (a,b) -> a+b))"
 _NEARDUP_SQL = f"""
 WITH e AS (
-  SELECT vec_id, label, embedding FROM embeddings
+  SELECT vec_id, label,
+         CASE WHEN {_NORM_EMB} <> 0
+              THEN list_transform(embedding::DOUBLE[], x -> x / {_NORM_EMB}) END AS nv
+  FROM embeddings
   WHERE embedding IS NOT NULL AND len(embedding) > 0
 )
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
+       round({dot_sql('a.nv', 'b.nv')}, 6) AS cos
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {_NEARDUP_THRESHOLD}
+WHERE {dot_sql('a.nv', 'b.nv')} >= {_NEARDUP_THRESHOLD}
 """
 
 

@@ -47,6 +47,13 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        # local mode runs driver + all executor threads in ONE JVM whose
+        # default heap is 1g — with 32 concurrent tasks that means
+        # multi-second full-GC stalls that land on whatever query is
+        # running. Size the heap for the box (must be set pre-launch).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

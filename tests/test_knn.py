@@ -6,7 +6,12 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from movievectorsearch_spark.catalog import load_table
-from movievectorsearch_spark.operators.knn import knn_batch, knn_topk, knn_topk_filtered
+from movievectorsearch_spark.operators.knn import (
+    knn_batch,
+    knn_batch_literal,
+    knn_topk,
+    knn_topk_filtered,
+)
 from movievectorsearch_spark.plans.queries import QVECS
 
 
@@ -62,3 +67,16 @@ def test_knn_batch_matches_per_query(spark, sf_dir):
         by_q.setdefault(r["qid"], []).append(r["vec_id"])
     for i, q in enumerate(QVECS):
         assert by_q[i] == _numpy_topk(ids, mat, q, 7), f"query {i}"
+
+
+def test_knn_batch_literal_matches_join_form(spark, sf_dir):
+    """The explode-literal fast path returns the same ranking as the
+    broadcast-join form (and as NumPy)."""
+    ids, _, mat = _corpus(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_batch_literal(emb, QVECS, k=7).collect()
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["qid"], r["rank"])):
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    for i, q in enumerate(QVECS):
+        assert by_q[i + 1] == _numpy_topk(ids, mat, q, 7), f"query {i}"
