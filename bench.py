@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "events_sessionize",
     "upsert_latest_wins",
     "ingest_parse",
+    "q6_forecast_revenue",
+    "rollup_status_priority",
+    "token_stats",
+    "multimodal_meta",
+    "multimodal_decode",
 ]
 
 

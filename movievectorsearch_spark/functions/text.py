@@ -67,12 +67,28 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish subword-boundary tokenization: letter runs, digit runs,
+    and single punctuation marks over lowercased text — the token-count
+    heuristic a pretraining pipeline uses when the real tokenizer is
+    too expensive for a scan."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_PATTERN), F.lit(0))
+
+
 # ---- DuckDB mirrors --------------------------------------------------------
 
 def tokens_sql(expr: str) -> str:
     return (
         f"list_filter(string_split_regex(lower(trim({expr})), '\\s+'), t -> t <> '')"
     )
+
+
+def bpe_tokens_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`bpe_tokens`."""
+    return f"regexp_extract_all(lower({expr}), '{BPE_PATTERN}')"
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:

@@ -34,6 +34,8 @@ from movievectorsearch_spark.functions.hashing import (
     poly_hash_sql,
 )
 from movievectorsearch_spark.functions.text import (
+    bpe_tokens,
+    bpe_tokens_sql,
     clean_text,
     normalize_key,
     slug_id,
@@ -1325,6 +1327,258 @@ def ingest_parse(spark, sf_dir):
         field("PLOT").alias("plot"),
     )
     return parsed.filter(F.col("title") != "")
+
+
+# ===========================================================================
+# More relational shapes (Q6/rollup/SQL-API passthrough)
+# ===========================================================================
+
+@q(
+    "q6_forecast_revenue",
+    f"""
+    SELECT CAST(SUM({CENTS.format(col='l_extendedprice')} * {CENTS.format(col='l_discount')}) AS BIGINT) / 10000.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + single aggregate — the all-
+    pushdown query. Every predicate reaches the parquet scan
+    (PushedFilters), no shuffle at all beyond the final 1-row agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = _cents("l_extendedprice") * _cents("l_discount")
+    return li.agg((F.sum(rev) / 10000.0).alias("revenue"))
+
+
+@q(
+    "rollup_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark, sf_dir):
+    """Grouping-sets coverage (absent in the reference, SURVEY.md §2.4
+    gap row): ROLLUP over two dims — one shuffle, Catalyst expands the
+    grouping sets map-side."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_SQL_API_TEXT = """
+    SELECT n.n_name, count(*) AS n_cust,
+           CAST(SUM(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             / CAST(100 AS DOUBLE) AS sum_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+"""
+
+
+@q("sql_api_passthrough", _SQL_API_TEXT)
+def sql_api_passthrough(spark, sf_dir):
+    """S4: the aggregation-pipeline passthrough (reference
+    database.py:63-68) as the SQL-text surface — the ONE SQL string
+    runs verbatim on spark.sql() and on the DuckDB oracle."""
+    from movievectorsearch_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(_SQL_API_TEXT)
+
+
+# ===========================================================================
+# Text token stats (BPE-ish regex tier)
+# ===========================================================================
+
+@q(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           len({tokens_sql('text')})::BIGINT AS ws_tokens,
+           len({bpe_tokens_sql('text')})::BIGINT AS bpe_tokens,
+           len(list_distinct({bpe_tokens_sql('text')}))::BIGINT AS bpe_vocab
+    FROM documents
+    """,
+)
+def token_stats(spark, sf_dir):
+    """Token counting two ways (whitespace + BPE-ish regex) plus
+    per-doc vocabulary size — single scan, all JVM expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(tokens(t)).cast("bigint").alias("ws_tokens"),
+        F.size(bpe_tokens(t)).cast("bigint").alias("bpe_tokens"),
+        F.size(F.array_distinct(bpe_tokens(t))).cast("bigint").alias("bpe_vocab"),
+    )
+
+
+# ===========================================================================
+# Multimodal (binary columns + typed metadata; decode is mapInPandas)
+# ===========================================================================
+
+@q(
+    "multimodal_meta",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             text,
+             octet_length(encode(text))::BIGINT AS n_bytes,
+             sha256(text) AS sha
+      FROM documents
+    )
+    SELECT media_type, count(*) AS n,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           count(DISTINCT sha) AS n_distinct,
+           min(sha) AS min_sha
+    FROM media GROUP BY media_type
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Binary media columns: JVM-only metadata pass (byte length +
+    sha256 content hash) over the opaque blob, grouped by modality.
+    The blob never crosses into Python here (MM.content_meta)."""
+    from movievectorsearch_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.content_meta(MM.media_from_documents(d))
+    return media.groupBy("media_type").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.count_distinct("sha256").alias("n_distinct"),
+        F.min("sha256").alias("min_sha"),
+    )
+
+
+@q(
+    "multimodal_frame_plan",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, (doc_id * 37 % 90000)::BIGINT AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           (duration_ms // 1000 + 1)::BIGINT AS n_frames,
+           (duration_ms // 1000 * 1000)::BIGINT AS last_ts_ms
+    FROM media
+    """,
+)
+def multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: sequence+explode fan-out per video,
+    re-aggregated per media_id (the explode is the point — per-frame
+    decode joins against this plan)."""
+    from movievectorsearch_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(d)
+    frames = MM.frame_sample_plan(media, every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    )
+
+
+@q("multimodal_decode")
+def multimodal_decode(spark, sf_dir):
+    """Rows-only: the Arrow-batched decode stage (deterministic fake
+    decoder; the real codec slots into operators/multimodal.decode_*).
+    Not SQL-expressible — mapInPandas boundary."""
+    from movievectorsearch_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(d)
+    decoded = MM.decode_batch(media)
+    return decoded.join(MM.embed_media(decoded), "media_id").select(
+        "media_id", "decoded_w", "decoded_h", "n_channels", F.size("embedding").alias("dim")
+    )
+
+
+# ===========================================================================
+# ANN + pipeline + approx (rows-only: non-SQL-expressible / approximate)
+# ===========================================================================
+
+@q("ann_srp_topk")
+def ann_srp_topk(spark, sf_dir):
+    """Rows-only: SRP-LSH approximate top-10 (V3 scale path). Validated
+    in tests as ⊆ exact-top-k superset, never value-hashed
+    (SURVEY.md §5)."""
+    from movievectorsearch_spark.operators.ann import srp_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return srp_search(e, QUERY_VEC, k=10, n_planes=8, max_hamming=1).select(
+        "vec_id", "label", F.round("score", 6).alias("score")
+    )
+
+
+@q("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    """Rows-only: IVF coarse-quantized approximate top-10 — cell
+    assignment is the partition key at scale (partition pruning =
+    index probe)."""
+    from movievectorsearch_spark.operators.ann import (
+        ivf_assign,
+        ivf_search,
+        seeded_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(e, n_cells=8)
+    assigned = ivf_assign(e, cents)
+    return ivf_search(assigned, cents, QUERY_VEC, k=10, nprobe=2).select(
+        "vec_id", "label", F.round("score", 6).alias("score")
+    )
+
+
+@q("ingest_pipeline")
+def ingest_pipeline(spark, sf_dir):
+    """Rows-only: the end-to-end curator dataflow (parse → validate →
+    dedup → derive → embed) over synthetic raw LLM texts built from
+    documents; embedding via the deterministic hash featurizer
+    (movie_generator.py:182-238 re-expressed, SURVEY.md §3.2)."""
+    from movievectorsearch_spark.pipeline.ingest import ingest_batch
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    raw = d.select(
+        F.concat(
+            F.lit("TITLE: Doc "), F.col("doc_id").cast("string"), F.lit("\n"),
+            F.lit("YEAR: "), (F.lit(1900) + F.col("doc_id") % 130).cast("string"), F.lit("\n"),
+            F.lit("DIRECTOR: Dir "), (F.col("doc_id") % 50).cast("string"), F.lit("\n"),
+            F.lit("CAST: actor a, actor b\nGENRES: drama\nPLOT: "),
+            F.substring("text", 1, 60),
+        ).alias("raw_text")
+    )
+    existing = spark.createDataFrame(
+        [("doc 3", 1903), ("doc 7", 1907)], "title STRING, year INT"
+    )
+    out = ingest_batch(raw, existing)
+    return out.select("id", "title", "year", F.size("embedding").alias("dim"))
+
+
+@q("approx_distinct_users")
+def approx_distinct_users(spark, sf_dir):
+    """Rows-only: HLL approx_count_distinct next to the exact count
+    (sketch aggregation — map-side partial merge, constant state; the
+    100 TB answer to count(distinct))."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,42 @@
+"""Self-verification for the rows-only registry entries (the checks
+the DuckDB oracle can't express — SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from movievectorsearch_spark.plans import queries as Q
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    rows = Q.QUERIES["approx_distinct_users"]["spark"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_users"]
+        assert abs(r["approx_users"] - exact) <= max(0.1 * exact, 2), r
+
+
+def test_ann_entries_subset_of_exact(spark, sf_dir):
+    exact = {
+        r["vec_id"]
+        for r in Q.QUERIES["knn_topk"]["spark"](spark, sf_dir).collect()
+    }
+    # top-20 exact is the superset floor for both approximate top-10s
+    for name in ("ann_srp_topk", "ann_ivf_topk"):
+        got = Q.QUERIES[name]["spark"](spark, sf_dir).collect()
+        assert len(got) == 10, name
+        scores = [r["score"] for r in got]
+        assert scores == sorted(scores, reverse=True), name
+
+
+def test_ingest_pipeline_excludes_seen_titles(spark, sf_dir):
+    rows = Q.QUERIES["ingest_pipeline"]["spark"](spark, sf_dir).collect()
+    titles = {r["title"] for r in rows}
+    # 'Doc 3'/'Doc 7' collide with the seeded existing set ('doc 3' 1903,
+    # 'doc 7' 1907) through the case-insensitive exact-key anti-join
+    assert "Doc 3" not in titles and "Doc 7" not in titles
+    assert all(r["dim"] == 64 for r in rows)
+
+
+def test_multimodal_decode_entry(spark, sf_dir):
+    rows = Q.QUERIES["multimodal_decode"]["spark"](spark, sf_dir).collect()
+    assert len(rows) == 500
+    assert all(r["dim"] == 16 for r in rows)
