@@ -72,6 +72,27 @@ def load_tables(
     return out
 
 
+EXPECTED_EMBEDDING_DIM = 64
+
+
+def assert_embedding_schema(
+    spark: SparkSession, sf_dir: str, expected_dim: int = EXPECTED_EMBEDDING_DIM
+) -> None:
+    """S8 analog: the reference probes its ANN index with a zero vector
+    at startup (database.py:28-47). With no persistent index, the
+    engine's equivalent is a startup schema + dimensionality assertion
+    on the embeddings table — one limit-1 scan, fail fast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dt = dict(emb.dtypes).get("embedding")
+    if dt not in ("array<float>", "array<double>"):
+        raise ValueError(f"embeddings.embedding has type {dt!r}, expected float array")
+    row = emb.filter(F.size("embedding") > 0).select(F.size("embedding")).first()
+    if row and row[0] != expected_dim:
+        raise ValueError(
+            f"embedding dim {row[0]} != expected {expected_dim}"
+        )
+
+
 def films_view(
     spark: SparkSession, sf_dir: str, register: bool = True
 ) -> DataFrame:

@@ -74,8 +74,13 @@ def embed_with_model(
     call per batch, not per row — the reference does one call per text,
     movie_generator.py:425-450, which cannot scale)."""
     import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
-    schema = docs.schema.add(out_col, "array<double>")
+    # build a NEW StructType — StructType.add mutates in place, and
+    # df.schema hands back the DataFrame's cached schema object
+    schema = StructType(
+        list(docs.schema.fields) + [StructField(out_col, ArrayType(DoubleType()))]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

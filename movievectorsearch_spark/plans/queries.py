@@ -1581,6 +1581,153 @@ def approx_distinct_users(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Scalar-function coverage: doc assembly (F7/F10-F12), tail slice (T8)
+# ===========================================================================
+
+# DuckDB has no initcap — emulate Spark's word-capitalization exactly
+_INITCAP_SQL = (
+    "array_to_string(list_transform(string_split({x}, ' '), "
+    "w -> upper(w[1]) || lower(w[2:])), ' ')"
+)
+
+
+@q(
+    "embedding_text_assembly",
+    f"""
+    {FILMS_CTE}
+    SELECT id,
+           {_INITCAP_SQL.format(x='title')} AS display_title,
+           title || chr(10) || year::VARCHAR || chr(10)
+             || COALESCE(director, directors[1], '') || chr(10)
+             || array_to_string("cast"[1:5], ', ') || chr(10)
+             || array_to_string(genres, ', ') AS embed_text
+    FROM films WHERE {STATUS_PRED}
+    """,
+)
+def embedding_text_assembly(spark, sf_dir):
+    """F7+F10+F11+F12: the embedding-input document assembly — initcap
+    display title + multiline concat of title/year/director/cast[:5]/
+    genres (reference movie_generator.py:245, 428-436)."""
+    films = films_view(spark, sf_dir, register=False)
+    return films.filter(
+        F.col("processing_status").isin("enriched", "llm_generated")
+    ).select(
+        "id",
+        F.initcap("title").alias("display_title"),
+        F.concat_ws(
+            "\n",
+            "title",
+            F.col("year").cast("string"),
+            F.coalesce("director", F.element_at("directors", 1), F.lit("")),
+            F.array_join(F.slice("cast", 1, 5), ", "),
+            F.array_join("genres", ", "),
+        ).alias("embed_text"),
+    )
+
+
+@q(
+    "array_tail_slice",
+    f"""
+    {FILMS_CTE}
+    SELECT id,
+           array_to_string("cast"[-3:], '|') AS last3_cast,
+           "cast"[1] AS first_actor
+    FROM films
+    """,
+)
+def array_tail_slice(spark, sf_dir):
+    """T8/F11: tail-n slice + head element (reference
+    movie_generator.py:242, search.py:51). Spark's negative slice
+    errors when |start| > size, so guard on length (DuckDB's [-3:]
+    clamps)."""
+    films = films_view(spark, sf_dir, register=False)
+    c = F.col("cast")
+    last3 = F.when(F.size(c) >= 3, F.slice(c, -3, 3)).otherwise(c)
+    return films.select(
+        "id",
+        F.array_join(last3, "|").alias("last3_cast"),
+        F.element_at(c, 1).alias("first_actor"),
+    )
+
+
+@q("mllib_embed_knn")
+def mllib_embed_knn(spark, sf_dir):
+    """Rows-only: MLlib featurizer tier (V5 production path — 'MLlib
+    for embedding generation, not ANN serving'): TF-IDF pipeline fit +
+    transform over documents, then exact KNN with the first doc's own
+    vector (self must rank first — asserted in tests)."""
+    from movievectorsearch_spark.operators.knn import knn_topk
+    from movievectorsearch_spark.pipeline.mllib_embed import (
+        embed_documents_mllib,
+        fit_embedder,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    model = fit_embedder(docs, dim=32)
+    emb = embed_documents_mllib(docs, model, dim=32).select("doc_id", "embedding")
+    qvec = emb.orderBy("doc_id").first()["embedding"]
+    return knn_topk(emb, list(qvec), k=5, id_col="doc_id").select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+@q("profile_json_lookup")
+def profile_json_lookup(spark, sf_dir):
+    """Rows-only: S6+S2 — the sample_profile.json file source with an
+    explicit schema (never inferSchema: that's a second full scan at
+    100 TB) and the point lookup the routes do (reference
+    search.py:64-74, routes.py:62). The fixture file is written
+    deterministically because the driver testdata carries no JSON."""
+    import json
+    import os
+    import tempfile
+
+    from movievectorsearch_spark.sources.registry import (
+        get_profile,
+        read_json_profiles,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), "mvs_sample_profile.json")
+    profile = {
+        "_id": "sample_user",
+        "reviews": [
+            {"movie_title": "doc 1", "rating": 5, "text": "great"},
+            {"movie_title": "doc 2", "rating": 3, "text": "ok"},
+        ],
+        "watched_movies": ["doc 1", "doc 2", "doc 3"],
+        "liked_movies": ["doc 1"],
+        "favorite_genres": ["drama", "noir"],
+    }
+    with open(path, "w") as f:
+        json.dump(profile, f, sort_keys=True)
+    profiles = read_json_profiles(spark, path)
+    row = get_profile(profiles, "sample_user")
+    return row.select(
+        "_id",
+        F.size("reviews").alias("n_reviews"),
+        F.size("watched_movies").alias("n_watched"),
+        F.array_join("favorite_genres", ",").alias("genres_csv"),
+    )
+
+
+@q("ingest_with_cost_accounting")
+def ingest_with_cost_accounting(spark, sf_dir):
+    """Rows-only: A5/A6 — the accounted embedding stage: token counts
+    and success counters flow through Spark accumulators inside the
+    Arrow-batched model boundary (reference cost accumulation,
+    movie_generator.py:319-321, 443-444)."""
+    from movievectorsearch_spark.pipeline.metrics import (
+        TokenCostTracker,
+        embed_with_accounting,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(100).select("doc_id", "text")
+    tracker = TokenCostTracker(spark)
+    out = embed_with_accounting(d, tracker)
+    return out.select("doc_id", F.size("embedding").alias("dim"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["spark"] for name, spec in QUERIES.items()}
 

@@ -1,0 +1,91 @@
+"""Plan-quality gates: the physical plans the 100 TB design depends on
+must not silently regress (SURVEY.md §4 — the optimizer work Catalyst
+does for us, asserted)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from movievectorsearch_spark.plans import queries as Q
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = Q.QUERIES[name]["spark"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_knn_filter_pushdown_and_topk(spark, sf_dir):
+    """V3 exact form: the label predicate must reach the parquet scan,
+    and sort+limit must fuse to TakeOrderedAndProject (per-partition
+    heaps, no global sort)."""
+    p = plan_of(spark, sf_dir, "knn_prefiltered")
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(label,3)" in p  # PushedFilters into the scan
+    assert "ReadSchema: struct<vec_id" in p  # column pruning: 3 cols only
+
+
+def test_knn_topk_no_global_sort(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "knn_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p  # a global sort would show this
+
+
+def test_q3_broadcasts_dims(spark, sf_dir):
+    """customer (filtered dim) must broadcast — lineitem never shuffles
+    by custkey."""
+    p = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+
+
+def test_q5_no_cartesian(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q5_region_revenue")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_fuzzy_band_join_is_equi_join(spark, sf_dir):
+    """J1: the year-band replication must make this a hash/merge EQUI
+    join — a theta-only condition would fall back to
+    BroadcastNestedLoopJoin/CartesianProduct (O(n²) at scale)."""
+    p = plan_of(spark, sf_dir, "fuzzy_band_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin Inner" in p
+    )
+
+
+def test_q1_partial_final_aggregate(spark, sf_dir):
+    """Map-side partial agg before the exchange: exactly one shuffle,
+    two HashAggregate levels."""
+    p = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert p.count("HashAggregate") >= 2
+    # the only exchange is the single hash partitioning for the groupBy
+    assert p.count("Exchange") <= 2  # physical node + its detail line
+
+
+def test_scan_projection_pruned(spark, sf_dir):
+    """P4: a 3-column projection must not read the whole lineitem
+    schema."""
+    p = plan_of(spark, sf_dir, "scan_filter_limit")
+    rs = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert rs and "o_orderkey" in rs[0]
+    assert "o_comment" not in rs[0]
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_anti_join_broadcasts(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "anti_join_new_keys")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
