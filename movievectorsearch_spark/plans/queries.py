@@ -1672,6 +1672,85 @@ def mllib_embed_knn(spark, sf_dir):
     )
 
 
+@q(
+    "union_ranked_unranked",
+    f"""
+    {FILMS_CTE},
+    base AS (SELECT id, title, embedding FROM films WHERE {STATUS_PRED}),
+    ranked AS (
+      SELECT id, title, 1 AS has_embedding,
+             round({cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), 'embedding')}, 6) AS similarity
+      FROM base WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    unranked AS (
+      SELECT id, title, 0 AS has_embedding, CAST(NULL AS DOUBLE) AS similarity
+      FROM base WHERE embedding IS NULL OR len(embedding) = 0
+    )
+    SELECT * FROM (SELECT * FROM ranked UNION ALL SELECT * FROM unranked)
+    ORDER BY has_embedding DESC, similarity DESC, id LIMIT 30
+    """,
+)
+def union_ranked_unranked(spark, sf_dir):
+    """U1 explicit: scored movies concatenated with no-embedding movies
+    (reference ai_service.py:117-119) as a unionByName with a pinned
+    total order — the observable 'ranked then unranked' sequence."""
+    films = films_view(spark, sf_dir, register=False)
+    base = films.filter(
+        F.col("processing_status").isin("enriched", "llm_generated")
+    ).select("id", "title", "embedding")
+    has_vec = F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ranked = base.filter(has_vec).select(
+        "id",
+        "title",
+        F.lit(1).alias("has_embedding"),
+        F.round(cosine_to_query(QUERY_VEC, F.col("embedding")), 6).alias("similarity"),
+    )
+    unranked = base.filter(~has_vec).select(
+        "id",
+        "title",
+        F.lit(0).alias("has_embedding"),
+        F.lit(None).cast("double").alias("similarity"),
+    )
+    return (
+        ranked.unionByName(unranked)
+        .orderBy(F.desc("has_embedding"), F.desc("similarity"), F.asc("id"))
+        .limit(30)
+    )
+
+
+@q(
+    "salted_agg_events",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+           min(user_id) AS min_user, max(user_id) AS max_user
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_agg_events(spark, sf_dir):
+    """Skew-proof two-phase aggregation (operators/skew.salted_agg):
+    group by (key, salt) then merge by key. The oracle is the PLAIN
+    group-by — salting must be invisible in the result, that's the
+    contract."""
+    from movievectorsearch_spark.operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100, 0).cast("bigint")
+    )
+    return salted_agg(
+        e,
+        ["event_type"],
+        {
+            "n": ("count", "event_id"),
+            "sum_cents": ("sum", "value_cents"),
+            "min_user": ("min", "user_id"),
+            "max_user": ("max", "user_id"),
+        },
+        id_col="event_id",
+        n_salts=8,
+    )
+
+
 @q("profile_json_lookup")
 def profile_json_lookup(spark, sf_dir):
     """Rows-only: S6+S2 — the sample_profile.json file source with an

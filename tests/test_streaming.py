@@ -65,6 +65,18 @@ def test_sessionize_stream_runs_and_covers_all_users(spark, stream_src, tmp_path
             assert a["session_end"] <= b["session_start"]
 
 
+def test_sliding_window_counts_match_batch(spark, stream_src):
+    """2h window sliding by 1h: each event lands in exactly 2 windows;
+    batch totals across windows = 2 × event count."""
+    batch = SE.sliding_user_activity(spark.read.parquet(stream_src))
+    total = batch.agg(F.sum("n_events")).collect()[0][0]
+    n_events = spark.read.parquet(stream_src).count()
+    assert total == 2 * n_events
+    # windows start on the hour and slide hourly
+    starts = [r["window_start"] for r in batch.select("window_start").distinct().collect()]
+    assert all(s.minute == 0 and s.second == 0 for s in starts)
+
+
 def test_dedup_stream_checkpoint_resume(spark, stream_src, tmp_path):
     """ST1+ST2: run, then re-run with the same checkpoint — no new
     output (exactly-once over the same offsets, the resume semantics
