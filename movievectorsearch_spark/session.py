@@ -66,6 +66,12 @@ def get_spark(
         # nanos and convert in the catalog (catalog.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # bucketed tables (sources/bucketing.py) are catalog-managed;
+        # keep the warehouse out of the repo working tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/mvs_spark_warehouse"),
+        )
         .config("spark.driver.maxResultSize", "2g")
     )
     for k, v in (extra_conf or {}).items():
