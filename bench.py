@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "upsert_latest_wins",
     "ingest_parse",
     "q6_forecast_revenue",
+    "q4_order_priority",
+    "q10_returned_items",
+    "events_asof_join",
     "rollup_status_priority",
     "token_stats",
     "multimodal_meta",

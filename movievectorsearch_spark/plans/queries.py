@@ -662,6 +662,87 @@ def q5_region_revenue(spark, sf_dir):
     )
 
 
+@q(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join (the
+    driver's oracle suite exercises the semi-join family; the reference
+    has no joins at all — SURVEY §2.3). The non-equi part of the
+    predicate (l_shipdate > o_orderdate + 60d, the repo's stand-in for
+    commit/receipt lateness) rides on the equi-key, so the plan stays a
+    hash semi-join on l_orderkey — no nested loop."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM({CENTS.format(col='l.l_extendedprice')} * (100 - {CENTS.format(col='l.l_discount')})) AS BIGINT) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: fact⋈fact join (lineitem⋈orders) with two
+    broadcast dims, grouped revenue per customer, global top-20.
+    l_returnflag and the date band are pushed into the scans; the only
+    real exchange is lineitem⋈orders; top-20 is TakeOrderedAndProject
+    after the group-by (k rows per partition to the driver)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 # ===========================================================================
 # Vector search (V1-V4)
 # ===========================================================================
@@ -1180,6 +1261,50 @@ def events_sessionize(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias("sum_value"),
+    )
+
+
+@q(
+    "events_asof_join",
+    """
+    WITH p AS (SELECT user_id, ts, event_id, value
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, max(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.user_id, p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(round(p.value * 100, 0) AS BIGINT) AS purchase_cents,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CAST(round(c.click_value * 100, 0) AS BIGINT) AS click_cents
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): for each purchase, the most
+    recent click at-or-before it per user — checked against DuckDB's
+    native ASOF JOIN. The reference has no as-of/interval joins
+    (SURVEY §2.3); this is the training-pipeline time-series join,
+    planned as union + per-key running last() — one shuffle on
+    user_id, no nested-loop pair work."""
+    from movievectorsearch_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    j = asof_join(p, c, on=["user_id"], ts="ts", right_cols=["click_value"])
+    return j.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        _cents("value").alias("purchase_cents"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        _cents("click_value").alias("click_cents"),
     )
 
 

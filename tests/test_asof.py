@@ -1,0 +1,73 @@
+"""as-of join operator semantics (operators/asof.py) on crafted rows:
+inclusive ties, per-key isolation, inner-vs-left behavior, and the
+plan contract (no nested-loop / cartesian)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from movievectorsearch_spark.operators.asof import asof_join
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), "l-a"),
+            (1, _ts(20), "l-b"),
+            (1, _ts(5), "l-early"),   # before any right row
+            (2, _ts(10), "l-other-key"),
+        ],
+        "k int, ts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(8), 100.0),
+            (1, _ts(20), 200.0),      # exact tie with l-b
+            (2, _ts(9), 300.0),
+        ],
+        "k int, ts timestamp, rval double",
+    )
+    return left, right
+
+
+def test_inner_matches(frames):
+    left, right = frames
+    out = asof_join(left, right, on=["k"], ts="ts", right_cols=["rval"])
+    rows = {r.lval: (r.asof_ts, r.rval) for r in out.collect()}
+    # l-early has no earlier right row -> dropped under inner
+    assert set(rows) == {"l-a", "l-b", "l-other-key"}
+    assert rows["l-a"] == (_ts(8), 100.0)
+    # inclusive: right row at exactly left.ts matches
+    assert rows["l-b"] == (_ts(20), 200.0)
+    # keys do not bleed into each other
+    assert rows["l-other-key"] == (_ts(9), 300.0)
+
+
+def test_left_keeps_unmatched(frames):
+    left, right = frames
+    out = asof_join(left, right, on=["k"], ts="ts", right_cols=["rval"], how="left")
+    rows = {r.lval: r.rval for r in out.collect()}
+    assert len(rows) == 4
+    assert rows["l-early"] is None
+
+
+def test_no_pairwise_plan(frames):
+    left, right = frames
+    out = asof_join(left, right, on=["k"], ts="ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bad_how_rejected(frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(left, right, on=["k"], ts="ts", how="full")

@@ -1,0 +1,112 @@
+"""Property-based checks (hypothesis): the expression builders agree
+with their pure-Python models on arbitrary printable-ASCII input, not
+just the fixtures. Few examples per property — each example is a full
+Spark job."""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from movievectorsearch_spark.functions.hashing import P, poly_hash
+from movievectorsearch_spark.functions.text import clean_text, tokens, word_shingles
+from movievectorsearch_spark.operators.dedup import levenshtein_ratio
+
+ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80
+)
+
+FEW = settings(max_examples=8, deadline=None)
+
+
+def py_poly_hash(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % P
+    return acc
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@FEW
+@given(st.lists(ASCII, min_size=1, max_size=20))
+def test_poly_hash_matches_model(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], "s STRING")
+    got = [r["h"] for r in df.select(poly_hash(F.col("s")).alias("h")).collect()]
+    # row order of createDataFrame is preserved for a local list
+    assert got == [py_poly_hash(s) for s in strings]
+
+
+@FEW
+@given(st.lists(ASCII, min_size=1, max_size=20))
+def test_clean_text_idempotent(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], "s STRING")
+    once = [r[0] for r in df.select(clean_text(F.col("s"))).collect()]
+    df2 = spark.createDataFrame([(s,) for s in once], "s STRING")
+    twice = [r[0] for r in df2.select(clean_text(F.col("s"))).collect()]
+    assert twice == once
+
+
+@FEW
+@given(st.lists(st.tuples(ASCII, ASCII), min_size=1, max_size=15))
+def test_levenshtein_ratio_matches_model(spark, pairs):
+    df = spark.createDataFrame(pairs, "a STRING, b STRING")
+    got = [
+        r["r"]
+        for r in df.select(
+            levenshtein_ratio(F.col("a"), F.col("b")).alias("r")
+        ).collect()
+    ]
+    for (a, b), r in zip(pairs, got):
+        m = max(len(a), len(b))
+        expected = 1.0 if m == 0 else 1.0 - _lev(a, b) / m
+        assert abs(r - expected) < 1e-9, (a, b)
+        assert 0.0 <= r <= 1.0
+
+
+@FEW
+@given(st.lists(ASCII, min_size=1, max_size=15))
+def test_shingle_invariants(spark, strings):
+    """Shingle count = max(n_tokens - 2, 1 if any tokens else 1);
+    every 3-shingle has exactly 3 tokens."""
+    df = spark.createDataFrame([(s,) for s in strings], "s STRING")
+    rows = df.select(
+        tokens(F.col("s")).alias("t"), word_shingles(F.col("s"), 3).alias("sh")
+    ).collect()
+    for r in rows:
+        nt = len(r["t"])
+        if nt >= 3:
+            assert len(r["sh"]) == nt - 2
+            assert all(len(x.split(" ")) == 3 for x in r["sh"])
+        else:
+            assert r["sh"] == [" ".join(r["t"])]
+
+
+def test_sequence_matcher_udf_property(spark):
+    """Sampled difflib parity on adversarial near-pairs (the
+    non-oracle-able F8 — SURVEY §7 hard parts)."""
+    from movievectorsearch_spark.operators.dedup import sequence_matcher_ratio_udf
+
+    pairs = [
+        ("abcdef", "abcdef"),
+        ("abcdef", "abcdfe"),
+        ("aaaa", "aa"),
+        ("", ""),
+        ("x" * 50, "x" * 49 + "y"),
+        ("the quick brown fox", "the quick brown dog"),
+    ]
+    ratio = sequence_matcher_ratio_udf()
+    df = spark.createDataFrame(pairs, "a STRING, b STRING")
+    got = df.select("a", "b", ratio("a", "b").alias("r")).collect()
+    for r in got:
+        assert abs(r["r"] - SequenceMatcher(None, r["a"], r["b"]).ratio()) < 1e-12
