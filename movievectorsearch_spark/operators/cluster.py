@@ -1,0 +1,82 @@
+"""Connected components over a similarity-pair edge list.
+
+Near-dup *pairs* (MinHash-LSH, n-gram Jaccard, embedding cosine —
+operators/dedup.py) don't dedupe a corpus by themselves: transitive
+matches (A~B, B~C) must collapse into one group with one kept canonical
+row. That grouping is the connected components of the pair graph — the
+step every large-scale dedup pipeline runs between candidate pairing
+and the keep-one rewrite. The reference has nothing like it (its dedup
+is a per-candidate linear scan, movie_generator.py:83-94); this is the
+training-pipeline tier.
+
+Scale strategy: iterative min-label propagation — the standard
+Pregel-style formulation (GraphX/GraphFrames do the same under the
+hood, no GraphFrames dependency needed):
+
+    label(v) ← min(label(v), min over neighbors' labels)
+
+Each round is ONE shuffle (edge⋈label hash join on the node id) plus a
+groupBy-min; the driver loop only checks the converged-yet counter, so
+nothing row-sized ever reaches the driver. Rounds needed = graph
+diameter, and near-dup components are shallow (stars/cliques around a
+duplicated document), so propagation beats the more complex
+large-star/small-star scheme in practice; lineage is cut per round with
+``localCheckpoint`` so the plan stays O(1) deep regardless of rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "a_id",
+    b: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given by ``pairs`` edges.
+
+    Returns ``(id, cluster_id)`` — one row per node that appears in any
+    pair, with ``cluster_id`` = the minimum node id in its component
+    (a deterministic canonical representative). Converges in
+    O(component diameter) rounds; stops early at fixpoint.
+    """
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # each node hears its neighbors' current labels...
+        msgs = edges.join(labels, edges.dst == labels.id).select(
+            F.col("src").alias("id"), "label"
+        )
+        # ...and keeps the minimum of (own label, heard labels)
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("id", F.col("label").alias("cluster_id"))

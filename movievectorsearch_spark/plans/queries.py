@@ -1036,8 +1036,7 @@ def dedup_simhash(spark, sf_dir):
 
 
 _NGRAM_THRESHOLD = 0.02
-_NGRAM_SQL = f"""
-WITH base AS (
+_NGRAM_CTES = f"""base AS (
   SELECT doc_id, lang, unnest(list_distinct({_shingles_inline_sql()})) AS shingle
   FROM documents
 ),
@@ -1047,12 +1046,14 @@ inter AS (
   FROM base a JOIN base b ON a.shingle = b.shingle AND a.lang = b.lang
   WHERE a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
-SELECT i.a_id, i.b_id, i.inter, sa.nsh AS a_n, sb.nsh AS b_n,
+)"""
+
+_NGRAM_SELECT = f"""SELECT i.a_id, i.b_id, i.inter, sa.nsh AS a_n, sb.nsh AS b_n,
        round(i.inter / (sa.nsh + sb.nsh - i.inter), 6) AS jaccard
 FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id JOIN sizes sb ON sb.doc_id = i.b_id
-WHERE i.inter / (sa.nsh + sb.nsh - i.inter) >= {_NGRAM_THRESHOLD}
-"""
+WHERE i.inter / (sa.nsh + sb.nsh - i.inter) >= {_NGRAM_THRESHOLD}"""
+
+_NGRAM_SQL = f"WITH {_NGRAM_CTES}\n{_NGRAM_SELECT}"
 
 
 @q("dedup_ngram_jaccard", _NGRAM_SQL)
@@ -1065,6 +1066,55 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
     return out.select(
         "a_id", "b_id", "inter", "a_n", "b_n", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# components of the jaccard-pair graph via recursive CTE: seed every
+# node with its own id, propagate ids along edges to a fixpoint (UNION
+# dedupes), take the min reachable id = canonical representative
+_CLUSTER_SQL = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+pairs AS ({_NGRAM_SELECT}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size, c.doc_id = c.cluster_id AS keep
+FROM cc c JOIN (SELECT cluster_id, count(*) AS cluster_size
+                FROM cc GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
+@q("dedup_clusters", _CLUSTER_SQL)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the n-gram
+    Jaccard pair graph (operators/cluster.py, Pregel-style min-label
+    propagation — one shuffle per round, O(diameter) rounds), with the
+    deterministic keep-one rule (canonical = min doc_id). The step
+    between candidate pairs and the actual dedup rewrite; the reference
+    dedupes per-candidate with a linear scan
+    (movie_generator.py:83-94) and never forms groups."""
+    from movievectorsearch_spark.operators.cluster import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", _SHINGLE_N, _NGRAM_THRESHOLD, ["lang"]
+    )
+    cc = connected_components(pairs, "a_id", "b_id")
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+            (F.col("id") == F.col("cluster_id")).alias("keep"),
+        )
     )
 
 
