@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "q10_returned_items",
     "events_asof_join",
+    "events_value_percentiles",
+    "partitioned_sink_scan",
     "rollup_status_priority",
     "token_stats",
     "multimodal_meta",

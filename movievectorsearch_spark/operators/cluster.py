@@ -63,10 +63,18 @@ def connected_components(
             F.col("src").alias("id"), "label"
         )
         # ...and keeps the minimum of (own label, heard labels)
+        prop = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label(v) ← label(label(v)). Plain propagation
+        # needs O(diameter) rounds (chained near-dups make diameter
+        # large — 16+ observed on the sf0.1 fixture); compressing one
+        # indirection per round makes the reach double, so convergence
+        # is O(log diameter).
+        m = prop.select(F.col("id").alias("mid"), F.col("label").alias("mlabel"))
         new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            prop.join(m, prop.label == m.mid, "left")
+            .select("id", F.coalesce("mlabel", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -1315,6 +1315,72 @@ def events_sessionize(spark, sf_dir):
 
 
 @q(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(CAST(round(value * 100, 0) AS BIGINT), 0.5), 6) AS p50_cents,
+           round(quantile_cont(CAST(round(value * 100, 0) AS BIGINT), 0.9), 6) AS p90_cents,
+           round(quantile_cont(CAST(round(value * 100, 0) AS BIGINT), 0.99), 6) AS p99_cents,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-equal on integer-cents input).
+    The scale path swaps in approx_percentile (t-digest sketch, bounded
+    error, one pass, mergeable across partitions) — tests/
+    test_registry_extra.py bounds the sketch against this exact plan."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile(cents, F.lit(0.5)), 6).alias("p50_cents"),
+        F.round(F.percentile(cents, F.lit(0.9)), 6).alias("p90_cents"),
+        F.round(F.percentile(cents, F.lit(0.99)), 6).alias("p99_cents"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "partitioned_sink_scan",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def partitioned_sink_scan(spark, sf_dir):
+    """Partitioned parquet sink → partition-pruned scan
+    (sources/partitioned.py): events written partitionBy(event_type),
+    read back with an equality filter that prunes to ONE directory
+    before any row-group I/O (PartitionFilters — asserted in
+    tests/test_partitioned.py). Oracle = the same filter+aggregate on
+    the unpartitioned view, proving pruning changes I/O, not results."""
+    import os
+
+    from movievectorsearch_spark.sources.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_partitioned_{tag}/events"
+    e = load_table(spark, sf_dir, "events")
+    write_partitioned(e, path, ["event_type"])
+    back = read_partitioned(spark, path).filter(F.col("event_type") == "purchase")
+    return back.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        )
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_cents"),
+    )
+
+
+@q(
     "events_asof_join",
     """
     WITH p AS (SELECT user_id, ts, event_id, value
