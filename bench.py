@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "events_asof_join",
     "events_value_percentiles",
+    "events_window_frames",
     "partitioned_sink_scan",
     "rollup_status_priority",
     "token_stats",

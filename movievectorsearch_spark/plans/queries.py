@@ -1315,6 +1315,55 @@ def events_sessionize(spark, sf_dir):
 
 
 @q(
+    "events_window_frames",
+    """
+    WITH e AS (SELECT user_id, event_id, ts,
+                      CAST(round(value * 100, 0) AS BIGINT) AS cents
+               FROM events)
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           cents,
+           cents - lag(cents) OVER w AS delta_cents,
+           CAST(max(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_max_cents,
+           round(CAST(CAST(SUM(cents) OVER f AS BIGINT) AS DOUBLE)
+                 / count(*) OVER f, 6) AS mov_avg_cents
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           f AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_window_frames(spark, sf_dir):
+    """Analytic window-function family over explicit frames (SURVEY
+    §2.5 — the reference has none): per-user lag delta, running max,
+    and a 5-row moving average. One hash exchange on user_id serves
+    all three functions (same partitioning, same sort); the moving
+    average divides an exact integer-cents frame sum so both engines
+    agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame = w.rowsBetween(-4, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "cents",
+        (F.col("cents") - F.lag("cents").over(w)).alias("delta_cents"),
+        F.max("cents").over(run).alias("run_max_cents"),
+        F.round(
+            F.sum("cents").over(frame).cast("double") / F.count("*").over(frame), 6
+        ).alias("mov_avg_cents"),
+    )
+
+
+@q(
     "events_value_percentiles",
     """
     SELECT event_type,

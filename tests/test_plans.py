@@ -89,3 +89,29 @@ def test_anti_join_broadcasts(spark, sf_dir):
     p = plan_of(spark, sf_dir, "anti_join_new_keys")
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_q4_semi_join_not_nested_loop(spark, sf_dir):
+    """The EXISTS decorrelates to a LEFT SEMI hash join on l_orderkey;
+    the non-equi lateness predicate must ride on the equi-key, not
+    force a nested loop."""
+    p = plan_of(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q10_broadcasts_dims(spark, sf_dir):
+    """customer and nation are dims: both broadcast, so lineitem⋈orders
+    is the only real exchange; top-20 is TakeOrderedAndProject."""
+    p = plan_of(spark, sf_dir, "q10_returned_items")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_window_frames_single_exchange(spark, sf_dir):
+    """lag + running max + moving average share one (user_id)
+    partitioning — exactly one hash exchange in the whole plan."""
+    p = plan_of(spark, sf_dir, "events_window_frames")
+    assert p.count("+- Exchange") == 1
+    assert p.count("+- Window") == 1
