@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_value_percentiles",
     "events_window_frames",
+    "events_sliding_window",
+    "table_profile",
+    "salted_join_users",
     "partitioned_sink_scan",
     "rollup_status_priority",
     "token_stats",

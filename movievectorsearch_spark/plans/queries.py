@@ -1315,6 +1315,106 @@ def events_sessionize(spark, sf_dir):
 
 
 @q(
+    "salted_join_users",
+    """
+    SELECT e.event_id, e.user_id, c.c_name,
+           CAST(round(e.value * 100, 0) AS BIGINT) AS cents
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def salted_join_users(spark, sf_dir):
+    """Skew-proof equi-join (operators/skew.salted_join_small_side):
+    the small side is replicated n_salts×, the big side salts
+    deterministically, so a hot user key spreads over n_salts reducers
+    — and the result is bit-identical to the plain join (this oracle IS
+    the plain join). Use when the small side outgrows the broadcast
+    threshold but the key is skewed."""
+    from movievectorsearch_spark.operators.skew import salted_join_small_side
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    j = salted_join_small_side(e, c, key="user_id", big_id_col="event_id", n_salts=8)
+    return j.select(
+        "event_id", "user_id", "c_name", _cents("value").alias("cents")
+    )
+
+
+@q(
+    "events_sliding_window",
+    """
+    WITH x AS (
+      SELECT user_id,
+             unnest([time_bucket(INTERVAL '1 hour', ts),
+                     time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR]) AS wstart
+      FROM events
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           user_id, count(*) AS n_events
+    FROM x GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding-window aggregate (2h window / 1h slide) — the BATCH twin
+    of streaming/events.py sliding_user_activity, run through the very
+    same function so the streaming plan is what gets oracle-checked.
+    Spark's F.window assigns each row to window/slide = 2 epoch-aligned
+    buckets; the oracle mirrors that with a 2-element unnest."""
+    from movievectorsearch_spark.streaming.events import sliding_user_activity
+
+    e = load_table(spark, sf_dir, "events")
+    out = sliding_user_activity(e)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "user_id",
+        "n_events",
+    )
+
+
+@q(
+    "table_profile",
+    """
+    SELECT 'doc_id' AS col, count(*) AS n_rows,
+           count(*) - count(doc_id) AS n_null,
+           count(DISTINCT doc_id) AS n_distinct FROM documents
+    UNION ALL
+    SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars)
+    FROM documents
+    """,
+)
+def table_profile(spark, sf_dir):
+    """Data-quality profile: per-column row/null/distinct counts in ONE
+    pass over the table (multiple COUNT DISTINCTs plan as a single
+    Expand — one scan regardless of column count, vs the naive
+    one-scan-per-column loop). The standard preflight before training
+    on a new corpus drop; the reference has no profiling at all."""
+    d = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append((F.count("*") - F.count(c)).alias(f"{c}__null"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    one = d.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__null, {c}__distinct" for c in cols
+    )
+    return one.select(
+        F.expr(f"stack({len(cols)}, {stacked}) AS (col, n_null, n_distinct)"),
+        "n_rows",
+    ).select("col", "n_rows", "n_null", "n_distinct")
+
+
+@q(
     "events_window_frames",
     """
     WITH e AS (SELECT user_id, event_id, ts,
