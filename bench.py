@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q4_order_priority",
     "q10_returned_items",
+    "q18_big_orders",
     "events_asof_join",
     "events_value_percentiles",
     "events_window_frames",

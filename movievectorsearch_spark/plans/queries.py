@@ -1767,6 +1767,104 @@ def rollup_status_priority(spark, sf_dir):
     )
 
 
+@q(
+    "cube_lang_source",
+    """
+    SELECT lang, source, count(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def cube_lang_source(spark, sf_dir):
+    """CUBE over two dims (all 4 grouping sets in one shuffle) —
+    completes the grouping-sets family next to ROLLUP
+    (`rollup_status_priority`)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .cube("lang", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+@q(
+    "intersect_except_keys",
+    """
+    SELECT 'both' AS tag, doc_id AS id FROM
+      (SELECT doc_id FROM documents INTERSECT SELECT vec_id FROM embeddings)
+    UNION ALL
+    SELECT 'doc_only', doc_id FROM
+      (SELECT doc_id FROM documents EXCEPT SELECT vec_id FROM embeddings)
+    UNION ALL
+    SELECT 'vec_only', vec_id FROM
+      (SELECT vec_id FROM embeddings EXCEPT SELECT doc_id FROM documents)
+    """,
+)
+def intersect_except_keys(spark, sf_dir):
+    """INTERSECT / EXCEPT set semantics (SURVEY §2.7 records both as
+    absent in the reference — the anti-join was its nearest construct).
+    Three-way key reconciliation between documents and embeddings: the
+    coverage check a pipeline runs before joining a new modality in."""
+    d = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    e = load_table(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"))
+    return (
+        d.intersect(e).select(F.lit("both").alias("tag"), "id")
+        .unionByName(d.exceptAll(e).distinct().select(F.lit("doc_only").alias("tag"), "id"))
+        .unionByName(e.exceptAll(d).distinct().select(F.lit("vec_only").alias("tag"), "id"))
+    )
+
+
+@q(
+    "q18_big_orders",
+    """
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    GROUP BY c.c_name, o.o_orderkey, orderdate, total_cents
+    ORDER BY total_cents DESC, o.o_orderkey
+    LIMIT 50
+    """,
+)
+def q18_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-then-semi-join (IN subquery over a
+    grouped HAVING) — the qualifying-keys aggregate shuffles once on
+    l_orderkey and the same partitioning serves the main join; dims
+    broadcast; top-50 is TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(qual.withColumnRenamed("l_orderkey", "qk"),
+                F.col("l_orderkey") == F.col("qk"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _cents("o_totalprice").alias("total_cents"),
+        )
+        .agg(F.sum(F.round("l_quantity", 0).cast("bigint")).alias("sum_qty"))
+        .orderBy(F.desc("total_cents"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
 _SQL_API_TEXT = """
     SELECT n.n_name, count(*) AS n_cust,
            CAST(SUM(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
