@@ -1,0 +1,71 @@
+"""Streaming foreachBatch upsert sink (streaming/sink_upsert.py): the
+merged table must equal the batch latest-wins result over everything
+ingested so far, across micro-batches AND across a checkpointed
+restart (no reprocessing, no loss)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movievectorsearch_spark.catalog import load_table
+from movievectorsearch_spark.streaming.events import read_event_stream
+from movievectorsearch_spark.streaming.sink_upsert import upsert_sink
+
+KEYS = ["user_id", "event_type"]
+
+
+def _batch_latest(df):
+    w = Window.partitionBy(*KEYS).orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _as_map(df):
+    return {
+        (r.user_id, r.event_type): (r.ts, r.event_id) for r in df.collect()
+    }
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "src": str(tmp_path / "src"),
+        "table": str(tmp_path / "table"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def test_merge_across_microbatches_and_restart(spark, sf_dir, dirs):
+    e = load_table(spark, sf_dir, "events")
+    # three non-overlapping drops with overlapping (user, type) keys
+    drops = [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+
+    # drop files 0 and 1, run the stream (one file per micro-batch)
+    drops[0].coalesce(1).write.mode("append").parquet(dirs["src"])
+    drops[1].coalesce(1).write.mode("append").parquet(dirs["src"])
+    stream = read_event_stream(spark, dirs["src"], max_files_per_trigger=1)
+    q = upsert_sink(stream, dirs["table"], dirs["ckpt"], KEYS)
+    q.awaitTermination(120)
+
+    expected_01 = _batch_latest(drops[0].unionByName(drops[1]))
+    got = spark.read.parquet(dirs["table"])
+    assert _as_map(got) == _as_map(expected_01)
+
+    # drop file 2, RESTART from the same checkpoint: only the new file
+    # is processed, and the table converges to latest-wins over all 3
+    drops[2].coalesce(1).write.mode("append").parquet(dirs["src"])
+    stream2 = read_event_stream(spark, dirs["src"], max_files_per_trigger=1)
+    q2 = upsert_sink(stream2, dirs["table"], dirs["ckpt"], KEYS)
+    q2.awaitTermination(120)
+
+    expected_all = _batch_latest(e)
+    got2 = spark.read.parquet(dirs["table"])
+    assert _as_map(got2) == _as_map(expected_all)
+
+    # key cardinality sanity: one row per live (user, type) pair
+    assert got2.count() == e.select(*KEYS).distinct().count()
