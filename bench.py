@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "q18_big_orders",
     "events_asof_join",
+    "events_interval_join",
     "events_value_percentiles",
     "events_window_frames",
     "events_sliding_window",

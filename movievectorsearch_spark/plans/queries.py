@@ -1530,6 +1530,41 @@ def partitioned_sink_scan(spark, sf_dir):
 
 
 @q(
+    "events_interval_join",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def events_interval_join(spark, sf_dir):
+    """Interval join (all clicks within 1h before each purchase) — the
+    batch face of streaming/events.clicks_before_purchases; the SAME
+    function runs as a watermarked stream-stream join (state evicted
+    past the time bound — tests/test_streaming.py). Batch plan: hash
+    join on user_id, interval as residual predicate — never a
+    nested loop."""
+    from movievectorsearch_spark.streaming.events import clicks_before_purchases
+
+    e = load_table(spark, sf_dir, "events")
+    out = clicks_before_purchases(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") == "click"),
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+@q(
     "events_asof_join",
     """
     WITH p AS (SELECT user_id, ts, event_id, value

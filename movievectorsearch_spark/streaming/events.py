@@ -59,6 +59,42 @@ def tumbling_counts(
     )
 
 
+def clicks_before_purchases(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every (purchase, click) pair for
+    the same user with the click inside [purchase.ts − horizon,
+    purchase.ts]. On streams both sides carry watermarks and the time
+    bound lets Spark evict join state once a row can no longer match —
+    without it the state store grows forever. On batch the identical
+    function is a hash join on user_id with the interval as a residual
+    predicate (oracle-checked as ``events_interval_join``)."""
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark("ts", watermark)
+        clicks = clicks.withWatermark("ts", watermark)
+    p = purchases.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = (
+        (p.user_id == c.c_user_id)
+        & (c.click_ts >= p.purchase_ts - F.expr(f"INTERVAL {horizon}"))
+        & (c.click_ts <= p.purchase_ts)
+    )
+    return p.join(c, cond).select(
+        "user_id", "purchase_id", "click_id", "purchase_ts", "click_ts"
+    )
+
+
 def sliding_user_activity(
     events: DataFrame,
     window: str = "2 hours",

@@ -103,3 +103,22 @@ def test_parse_props(spark, stream_src):
 
     for r in rows:
         assert r["props_k"] == json.loads(r["props"])["k"]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, stream_src, tmp_path):
+    """Stream-stream inner join with watermarks + time bound: every
+    batch match is emitted (inner joins emit on match, nothing is
+    withheld by the watermark at end-of-stream with availableNow)."""
+    batch_e = spark.read.parquet(stream_src)
+    batch = SE.clicks_before_purchases(
+        batch_e.filter(F.col("event_type") == "purchase"),
+        batch_e.filter(F.col("event_type") == "click"),
+    )
+    s = SE.read_event_stream(spark, stream_src, max_files_per_trigger=1)
+    stream = SE.clicks_before_purchases(
+        s.filter(F.col("event_type") == "purchase"),
+        s.filter(F.col("event_type") == "click"),
+    )
+    assert stream.isStreaming
+    got = _run_stream(spark, stream, tmp_path, "ssjoin")
+    assert _sorted_tuples(got) == _sorted_tuples(batch)
