@@ -31,12 +31,14 @@ from pyspark.sql.window import Window
 __all__ = ["merge_microbatch", "upsert_sink"]
 
 
-def _latest_wins(df: DataFrame, keys: list[str], ts_col: str) -> DataFrame:
-    # event_id (unique) is the authoritative tiebreak at equal ts, so
+def _latest_wins(
+    df: DataFrame, keys: list[str], ts_col: str, id_col: str
+) -> DataFrame:
+    # the unique id_col is the authoritative tiebreak at equal ts, so
     # the merged table is independent of how rows split across batches;
     # __is_new only breaks base-vs-incoming copies of the SAME row
     w = Window.partitionBy(*keys).orderBy(
-        F.desc(ts_col), F.desc("event_id"), F.desc("__is_new")
+        F.desc(ts_col), F.desc(id_col), F.desc("__is_new")
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -50,15 +52,16 @@ def merge_microbatch(
     table_dir: str,
     keys: list[str],
     ts_col: str = "ts",
+    id_col: str = "event_id",
 ) -> None:
     """MERGE one micro-batch into the parquet table at ``table_dir``."""
     spark = batch_df.sparkSession
     incoming = batch_df.withColumn("__is_new", F.lit(1))
     if os.path.isdir(table_dir):
         base = spark.read.parquet(table_dir).withColumn("__is_new", F.lit(0))
-        merged = _latest_wins(base.unionByName(incoming), keys, ts_col)
+        merged = _latest_wins(base.unionByName(incoming), keys, ts_col, id_col)
     else:
-        merged = _latest_wins(incoming, keys, ts_col)
+        merged = _latest_wins(incoming, keys, ts_col, id_col)
     tmp = table_dir.rstrip("/") + ".__staging"
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(table_dir):
@@ -72,13 +75,14 @@ def upsert_sink(
     checkpoint_dir: str,
     keys: list[str],
     ts_col: str = "ts",
+    id_col: str = "event_id",
     available_now: bool = True,
 ):
     """Attach the MERGE sink to a stream; checkpointed so restarts
     resume after the last merged micro-batch."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        merge_microbatch(batch_df, table_dir, keys, ts_col)
+        merge_microbatch(batch_df, table_dir, keys, ts_col, id_col)
 
     w = stream_df.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_dir

@@ -71,3 +71,11 @@ def test_bad_how_rejected(frames):
     left, right = frames
     with pytest.raises(ValueError):
         asof_join(left, right, on=["k"], ts="ts", how="full")
+
+
+def test_key_with_no_right_rows(spark):
+    left = spark.createDataFrame([(9, _ts(10), "only-left")], "k int, ts timestamp, lval string")
+    right = spark.createDataFrame([(1, _ts(5), 1.0)], "k int, ts timestamp, rval double")
+    assert asof_join(left, right, on=["k"], ts="ts").count() == 0
+    kept = asof_join(left, right, on=["k"], ts="ts", how="left").collect()
+    assert len(kept) == 1 and kept[0].rval is None
