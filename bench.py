@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "events_window_frames",
     "events_sliding_window",
     "table_profile",
+    "pivot_user_event_counts",
+    "unpivot_lineitem_metrics",
+    "impute_median",
     "salted_join_users",
     "partitioned_sink_scan",
     "rollup_status_priority",

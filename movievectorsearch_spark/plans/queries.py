@@ -1529,6 +1529,131 @@ def partitioned_sink_scan(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@q(
+    "pivot_user_event_counts",
+    f"""
+    SELECT user_id,
+           {', '.join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_event_counts(spark, sf_dir):
+    """Pivot (long → wide): per-user event-type counts as columns. The
+    value list is EXPLICIT — with it Catalyst plans one pass (grouped
+    conditional counts, no distinct-values pre-query, stable schema);
+    without it pivot needs an extra job to discover columns and the
+    schema depends on the data."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    # pivot yields null where a (user, type) pair has no rows; the
+    # relational semantics (and the oracle's FILTER counts) say 0
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@q(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, metric,
+           CAST(round(val * 100, 0) AS BIGINT) AS cents
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,
+             l_extendedprice AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    )
+    """,
+)
+def unpivot_lineitem_metrics(spark, sf_dir):
+    """Unpivot/melt (wide → long): three metric columns become
+    (metric, value) rows — Spark's native ``unpivot`` plans an Expand
+    (one scan emits all three rows per input row), vs the oracle's
+    3-scan UNION ALL formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return u.select(
+        "l_orderkey",
+        "l_linenumber",
+        "metric",
+        F.round(F.col("val") * 100, 0).cast("bigint").alias("cents"),
+    )
+
+
+@q(
+    "impute_median",
+    """
+    WITH x AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type <> 'error'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) END AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT user_id, round(quantile_cont(cents, 0.5), 6) AS med_cents
+      FROM x GROUP BY user_id
+    )
+    SELECT x.user_id, x.event_id,
+           round(COALESCE(CAST(x.cents AS DOUBLE), m.med_cents), 6) AS filled_cents,
+           x.cents IS NULL AS was_imputed
+    FROM x JOIN med m USING (user_id)
+    """,
+)
+def impute_median(spark, sf_dir):
+    """Group-wise median imputation (nulls — here error-rows' values —
+    filled with the per-user median of the observed rows): one grouped
+    percentile + a broadcast join back. The standard numeric-column
+    repair before training; aggregate-then-broadcast keeps the fact
+    side un-shuffled."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("event_type") != "error",
+            F.round(F.col("value") * 100, 0).cast("bigint"),
+        ).alias("cents"),
+    )
+    med = x.groupBy("user_id").agg(
+        F.round(F.percentile("cents", F.lit(0.5)), 6).alias("med_cents")
+    )
+    return x.join(F.broadcast(med), "user_id").select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.coalesce(F.col("cents").cast("double"), F.col("med_cents")), 6
+        ).alias("filled_cents"),
+        F.col("cents").isNull().alias("was_imputed"),
+    )
+
+
+@q("stratified_sample", None)
+def stratified_sample(spark, sf_dir):
+    """Stratified sampling (``sampleBy`` — per-stratum Bernoulli with a
+    fixed seed): downsample the over-represented event types, keep the
+    rare ones whole — corpus rebalancing before training. Seeded and
+    partitioning-stable, so repeated runs agree (asserted in
+    tests/test_registry_extra.py) but not SQL-expressible — rows-only
+    check."""
+    e = load_table(spark, sf_dir, "events")
+    fractions = {"click": 0.25, "view": 0.25, "purchase": 1.0,
+                 "signup": 1.0, "error": 0.5}
+    return e.sampleBy("event_type", fractions, seed=42).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
 @q(
     "events_interval_join",
     """

@@ -40,3 +40,35 @@ def test_multimodal_decode_entry(spark, sf_dir):
     rows = Q.QUERIES["multimodal_decode"]["spark"](spark, sf_dir).collect()
     assert len(rows) == 500
     assert all(r["dim"] == 16 for r in rows)
+
+
+def test_stratified_sample_deterministic_and_in_tolerance(spark, sf_dir):
+    """sampleBy with a fixed seed: identical across runs, and each
+    stratum's realized fraction tracks the requested one."""
+    from movievectorsearch_spark.plans import queries as Q
+
+    a = Q.QUERIES["stratified_sample"]["spark"](spark, sf_dir)
+    b = Q.QUERIES["stratified_sample"]["spark"](spark, sf_dir)
+    ra = sorted(r.event_id for r in a.collect())
+    rb = sorted(r.event_id for r in b.collect())
+    assert ra == rb
+
+    from movievectorsearch_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    totals = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r.event_type: r.n
+        for r in a.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    want = {"click": 0.25, "view": 0.25, "purchase": 1.0, "signup": 1.0, "error": 0.5}
+    for t, frac in want.items():
+        realized = got.get(t, 0) / totals[t]
+        if frac == 1.0:
+            assert realized == 1.0, t  # keep-whole strata are exact
+        else:
+            assert abs(realized - frac) < 0.15, (t, realized)
