@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "q10_returned_items",
     "q18_big_orders",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
     "events_asof_join",
     "events_interval_join",
     "events_value_percentiles",

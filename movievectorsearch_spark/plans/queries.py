@@ -1529,6 +1529,75 @@ def partitioned_sink_scan(spark, sf_dir):
     )
 
 
+@q(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN {CENTS.format(col='l.l_extendedprice')} * (100 - {CENTS.format(col='l.l_discount')})
+                         ELSE 0 END) AS BIGINT) / 10000.0 AS promo_revenue,
+           CAST(SUM({CENTS.format(col='l.l_extendedprice')} * (100 - {CENTS.format(col='l.l_discount')})) AS BIGINT) / 10000.0 AS total_revenue,
+           round(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                               THEN {CENTS.format(col='l.l_extendedprice')} * (100 - {CENTS.format(col='l.l_discount')})
+                               ELSE 0 END) AS DOUBLE)
+                 / SUM({CENTS.format(col='l.l_extendedprice')} * (100 - {CENTS.format(col='l.l_discount')})), 6) AS promo_ratio
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: fact⋈broadcast-dim with a conditional aggregate
+    ratio — the date band is pushed into the lineitem scan, part
+    broadcasts, one partial+final agg produces the single-row result."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.sum(promo) / 10000.0).alias("promo_revenue"),
+            (F.sum(rev) / 10000.0).alias("total_revenue"),
+            F.round(F.sum(promo).cast("double") / F.sum(rev), 6).alias("promo_ratio"),
+        )
+    )
+
+
+@q(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT CAST(SUM({CENTS.format(col='l.l_extendedprice')} * (100 - {CENTS.format(col='l.l_discount')})) AS BIGINT) / 10000.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 25)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity < 25)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity >= 10)
+    """,
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicates spanning both join sides.
+    Catalyst extracts the common join key as an equi-condition and
+    keeps the disjunction as a residual filter — still a broadcast hash
+    join, never a nested loop (the naive reading of a disjunctive join
+    predicate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 25))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") < 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 10))
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return j.filter(cond).agg(
+        (F.sum(rev) / 10000.0).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
