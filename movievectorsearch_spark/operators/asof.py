@@ -54,6 +54,15 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != ts]
 
+    reserved = {"asof_ts", "__side", "__payload", "__m"}
+    clash = (set(right_cols) | reserved) & {c for c in left.columns if c not in on}
+    clash |= reserved & set(right_cols)
+    if clash:
+        raise ValueError(
+            f"asof_join output would contain duplicate column(s) {sorted(clash)}; "
+            "rename the right-side columns (right_cols) before joining"
+        )
+
     payload = F.struct(
         F.col(ts).alias("asof_ts"), *[F.col(c) for c in right_cols]
     )

@@ -63,8 +63,14 @@ def connected_components(
             F.col("src").alias("id"), "label"
         )
         # ...and keeps the minimum of (own label, heard labels)
+        # materialize prop: it is consumed twice below (left side and
+        # the jump mapping) — without this the edges-join + groupBy-min
+        # would recompute, doubling every round's shuffle work
         prop = (
-            labels.unionByName(msgs).groupBy("id").agg(F.min("label").alias("label"))
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
         )
         # pointer jumping: label(v) ← label(label(v)). Plain propagation
         # needs O(diameter) rounds (chained near-dups make diameter
@@ -72,6 +78,7 @@ def connected_components(
         # indirection per round makes the reach double, so convergence
         # is O(log diameter).
         m = prop.select(F.col("id").alias("mid"), F.col("label").alias("mlabel"))
+        # new_labels is also read twice (convergence count + next round)
         new_labels = (
             prop.join(m, prop.label == m.mid, "left")
             .select("id", F.coalesce("mlabel", "label").alias("label"))

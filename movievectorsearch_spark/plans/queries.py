@@ -1507,15 +1507,17 @@ def partitioned_sink_scan(spark, sf_dir):
     before any row-group I/O (PartitionFilters — asserted in
     tests/test_partitioned.py). Oracle = the same filter+aggregate on
     the unpartitioned view, proving pruning changes I/O, not results."""
-    import os
+    import tempfile
 
     from movievectorsearch_spark.sources.partitioned import (
         read_partitioned,
         write_partitioned,
     )
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/spark_graft_partitioned_{tag}/events"
+    # unique dir per invocation: a fixed shared path would race with a
+    # concurrent bench/check run (overwrite deletes while the other's
+    # lazy read is in flight)
+    path = tempfile.mkdtemp(prefix="spark_graft_partitioned_") + "/events"
     e = load_table(spark, sf_dir, "events")
     write_partitioned(e, path, ["event_type"])
     back = read_partitioned(spark, path).filter(F.col("event_type") == "purchase")
@@ -2041,8 +2043,8 @@ def intersect_except_keys(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"))
     return (
         d.intersect(e).select(F.lit("both").alias("tag"), "id")
-        .unionByName(d.exceptAll(e).distinct().select(F.lit("doc_only").alias("tag"), "id"))
-        .unionByName(e.exceptAll(d).distinct().select(F.lit("vec_only").alias("tag"), "id"))
+        .unionByName(d.subtract(e).select(F.lit("doc_only").alias("tag"), "id"))
+        .unionByName(e.subtract(d).select(F.lit("vec_only").alias("tag"), "id"))
     )
 
 
@@ -2056,8 +2058,9 @@ def intersect_except_keys(spark, sf_dir):
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
-                           GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity, 0) AS BIGINT)) > 250)
     GROUP BY c.c_name, o.o_orderkey, orderdate, total_cents
     ORDER BY total_cents DESC, o.o_orderkey
     LIMIT 50
@@ -2073,7 +2076,7 @@ def q18_big_orders(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     qual = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("qty"))
+        .agg(F.sum(F.round("l_quantity", 0).cast("bigint")).alias("qty"))
         .filter(F.col("qty") > 250)
         .select("l_orderkey")
     )

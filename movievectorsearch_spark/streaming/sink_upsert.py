@@ -56,17 +56,31 @@ def merge_microbatch(
 ) -> None:
     """MERGE one micro-batch into the parquet table at ``table_dir``."""
     spark = batch_df.sparkSession
+    tmp = table_dir.rstrip("/") + ".__staging"
+    bak = table_dir.rstrip("/") + ".__bak"
+    # crash recovery: a previous merge that died between the two
+    # renames below left the finished table in .__bak — restore it
+    # before reading (the checkpoint will not replay that batch)
+    if not os.path.isdir(table_dir) and os.path.isdir(bak):
+        os.rename(bak, table_dir)
+
     incoming = batch_df.withColumn("__is_new", F.lit(1))
     if os.path.isdir(table_dir):
         base = spark.read.parquet(table_dir).withColumn("__is_new", F.lit(0))
         merged = _latest_wins(base.unionByName(incoming), keys, ts_col, id_col)
     else:
         merged = _latest_wins(incoming, keys, ts_col, id_col)
-    tmp = table_dir.rstrip("/") + ".__staging"
+    # the write is an action: staging is fully materialized before any
+    # rename touches the live dir. Swap via rename-aside so there is no
+    # instant at which the only copy of the table is deleted.
     merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
     if os.path.isdir(table_dir):
-        shutil.rmtree(table_dir)
+        os.rename(table_dir, bak)
     os.rename(tmp, table_dir)
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
 
 
 def upsert_sink(

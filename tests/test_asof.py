@@ -79,3 +79,10 @@ def test_key_with_no_right_rows(spark):
     assert asof_join(left, right, on=["k"], ts="ts").count() == 0
     kept = asof_join(left, right, on=["k"], ts="ts", how="left").collect()
     assert len(kept) == 1 and kept[0].rval is None
+
+
+def test_colliding_right_cols_rejected(spark, frames=None):
+    left = spark.createDataFrame([(1, _ts(1), 1.0)], "k int, ts timestamp, price double")
+    right = spark.createDataFrame([(1, _ts(0), 2.0)], "k int, ts timestamp, price double")
+    with pytest.raises(ValueError, match="duplicate column"):
+        asof_join(left, right, on=["k"], ts="ts")

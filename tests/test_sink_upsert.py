@@ -50,7 +50,7 @@ def test_merge_across_microbatches_and_restart(spark, sf_dir, dirs):
     drops[1].coalesce(1).write.mode("append").parquet(dirs["src"])
     stream = read_event_stream(spark, dirs["src"], max_files_per_trigger=1)
     q = upsert_sink(stream, dirs["table"], dirs["ckpt"], KEYS)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     expected_01 = _batch_latest(drops[0].unionByName(drops[1]))
     got = spark.read.parquet(dirs["table"])
@@ -61,7 +61,7 @@ def test_merge_across_microbatches_and_restart(spark, sf_dir, dirs):
     drops[2].coalesce(1).write.mode("append").parquet(dirs["src"])
     stream2 = read_event_stream(spark, dirs["src"], max_files_per_trigger=1)
     q2 = upsert_sink(stream2, dirs["table"], dirs["ckpt"], KEYS)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "restarted stream did not finish in 120s"
 
     expected_all = _batch_latest(e)
     got2 = spark.read.parquet(dirs["table"])
