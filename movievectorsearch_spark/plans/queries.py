@@ -2097,6 +2097,198 @@ def q18_big_orders(spark, sf_dir):
     )
 
 
+@q(
+    "q13_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: outer join with a predicate in the ON clause
+    (filter the right side BEFORE the join — putting it in WHERE would
+    silently turn the left join into an inner one and drop zero-order
+    customers), then a two-level aggregation. First groupBy shuffles on
+    c_custkey; the second input is one row per customer, so the
+    distribution agg is near-free. Scale: both sides shuffle on the
+    join key once; no broadcast needed (customer is the probe side and
+    kept whole by the left join)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    f"""
+    SELECT CAST(SUM({CENTS.format(col='l.l_extendedprice')}) AS DOUBLE) / 700.0
+             AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND {CENTS.format(col='l.l_quantity')} * 5
+          * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT SUM({CENTS.format(col='l2.l_quantity')}) FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (lines below 20%% of
+    their part's average quantity), decorrelated into a per-part
+    pre-aggregate + broadcast join. The brand filter is applied FIRST
+    (broadcast semi-join on p_partkey narrows lineitem before the
+    per-part agg), so the stats aggregate runs over the selected ~0.5%%
+    of lineitem, not all of it — the decisive move at 100 TB. The
+    threshold compare is integer-exact: qty_cents * 5 * n < sum_cents
+    avoids a float avg whose summation order differs across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    sel = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    ).drop("p_partkey")
+    stats = sel.groupBy(F.col("l_partkey").alias("sk")).agg(
+        F.sum(_cents("l_quantity")).alias("qty_cents_sum"),
+        F.count("*").alias("qty_n"),
+    )
+    return (
+        sel.join(F.broadcast(stats), sel.l_partkey == F.col("sk"))
+        .filter(_cents("l_quantity") * 5 * F.col("qty_n") < F.col("qty_cents_sum"))
+        .agg(
+            (F.sum(_cents("l_extendedprice")).cast("double") / 700.0).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: this schema has no commit/receipt
+    dates, so "late" = shipped >365 days after the order date). The
+    textbook EXISTS + NOT-EXISTS pair would be two extra self-joins of
+    lineitem; instead one groupBy(l_orderkey) computes
+    (n_suppliers, n_late_suppliers) per order, and the pair of
+    correlated predicates collapses to n_supp >= 2 AND n_late_supp = 1
+    — an order qualifies iff exactly one of its several suppliers was
+    late, and every late line then belongs to that supplier. Both the
+    aggregate and the qualifying semi-join shuffle on l_orderkey, so
+    AQE reuses one exchange; supplier broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    qualifying = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    return (
+        j.filter(late)
+        .join(qualifying, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+@q(
+    "q22_dormant_customers",
+    f"""
+    WITH pos AS (
+      SELECT SUM({CENTS.format(col='c_acctbal')}) AS bal_sum, count(*) AS bal_n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT substr(c.c_name, 17, 2) AS code, count(*) AS numcust,
+           CAST(SUM({CENTS.format(col='c.c_acctbal')}) AS BIGINT)
+             / CAST(100 AS DOUBLE) AS totacctbal
+    FROM customer c, pos
+    WHERE substr(c.c_name, 17, 1) IN ('0','1','2','3','4')
+      AND {CENTS.format(col='c.c_acctbal')} * pos.bal_n > pos.bal_sum
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY code
+    ORDER BY code
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: no phone column, so the "country code"
+    is the c_name id's last two digits; "never ordered" becomes "no
+    order since 2001-01-01" — this data's customers all have old
+    orders). Three classic pieces: a scalar aggregate subquery
+    (broadcast as a 1-row cross join, evaluated once, not per row), an
+    anti-join against the filtered orders side, and a grouped rollup.
+    The above-average test is integer-exact (cents*n > sum) — no float
+    avg. Scale: customer shuffles once for the anti-join; the scalar
+    agg is a full-scan reduce with a 1-row result."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_cents("c_acctbal")).alias("bal_sum"),
+        F.count("*").alias("bal_n"),
+    )
+    sel = (
+        c.filter(F.substring("c_name", 17, 1).isin("0", "1", "2", "3", "4"))
+        .crossJoin(F.broadcast(pos))
+        .filter(_cents("c_acctbal") * F.col("bal_n") > F.col("bal_sum"))
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        sel.join(recent, sel.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 17, 2).alias("code"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(_cents("c_acctbal")).cast("bigint") / F.lit(100).cast("double")).alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("code")
+    )
+
+
 _SQL_API_TEXT = """
     SELECT n.n_name, count(*) AS n_cust,
            CAST(SUM(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
