@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "q18_big_orders",
     "q14_promo_revenue",
     "q19_disjunctive_predicates",
+    "q13_order_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
     "events_asof_join",
     "events_interval_join",
     "events_value_percentiles",

@@ -324,9 +324,25 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    gemm_candidates: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, blocked by
-    ``block_col`` (at scale: an LSH/IVF bucket id instead of a label)."""
+    ``block_col`` (at scale: an LSH/IVF bucket id instead of a label).
+
+    Two-stage: a per-block numpy GEMM (Arrow-batched applyInPandas)
+    finds candidate pairs with cos ≥ threshold − 1e-9, then the exact
+    sequential-fold dot re-scores ONLY the candidates. The final filter
+    uses the exact fold, so results are bit-identical to the naive
+    self-join (the GEMM margin of 1e-9 dwarfs BLAS-vs-sequential
+    summation drift, ~1e-14 at dim 64) — but the O(m²·dim) work per
+    block runs as one BLAS matmul instead of interpreted per-pair
+    array folds (~50× less expression-tree evaluation). At 100 TB the
+    block is an LSH/IVF bucket and each bucket's GEMM is one executor
+    task; the candidate re-score is a sparse equi-join on id.
+
+    ``gemm_candidates=False`` keeps the pure column-expression path
+    (used by tests as the semantics oracle for the fast path).
+    """
     from movievectorsearch_spark.functions.vector import dot, l2_normalize
 
     # normalize ONCE per row before the self-join: cos(a,b) over raw
@@ -337,6 +353,44 @@ def embedding_neardup_pairs(
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
     base = emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)).select(*cols)
+
+    if gemm_candidates and block_col:
+        import numpy as np
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = base.schema["id"].dataType
+        # fresh StructType per call: StructType.add mutates in place and
+        # df.schema returns Spark's cached instance
+        cand_schema = StructType(
+            [StructField("a_id", id_type), StructField("b_id", id_type)]
+        )
+        margin = threshold - 1e-9
+
+        def find_pairs(pdf):
+            import pandas as pd
+
+            if len(pdf) < 2:
+                return pd.DataFrame({"a_id": [], "b_id": []}).astype(
+                    {"a_id": pdf["id"].dtype, "b_id": pdf["id"].dtype}
+                )
+            pdf = pdf.sort_values("id")  # so triu ⇒ a_id < b_id
+            ids = pdf["id"].to_numpy()
+            m = np.vstack(pdf["nv"].to_numpy())
+            sims = m @ m.T
+            ai, bi = np.nonzero(np.triu(sims >= margin, k=1))
+            return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
+
+        cand = base.groupBy("blk").applyInPandas(find_pairs, cand_schema)
+        av = base.select(F.col("id").alias("a_id"), F.col("nv").alias("a_nv"))
+        bv = base.select(F.col("id").alias("b_id"), F.col("nv").alias("b_nv"))
+        return (
+            cand.join(av, "a_id")
+            .join(bv, "b_id")
+            .withColumn("cos", dot(F.col("a_nv"), F.col("b_nv")))
+            .filter(F.col("cos") >= threshold)
+            .select("a_id", "b_id", "cos")
+        )
+
     a = base.select(
         F.col("id").alias("a_id"), F.col("nv").alias("a_nv"),
         *([F.col("blk").alias("a_blk")] if block_col else []),

@@ -2208,27 +2208,32 @@ def q21_waiting_suppliers(spark, sf_dir):
     (n_suppliers, n_late_suppliers) per order, and the pair of
     correlated predicates collapses to n_supp >= 2 AND n_late_supp = 1
     — an order qualifies iff exactly one of its several suppliers was
-    late, and every late line then belongs to that supplier. Both the
-    aggregate and the qualifying semi-join shuffle on l_orderkey, so
-    AQE reuses one exchange; supplier broadcasts."""
+    late, and every late line then belongs to that supplier. The SAME
+    aggregate also picks out that supplier (max over late suppkeys —
+    well-defined exactly when n_late_supp = 1) and counts the late
+    lines, so the join output is scanned ONCE: one shuffle join on
+    l_orderkey, one grouped aggregate, then a broadcast join to the
+    supplier dim over the handful of qualifying orders. The textbook
+    EXISTS/NOT-EXISTS plan reads lineitem three times."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
-    j = li.join(o, li.l_orderkey == o.o_orderkey)
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
     per_order = j.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+        F.countDistinct(late_supp).alias("n_late_supp"),
+        F.max(late_supp).alias("late_supp"),
+        F.sum(F.col("is_late").cast("bigint")).alias("n_late_lines"),
     )
-    qualifying = per_order.filter(
-        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-    ).select("l_orderkey")
     return (
-        j.filter(late)
-        .join(qualifying, "l_orderkey", "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
     )
 

@@ -148,3 +148,15 @@ def test_embedding_neardup_blocked(spark):
     )
     out = D.embedding_neardup_pairs(df, "vec_id", "embedding", "label", 0.95).collect()
     assert {(r["a_id"], r["b_id"]) for r in out} == {(1, 2)}
+
+
+def test_embedding_neardup_gemm_path_matches_expression_path(spark, sf_dir):
+    from movievectorsearch_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fast = D.embedding_neardup_pairs(e, "vec_id", "embedding", "label", 0.3)
+    slow = D.embedding_neardup_pairs(
+        e, "vec_id", "embedding", "label", 0.3, gemm_candidates=False
+    )
+    to_set = lambda df: {(r["a_id"], r["b_id"], r["cos"]) for r in df.collect()}
+    assert to_set(fast) == to_set(slow) and fast.count() > 0
