@@ -2294,6 +2294,37 @@ def q22_dormant_customers(spark, sf_dir):
     )
 
 
+@q(
+    "sentence_split_udtf",
+    """
+    WITH s AS (
+      SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS arr FROM documents
+    )
+    SELECT doc_id, u.i - 1 AS pos,
+           trim(arr[u.i], ' ' || chr(9) || chr(10) || chr(13)) AS sentence,
+           length(trim(arr[u.i], ' ' || chr(9) || chr(10) || chr(13))) AS n_chars
+    FROM s, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) u
+    WHERE length(trim(arr[u.i], ' ' || chr(9) || chr(10) || chr(13))) > 0
+    """,
+)
+def sentence_split_udtf(spark, sf_dir):
+    """§2.11 UDTF surface: documents → sentence rows via a Python
+    table function in a correlated LATERAL join (the chunking step of
+    a training pipeline). The raw split ordinal is kept as pos so both
+    engines number sentences identically after dropping empty
+    fragments. Narrow op: no shuffle, Arrow-batched input."""
+    from movievectorsearch_spark.functions.sentences import register
+
+    register(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence, s.n_chars
+        FROM udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
 _SQL_API_TEXT = """
     SELECT n.n_name, count(*) AS n_cust,
            CAST(SUM(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)

@@ -116,3 +116,23 @@ def test_l2_normalize_unit_norm(spark):
         l2_norm(l2_normalize(vector_lit([3.0, 4.0]))).alias("n")
     ).collect()[0]
     assert abs(got["n"] - 1.0) < 1e-12
+
+
+def test_split_sentences_udtf(spark):
+    from movievectorsearch_spark.functions.sentences import register
+
+    register(spark)
+    spark.createDataFrame(
+        [(1, "Hello there. How are you?? Fine! "), (2, None), (3, "...")],
+        "doc_id INT, text STRING",
+    ).createOrReplaceTempView("udtf_unit")
+    rows = spark.sql(
+        "SELECT doc_id, s.pos, s.sentence FROM udtf_unit d, "
+        "LATERAL split_sentences(d.text) s ORDER BY doc_id, pos"
+    ).collect()
+    # raw split ordinals survive empty-fragment drops; null/empty texts emit nothing
+    assert [(r.doc_id, r.pos, r.sentence) for r in rows] == [
+        (1, 0, "Hello there"),
+        (1, 1, "How are you"),
+        (1, 2, "Fine"),
+    ]
