@@ -115,3 +115,41 @@ def test_window_frames_single_exchange(spark, sf_dir):
     p = plan_of(spark, sf_dir, "events_window_frames")
     assert p.count("+- Exchange") == 1
     assert p.count("+- Window") == 1
+
+
+def test_q13_outer_join_keeps_zero_groups(spark, sf_dir):
+    """Q13: the ON-clause predicate must stay on the orders side of a
+    LEFT join (a WHERE would make it inner); the distribution agg runs
+    over the per-customer counts, not the raw join."""
+    p = plan_of(spark, sf_dir, "q13_order_distribution")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "LeftOuter" in p
+
+
+def test_q17_stats_broadcast_no_fact_fact_shuffle(spark, sf_dir):
+    """Q17: both the brand part list and the per-part stats must
+    broadcast — the decorrelated scalar subquery must NOT become a
+    lineitem-by-lineitem shuffle join."""
+    p = plan_of(spark, sf_dir, "q17_small_quantity_revenue")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_q21_single_pass_over_join(spark, sf_dir):
+    """Q21: one join of lineitem with orders, one grouped aggregate —
+    the EXISTS/NOT-EXISTS pair must stay collapsed (no extra self-joins
+    of lineitem: exactly one scan of each fact table)."""
+    p = plan_of(spark, sf_dir, "q21_waiting_suppliers")
+    # formatted output names each node twice (tree + detail section):
+    # 3 scans (lineitem + orders + supplier) → 6 mentions
+    assert p.count("Scan parquet") <= 6
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q22_scalar_agg_is_single_row_broadcast(spark, sf_dir):
+    """Q22: the above-average threshold must be evaluated ONCE (1-row
+    aggregate broadcast into the filter), never per customer row, and
+    the no-recent-orders predicate must be a hash anti-join."""
+    p = plan_of(spark, sf_dir, "q22_dormant_customers")
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
