@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "events_value_percentiles",
     "events_window_frames",
     "events_sliding_window",
+    "events_resample_ffill",
     "table_profile",
     "pivot_user_event_counts",
     "unpivot_lineitem_metrics",

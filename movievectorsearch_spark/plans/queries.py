@@ -1262,6 +1262,73 @@ def events_hourly(spark, sf_dir):
     )
 
 
+_RESAMPLE_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, u.h
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds,
+       LATERAL (SELECT unnest(generate_series(bounds.h0, bounds.h1,
+                                              INTERVAL 1 HOUR)) AS h) u
+),
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+         SUM(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       COALESCE(a.n, 0) AS n_events,
+       CAST(last_value(a.cents IGNORE NULLS)
+              OVER (PARTITION BY s.event_type ORDER BY s.h
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0
+         AS sum_value_ffill
+FROM spine s LEFT JOIN agg a ON a.event_type = s.event_type AND a.h = s.h
+"""
+
+
+@q("events_resample_ffill", _RESAMPLE_SQL)
+def events_resample_ffill(spark, sf_dir):
+    """Time-series resample to a dense hourly grid + forward fill —
+    the gap-filling operator every metrics pipeline needs and Spark
+    lacks as a built-in. The spine (distinct keys × sequence of
+    hours) is generated, not stored: O(types × hours) rows, broadcast
+    into the left join. One shuffle aggregates events to the hour; the
+    forward fill is last(ignorenulls) over an unbounded-preceding
+    frame, partitioned by the series key — state per key is one
+    value, so the same plan serves per-user resampling at 100 TB
+    (parallelism = #keys). Hours with no events get n_events=0 and
+    the carried-forward sum (NULL before the first observation, same
+    in both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    agg = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n"), F.sum(_cents("value")).alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(agg, ["event_type", "h"], "left").select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        (F.last("cents", ignorenulls=True).over(w).cast("bigint") / 100.0).alias(
+            "sum_value_ffill"
+        ),
+    )
+
+
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 _SESSION_SQL = f"""
 WITH flagged AS (
@@ -2068,30 +2135,30 @@ def intersect_except_keys(spark, sf_dir):
 )
 def q18_big_orders(spark, sf_dir):
     """TPC-H Q18 shape: aggregate-then-semi-join (IN subquery over a
-    grouped HAVING) — the qualifying-keys aggregate shuffles once on
-    l_orderkey and the same partitioning serves the main join; dims
-    broadcast; top-50 is TakeOrderedAndProject."""
+    grouped HAVING). The textbook plan re-joins lineitem against the
+    qualifying keys and re-aggregates it — but the qualifying aggregate
+    ALREADY holds sum_qty per order, so this plan keeps it: one scan +
+    one shuffle of lineitem total, then the handful of qualifying
+    orders join orders/customer (AQE broadcasts the tiny side, so the
+    big dims never fully shuffle). Top-50 is TakeOrderedAndProject."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     qual = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.round("l_quantity", 0).cast("bigint")).alias("qty"))
-        .filter(F.col("qty") > 250)
-        .select("l_orderkey")
+        .agg(F.sum(F.round("l_quantity", 0).cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
     )
     return (
-        li.join(qual.withColumnRenamed("l_orderkey", "qk"),
-                F.col("l_orderkey") == F.col("qk"), "left_semi")
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
+        qual.join(o, qual.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
             "c_name",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             _cents("o_totalprice").alias("total_cents"),
+            "sum_qty",
         )
-        .agg(F.sum(F.round("l_quantity", 0).cast("bigint")).alias("sum_qty"))
         .orderBy(F.desc("total_cents"), F.asc("o_orderkey"))
         .limit(50)
     )
@@ -2291,6 +2358,44 @@ def q22_dormant_customers(spark, sf_dir):
             ),
         )
         .orderBy("code")
+    )
+
+
+@q(
+    "csv_roundtrip_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             / CAST(100 AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def csv_roundtrip_agg(spark, sf_dir):
+    """CSV sink + schema-enforced source (sources/csvio.py): orders is
+    written to headered CSV and read back with an explicit schema (NO
+    inference pass — at 100 TB inferSchema is a second full scan), then
+    aggregated. The oracle runs on the original parquet, so a PASS
+    proves the round trip is lossless including doubles (shortest
+    round-trip serialization) and microsecond timestamps."""
+    import tempfile
+
+    from movievectorsearch_spark.sources.csvio import read_csv, write_csv
+
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="spark_graft_csv_") + "/orders"
+    write_csv(o, path)
+    back = read_csv(spark, path, o.schema)
+    return (
+        back.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents("o_totalprice")).cast("bigint") / F.lit(100).cast("double")).alias(
+                "sum_price"
+            ),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
     )
 
 
