@@ -2362,6 +2362,96 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "fk_violations",
+    """
+    SELECT 'embeddings->documents' AS relation, count(*) AS n_orphans
+    FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id
+    WHERE d.doc_id IS NULL
+    UNION ALL
+    SELECT 'events->customer', count(*)
+    FROM events ev LEFT JOIN customer c ON c.c_custkey = ev.user_id
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem->orders', count(*)
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'orders->customer', count(*)
+    FROM orders o2 LEFT JOIN customer c2 ON c2.c_custkey = o2.o_custkey
+    WHERE c2.c_custkey IS NULL
+    ORDER BY relation
+    """,
+)
+def fk_violations(spark, sf_dir):
+    """Referential-integrity audit — the data-quality gate a training
+    pipeline runs before joining tables at scale: one anti-join per
+    declared FK relation, counting orphaned keys. Anti-joins shuffle
+    only the key columns (project-before-join), and the four relations
+    run as independent jobs unioned at the end — on a cluster they
+    parallelize; a failure report is 4 rows regardless of data size."""
+    pairs = [
+        ("embeddings->documents", "embeddings", "vec_id", "documents", "doc_id"),
+        ("events->customer", "events", "user_id", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in pairs:
+        orphans = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(ck).alias("k"))
+            .join(
+                load_table(spark, sf_dir, parent).select(F.col(pk).alias("k")),
+                "k",
+                "left_anti",
+            )
+            .agg(F.lit(name).alias("relation"), F.count("*").alias("n_orphans"))
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    return out.orderBy("relation")
+
+
+@q(
+    "ntile_value_binning",
+    """
+    SELECT event_type, bucket, count(*) AS n,
+           min(cents) AS min_cents, max(cents) AS max_cents
+    FROM (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY CAST(round(value * 100, 0) AS BIGINT),
+                                      event_id)::INT AS bucket
+      FROM events
+    )
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def ntile_value_binning(spark, sf_dir):
+    """Quantile binning (feature engineering): ntile(10) per event
+    type over a TOTAL order (cents, then event_id as tiebreak — ntile
+    splits by row position, so ties crossing a bucket boundary would
+    otherwise land nondeterministically). One shuffle on the partition
+    key; per-bucket min/max become the bin edges a model pipeline
+    reuses. At scale, per-key ntile needs the key's rows sorted within
+    one partition — bounded here by events-per-type; for an unsplit
+    global ntile use approx quantile edges + width_bucket instead."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    return (
+        e.select("event_type", "event_id", _cents("value").alias("cents"))
+        .withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@q(
     "csv_roundtrip_agg",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
