@@ -2362,6 +2362,61 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "revenue_share_by_nation",
+    f"""
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(SUM({CENTS.format(col='l.l_extendedprice')}
+                      * (100 - {CENTS.format(col='l.l_discount')})) AS BIGINT) AS rev_c
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    ), tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS t FROM rev)
+    SELECT n_name, rev_c / 10000.0 AS revenue,
+           round(CAST(rev_c AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS share,
+           rank() OVER (ORDER BY rev_c DESC)::INT AS rnk
+    FROM rev, tot
+    ORDER BY n_name
+    """,
+)
+def revenue_share_by_nation(spark, sf_dir):
+    """Percent-of-total + rank (the ratio_to_report shape). The share
+    denominator is a 1-row scalar aggregate broadcast back in — NOT
+    ``sum() over ()``: an unpartitioned window over raw rows funnels
+    the whole table through one partition at scale. The rank window IS
+    global, but it runs over the grouped result (≤ #nations rows), so
+    single-partition is the right plan there. Ties rank equal
+    (deterministic — no row_number over a non-total order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev_expr = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev_expr).cast("bigint").alias("rev_c"))
+    )
+    tot = rev.agg(F.sum("rev_c").cast("bigint").alias("t"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            (F.col("rev_c") / 10000.0).alias("revenue"),
+            F.round(
+                F.col("rev_c").cast("double") / F.col("t").cast("double"), 6
+            ).alias("share"),
+            F.rank().over(Window.orderBy(F.desc("rev_c"))).cast("int").alias("rnk"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
     "fk_violations",
     """
     SELECT 'embeddings->documents' AS relation, count(*) AS n_orphans

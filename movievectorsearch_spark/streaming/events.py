@@ -115,11 +115,32 @@ def sliding_user_activity(
 
 
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """ST2: exactly-once-per-key within the watermark horizon — the
-    streaming form of the curator's seen-set. State is bounded by the
-    watermark (the reference's unbounded in-memory set is not)."""
+    """ST2: exactly-once-per-key — the streaming form of the curator's
+    seen-set. NOTE: with the key subset not containing the event-time
+    column, ``dropDuplicates`` keeps one state entry PER KEY FOREVER
+    (the watermark does not evict it) — exact global dedup, unbounded
+    state, like the reference's in-memory set. For bounded state use
+    :func:`dedup_stream_within_watermark`."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return src.dropDuplicates(["event_id"])
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """ST2, state-bounded: ``dropDuplicatesWithinWatermark`` dedupes on
+    event_id but EVICTS each key's state once the watermark passes its
+    first-seen timestamp — at 100 TB/day of events this is the only
+    sustainable form (state ∝ keys-per-horizon, not keys-ever).
+    Duplicates arriving within the horizon are dropped; a replay later
+    than the watermark delay would re-emit — the at-least-once
+    trade-off bounded state buys. Batch frames fall back to plain
+    dropDuplicates (same result set for in-horizon duplicates)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def sessionize(

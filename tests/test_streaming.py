@@ -122,3 +122,28 @@ def test_stream_stream_interval_join_equals_batch(spark, stream_src, tmp_path):
     assert stream.isStreaming
     got = _run_stream(spark, stream, tmp_path, "ssjoin")
     assert _sorted_tuples(got) == _sorted_tuples(batch)
+
+
+def test_dedup_within_watermark_drops_in_horizon_duplicates(spark, stream_src, tmp_path):
+    """ST2 bounded-state form: duplicate event_ids arriving within the
+    watermark horizon are dropped across micro-batches, and the
+    operator's state is watermark-evicted (dropDuplicatesWithinWatermark,
+    not per-key-forever dropDuplicates)."""
+    src_dir = str(tmp_path / "dup_src")
+    base = spark.read.parquet(stream_src).limit(200).cache()
+    # two files with identical rows → two micro-batches of pure duplicates
+    base.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    base.coalesce(1).write.mode("append").parquet(src_dir)
+
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+    stream = SE.dedup_stream_within_watermark(
+        SE.read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    )
+    q = SE.run_to_sink(stream, ckpt, out, trigger_once=True)
+    assert q.awaitTermination(120), "stream did not finish"
+    got = spark.read.parquet(out)
+    assert got.count() == base.count()
+    assert got.select("event_id").distinct().count() == base.count()
+    # batch fallback produces the same set
+    assert SE.dedup_stream_within_watermark(spark.read.parquet(src_dir)).count() == base.count()
