@@ -28,7 +28,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["merge_microbatch", "upsert_sink"]
+__all__ = ["merge_microbatch", "upsert_sink", "atomic_swap", "recover_table"]
+
+
+def recover_table(table_dir: str) -> None:
+    """Crash recovery for :func:`atomic_swap`: a swap that died between
+    its two renames left the finished table in ``.__bak`` — restore it
+    before reading."""
+    bak = table_dir.rstrip("/") + ".__bak"
+    if not os.path.isdir(table_dir) and os.path.isdir(bak):
+        os.rename(bak, table_dir)
+
+
+def atomic_swap(df: DataFrame, table_dir: str) -> None:
+    """Materialize ``df`` to a staging dir, then swap it into
+    ``table_dir`` via rename-aside: there is no instant at which the
+    only copy of the table is deleted. Pair with :func:`recover_table`
+    on the read side."""
+    tmp = table_dir.rstrip("/") + ".__staging"
+    bak = table_dir.rstrip("/") + ".__bak"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
+    if os.path.isdir(table_dir):
+        os.rename(table_dir, bak)
+    os.rename(tmp, table_dir)
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
 
 
 def _latest_wins(
@@ -56,13 +82,9 @@ def merge_microbatch(
 ) -> None:
     """MERGE one micro-batch into the parquet table at ``table_dir``."""
     spark = batch_df.sparkSession
-    tmp = table_dir.rstrip("/") + ".__staging"
-    bak = table_dir.rstrip("/") + ".__bak"
-    # crash recovery: a previous merge that died between the two
-    # renames below left the finished table in .__bak — restore it
-    # before reading (the checkpoint will not replay that batch)
-    if not os.path.isdir(table_dir) and os.path.isdir(bak):
-        os.rename(bak, table_dir)
+    # the checkpoint will not replay a batch whose swap completed into
+    # .__bak — restore before reading
+    recover_table(table_dir)
 
     incoming = batch_df.withColumn("__is_new", F.lit(1))
     if os.path.isdir(table_dir):
@@ -70,17 +92,7 @@ def merge_microbatch(
         merged = _latest_wins(base.unionByName(incoming), keys, ts_col, id_col)
     else:
         merged = _latest_wins(incoming, keys, ts_col, id_col)
-    # the write is an action: staging is fully materialized before any
-    # rename touches the live dir. Swap via rename-aside so there is no
-    # instant at which the only copy of the table is deleted.
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(bak):
-        shutil.rmtree(bak)
-    if os.path.isdir(table_dir):
-        os.rename(table_dir, bak)
-    os.rename(tmp, table_dir)
-    if os.path.isdir(bak):
-        shutil.rmtree(bak)
+    atomic_swap(merged, table_dir)
 
 
 def upsert_sink(

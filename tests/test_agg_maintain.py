@@ -1,0 +1,69 @@
+"""Incremental rollup maintenance: the maintained aggregate equals the
+from-scratch batch aggregate after any sequence of micro-batches, and a
+restart with the same checkpoint folds nothing twice."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from movievectorsearch_spark.catalog import load_table
+from movievectorsearch_spark.streaming import agg_maintain as AM
+from movievectorsearch_spark.streaming.events import read_event_stream
+
+KEYS = ["event_type"]
+
+
+@pytest.fixture
+def dirs(tmp_path):
+    return {k: str(tmp_path / k) for k in ("src", "table", "ckpt")}
+
+
+def _batch_rollup(df):
+    return df.groupBy(*KEYS).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_cents"),
+    )
+
+
+def test_maintained_rollup_equals_batch(spark, sf_dir, dirs):
+    e = load_table(spark, sf_dir, "events").limit(900).cache()
+    thirds = e.randomSplit([1.0, 1.0, 1.0], seed=7)
+
+    # first two micro-batches
+    thirds[0].coalesce(1).write.mode("overwrite").parquet(dirs["src"])
+    thirds[1].coalesce(1).write.mode("append").parquet(dirs["src"])
+    stream = read_event_stream(spark, dirs["src"], max_files_per_trigger=1)
+    q = AM.rollup_sink(stream, dirs["table"], dirs["ckpt"], KEYS)
+    assert q.awaitTermination(120), "stream did not finish"
+
+    expect01 = {
+        (r["event_type"], r["n_events"], r["sum_cents"])
+        for r in _batch_rollup(thirds[0].unionByName(thirds[1])).collect()
+    }
+    got01 = {
+        (r["event_type"], r["n_events"], r["sum_cents"])
+        for r in spark.read.parquet(dirs["table"]).collect()
+    }
+    assert got01 == expect01
+
+    # restart with a third batch: only the new file folds in
+    thirds[2].coalesce(1).write.mode("append").parquet(dirs["src"])
+    stream2 = read_event_stream(spark, dirs["src"], max_files_per_trigger=1)
+    q2 = AM.rollup_sink(stream2, dirs["table"], dirs["ckpt"], KEYS)
+    assert q2.awaitTermination(120), "restarted stream did not finish"
+
+    expect_all = {
+        (r["event_type"], r["n_events"], r["sum_cents"])
+        for r in _batch_rollup(e).collect()
+    }
+    got_all = {
+        (r["event_type"], r["n_events"], r["sum_cents"])
+        for r in spark.read.parquet(dirs["table"]).collect()
+    }
+    assert got_all == expect_all
+
+    # derived avg comes from merged partials
+    row = AM.read_rollup(spark, dirs["table"]).collect()[0]
+    assert abs(row["avg_value"] - round(row["sum_cents"] / 100.0 / row["n_events"], 6)) < 1e-9
