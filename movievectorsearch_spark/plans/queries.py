@@ -2362,6 +2362,69 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "snapshot_diff_orders",
+    f"""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_orderstatus,
+             {CENTS.format(col='o_totalprice')} AS cents
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    snap_b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN {CENTS.format(col='o_totalprice')} + 100
+                  ELSE {CENTS.format(col='o_totalprice')} END AS cents
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    d AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                  WHEN b.o_orderkey IS NULL THEN 'delete'
+                  WHEN a.cents IS DISTINCT FROM b.cents
+                       OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                       THEN 'update'
+                  ELSE 'unchanged' END AS change
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change, count(*) AS n,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM d GROUP BY change ORDER BY change
+    """,
+)
+def snapshot_diff_orders(spark, sf_dir):
+    """CDC between snapshots (operators/diff.py): two deterministic
+    versions of orders (A drops key%7=0; B drops key%11=0 and bumps
+    key%5=0 prices) diffed via one full-outer join with null-safe value
+    compares, classified insert/delete/update/unchanged, then reduced
+    to counts per class. The scale contract is the operator's: one
+    shuffle per snapshot on the key; bucketed snapshots make it
+    zero-exchange."""
+    from movievectorsearch_spark.operators.diff import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("cents")
+    )
+    snap_b = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, _cents("o_totalprice") + 100
+        ).otherwise(_cents("o_totalprice")).alias("cents"),
+    )
+    d = snapshot_diff(snap_a, snap_b, ["o_orderkey"], ["o_orderstatus", "cents"])
+    return (
+        d.groupBy("change")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("change")
+    )
+
+
+@q(
     "revenue_share_by_nation",
     f"""
     WITH rev AS (

@@ -72,3 +72,22 @@ def test_stratified_sample_deterministic_and_in_tolerance(spark, sf_dir):
             assert realized == 1.0, t  # keep-whole strata are exact
         else:
             assert abs(realized - frac) < 0.15, (t, realized)
+
+
+def test_snapshot_diff_classification(spark):
+    from movievectorsearch_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None)],
+        "k INT, s STRING, v INT",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 21), (3, "c", None), (4, "d", 40)],
+        "k INT, s STRING, v INT",
+    )
+    got = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    # null-safe compare: (3, c, NULL) vs (3, c, NULL) is unchanged
+    assert got == {1: "delete", 2: "update", 3: "unchanged", 4: "insert"}
