@@ -55,9 +55,15 @@ BENCH_QUERIES = [
     "q14_promo_revenue",
     "q19_disjunctive_predicates",
     "q13_order_distribution",
+    "q15_top_supplier",
     "q17_small_quantity_revenue",
+    "q20_dominant_suppliers",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    "revenue_share_by_nation",
+    "snapshot_diff_orders",
+    "ntile_value_binning",
+    "fk_violations",
     "events_asof_join",
     "events_interval_join",
     "events_value_percentiles",

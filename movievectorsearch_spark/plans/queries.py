@@ -2362,6 +2362,97 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "q15_top_supplier",
+    f"""
+    WITH srev AS (
+      SELECT l_suppkey,
+             CAST(SUM({CENTS.format(col='l_extendedprice')}
+                      * (100 - {CENTS.format(col='l_discount')})) AS BIGINT) AS total_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, srev.total_c / 10000.0 AS total_revenue
+    FROM supplier s JOIN srev ON srev.l_suppkey = s.s_suppkey
+    WHERE srev.total_c = (SELECT max(total_c) FROM srev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: argmax WITH TIES over a grouped subquery (the
+    view + scalar max). The grouped revenue is computed once; its 1-row
+    max broadcasts back as a filter (never a sort — ties must all
+    survive, and a global sort to find one max is wasted work at
+    scale); supplier broadcasts onto the one-or-few winners."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    srev = li.groupBy("l_suppkey").agg(F.sum(rev).cast("bigint").alias("total_c"))
+    mx = srev.agg(F.max("total_c").alias("mx"))
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_c") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", (F.col("total_c") / 10000.0).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "q20_dominant_suppliers",
+    """
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (SELECT l_partkey, SUM(qty) AS t FROM pq GROUP BY l_partkey)
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (SELECT pq.l_suppkey FROM pq
+                        JOIN tot ON tot.l_partkey = pq.l_partkey
+                        WHERE pq.qty * 5 > tot.t)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: no partsupp table — "availability"
+    becomes shipped share): nested semi-join over aggregate-derived
+    sets. The name-filtered part list broadcasts to narrow lineitem
+    FIRST; per-(part,supplier) and per-part totals are two aggregates
+    on the same l_partkey shuffle key (the second is a near-free
+    re-aggregation); the dominance filter is integer-exact (qty*5 > t, a 20% share),
+    and suppliers semi-join the qualifying set. The fact table is
+    scanned once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    pq = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round("l_quantity", 0).cast("bigint")).alias("qty"))
+    )
+    tot = pq.groupBy("l_partkey").agg(F.sum("qty").alias("t"))
+    dominant = (
+        pq.join(tot, "l_partkey")
+        .filter(F.col("qty") * 5 > F.col("t"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
     "snapshot_diff_orders",
     f"""
     WITH snap_a AS (
