@@ -110,3 +110,42 @@ def test_sequence_matcher_udf_property(spark):
     got = df.select("a", "b", ratio("a", "b").alias("r")).collect()
     for r in got:
         assert abs(r["r"] - SequenceMatcher(None, r["a"], r["b"]).ratio()) < 1e-12
+
+
+ROWS = st.dictionaries(
+    st.integers(min_value=0, max_value=15),            # key
+    st.tuples(st.integers(min_value=0, max_value=3),   # value v
+              st.booleans()),                          # value present?
+    max_size=12,
+)
+
+
+@FEW
+@given(old_rows=ROWS, new_rows=ROWS)
+def test_snapshot_diff_patch_reconstructs_new(spark, old_rows, new_rows):
+    """Applying the diff to the old snapshot reproduces the new one:
+    keep unchanged, take new values for update/insert, drop deletes —
+    for ARBITRARY overlapping keys including null values."""
+    from movievectorsearch_spark.operators.diff import snapshot_diff
+
+    def frame(rows):
+        data = [(k, v if present else None) for k, (v, present) in rows.items()]
+        return spark.createDataFrame(data or [(None, None)], "k INT, v INT").filter(
+            F.col("k").isNotNull()
+        )
+
+    old, new = frame(old_rows), frame(new_rows)
+    d = snapshot_diff(old, new, ["k"], ["v"]).collect()
+
+    # classification is exhaustive and consistent
+    reconstructed = {
+        r["k"]: (r["old_v"] if r["change"] == "unchanged" else r["new_v"])
+        for r in d
+        if r["change"] != "delete"
+    }
+    expected = {k: (v if present else None) for k, (v, present) in new_rows.items()}
+    assert reconstructed == expected
+    # diff(x, x) is all-unchanged
+    assert {r["change"] for r in snapshot_diff(new, new, ["k"], ["v"]).collect()} <= {
+        "unchanged"
+    }
