@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "token_stats",
     "multimodal_meta",
     "multimodal_decode",
+    "sentence_split_udtf",
+    "csv_roundtrip_agg",
 ]
 
 
