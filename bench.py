@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_shipment_priority",
     "revenue_share_by_nation",
     "snapshot_diff_orders",
     "ntile_value_binning",

@@ -2453,6 +2453,238 @@ def q20_dominant_suppliers(spark, sf_dir):
 
 
 @q(
+    "q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(SUM({CENTS.format(col='l.l_extendedprice')} * (100 - {CENTS.format(col='l.l_discount')})) AS BIGINT) / 10000.0 AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_3', 'NATION_8')
+      AND n2.n_name IN ('NATION_3', 'NATION_8')
+      AND n1.n_name <> n2.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: nation-pair trade volume. Both nation dims are
+    filtered to the two named nations BEFORE joining, so the supplier
+    and customer sides shrink to ~2/25 of their rows pre-shuffle; the
+    asymmetric pair condition (both-directions trade, no self-pairs)
+    is a residual `supp_nation <> cust_nation` after two broadcast
+    joins — never a nested loop. lineitem⋈orders is the only real
+    exchange; the year extraction feeds a low-cardinality group-by."""
+    pair = ("NATION_3", "NATION_8")
+    n1 = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n2_nationkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s.join(F.broadcast(n1), s.s_nationkey == n1.n_nationkey)),
+            li.l_suppkey == s.s_suppkey,
+        )
+        .join(
+            F.broadcast(c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_nationkey"))),
+            o.o_custkey == c.c_custkey,
+        )
+        .filter(F.col("n_name") != F.col("cust_nation"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@q(
+    "q8_market_share",
+    f"""
+    SELECT year(o.o_orderdate) AS o_year,
+           round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                               THEN {CENTS.format(col='l.l_extendedprice')} * (100 - {CENTS.format(col='l.l_discount')})
+                               ELSE 0 END) AS DOUBLE)
+                 / SUM({CENTS.format(col='l.l_extendedprice')} * (100 - {CENTS.format(col='l.l_discount')})), 6) AS mkt_share
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'EUROPE'
+      AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's revenue share of a region's market
+    per year. Five broadcast dims (part filtered on type, supplier's
+    nation, customer→nation→region restricted to EUROPE) around the
+    single lineitem⋈orders exchange; the share is a conditional-sum /
+    total-sum ratio in exact integer cents, divided once per group."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cust_region = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    national = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_region), o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(
+            F.broadcast(s.join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))),
+            li.l_suppkey == s.s_suppkey,
+        )
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(F.sum(national).cast("double") / F.sum(rev), 6).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@q(
+    "q9_product_profit",
+    f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(SUM({CENTS.format(col='l.l_extendedprice')} * (100 - {CENTS.format(col='l.l_discount')})
+                    - {CENTS.format(col='p.p_retailprice')} * CAST(l.l_quantity AS BIGINT)) AS BIGINT) / 10000.0 AS profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: no partsupp table, so supply cost is
+    p_retailprice × quantity). Name-LIKE part filter broadcasts first to
+    narrow lineitem before the fact-fact join with orders; supplier and
+    nation broadcast; profit = revenue − cost entirely in integer
+    ten-thousandths so the per-(nation, year) sums are order-exact.
+    Note p_retailprice cents × qty: qty is integral in this corpus, the
+    BIGINT cast keeps the product exact."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = _cents("l_extendedprice") * (100 - _cents("l_discount")) - _cents(
+        "p_retailprice"
+    ) * F.col("l_quantity").cast("bigint")
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg((F.sum(amount) / 10000.0).alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@q(
+    "q12_late_shipment_priority",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: no l_shipmode/l_commitdate columns —
+    the group key is l_returnflag and "late" is shipdate > orderdate
+    + 30 days, as in the Q4 adaptation). The structural point survives:
+    a fact⋈fact equi-join with a cross-table inequality residual, then
+    pivot-style conditional counts (CASE WHEN inside SUM) in one
+    aggregate pass. The shipdate year band is pushed into the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
     "snapshot_diff_orders",
     f"""
     WITH snap_a AS (

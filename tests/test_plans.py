@@ -153,3 +153,37 @@ def test_q22_scalar_agg_is_single_row_broadcast(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q22_dormant_customers")
     assert "CartesianProduct" not in p
     assert "LeftAnti" in p
+
+
+def test_q7_nation_pair_broadcasts(spark, sf_dir):
+    """Q7: both filtered nation sides (supplier's and customer's) must
+    broadcast — the disjunctive pair predicate is a residual filter,
+    never a nested loop; the only exchange is lineitem⋈orders/agg."""
+    p = plan_of(spark, sf_dir, "q7_volume_shipping")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_q8_market_share_semi_join_region(spark, sf_dir):
+    """Q8: the EUROPE customer set reduces to a broadcast semi-join on
+    custkey (projection pruned to the key before broadcast)."""
+    p = plan_of(spark, sf_dir, "q8_market_share")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q9_part_filter_narrows_first(spark, sf_dir):
+    """Q9: the name-LIKE part filter must be pushed to the part scan
+    and broadcast, narrowing lineitem before the orders join."""
+    p = plan_of(spark, sf_dir, "q9_product_profit")
+    assert "Contains(p_name,bolt)" in p  # PushedFilters into the scan
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_q12_residual_inequality_stays_hash_join(spark, sf_dir):
+    """Q12: the cross-table lateness inequality must ride the equi-key
+    as a residual — a hash join on l_orderkey, not a nested loop."""
+    p = plan_of(spark, sf_dir, "q12_late_shipment_priority")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
