@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "q8_market_share",
     "q9_product_profit",
     "q12_late_shipment_priority",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
     "revenue_share_by_nation",
     "snapshot_diff_orders",
     "ntile_value_binning",

@@ -2685,6 +2685,186 @@ def q12_late_shipment_priority(spark, sf_dir):
 
 
 @q(
+    "q2_min_cost_supplier",
+    f"""
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN({CENTS.format(col='l.l_extendedprice')}) AS cost_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    best AS (SELECT l_partkey, MIN(cost_c) AS min_c FROM cost GROUP BY l_partkey)
+    SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey, p.p_type,
+           cost.cost_c / 100.0 AS cost
+    FROM part p
+    JOIN cost ON cost.l_partkey = p.p_partkey
+    JOIN best ON best.l_partkey = p.p_partkey AND cost.cost_c = best.min_c
+    JOIN supplier s ON s.s_suppkey = cost.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'LARGE' AND p.p_size <= 10
+    ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp — "supply cost" is the
+    cheapest observed shipment price per (part, supplier) from
+    lineitem). The correlated min-cost subquery decorrelates exactly as
+    Q15/Q17: the filtered part list broadcasts FIRST to narrow
+    lineitem, per-(part,supp) minima share one shuffle key with the
+    per-part re-aggregation, and the with-ties min filter is an
+    integer-exact equality — no sort, all qualifying suppliers
+    survive. Region restriction rides the supplier broadcast."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    eur_sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = (
+        li.join(F.broadcast(p.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eur_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_type", "s_suppkey", "s_name", "s_acctbal", "nation")
+        .agg(F.min(_cents("l_extendedprice")).alias("cost_c"))
+    )
+    # per-part min via an unordered window over the ALREADY-grouped
+    # (part, supplier) rows — computes `cost` once (a re-agg + self-join
+    # would duplicate the whole fact subtree) and never sorts by cost.
+    min_c = F.min("cost_c").over(Window.partitionBy("p_partkey"))
+    return (
+        cost.withColumn("min_c", min_c)
+        .filter(F.col("cost_c") == F.col("min_c"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "nation",
+            "p_partkey",
+            "p_type",
+            (F.col("cost_c") / 100.0).alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@q(
+    "q11_important_parts",
+    f"""
+    WITH v AS (
+      SELECT l.l_partkey,
+             CAST(SUM({CENTS.format(col='l.l_extendedprice')}) AS BIGINT) AS value_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value_c / 100.0 AS value
+    FROM v
+    WHERE value_c * 1000 > (SELECT SUM(value_c) FROM v)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: no partsupp — "stock value" is total
+    shipped value per part for one nation's suppliers): grouped value +
+    global-fraction HAVING. The scalar total is a 1-row aggregate of
+    the already-grouped values broadcast back as a filter (never
+    recomputed from the fact table), and the threshold compare is
+    integer-exact (value·1000 > total, i.e. a 0.1% share)."""
+    nat_sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.join(F.broadcast(nat_sup), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents("l_extendedprice")).cast("bigint").alias("value_c"))
+    )
+    total = v.agg(F.sum("value_c").alias("total_c"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .select("l_partkey", (F.col("value_c") / 100.0).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@q(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 2, 3, 4, 5)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_name LIKE '%7')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: lineitem is the part↔supplier bridge,
+    name-suffix suppliers stand in for the complaints NOT IN): distinct
+    suppliers per part class with a broadcast anti-join exclusion. The
+    NOT IN subquery becomes a broadcast LEFT ANTI (null-safe here —
+    keys are non-null), the part-class filters broadcast onto the
+    bridge, and COUNT(DISTINCT) expands to a two-phase exact distinct
+    (group by class+suppkey, then count) on one shuffle key family."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    complaints = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(complaints.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@q(
     "snapshot_diff_orders",
     f"""
     WITH snap_a AS (

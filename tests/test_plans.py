@@ -187,3 +187,32 @@ def test_q12_residual_inequality_stays_hash_join(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q12_late_shipment_priority")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q2_single_fact_subtree(spark, sf_dir):
+    """Q2: the with-ties min must come from a window over the grouped
+    result — a re-agg + self-join would scan every table twice."""
+    p = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    # formatted output names each node twice: 5 tables → 10 mentions
+    assert p.count("Scan parquet") <= 10
+    assert "SortMergeJoin" not in p
+
+
+def test_q11_threshold_reuses_grouped_exchange(spark, sf_dir):
+    """Q11: the scalar total and the filter branch share the SAME
+    grouped shuffle — AQE must stitch them with a ReusedExchange so the
+    fact subtree (scan + semi-join + group-by) runs once. Static
+    explain shows two subtrees; the executed plan must not."""
+    df = Q.QUERIES["q11_important_parts"]["spark"](spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("ReusedExchange") >= 1
+    assert "CartesianProduct" not in p
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
+    """Q16: the complaints NOT IN must be a broadcast LEFT ANTI and the
+    distinct count a two-phase aggregate, not a global distinct."""
+    p = plan_of(spark, sf_dir, "q16_supplier_part_counts")
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
