@@ -89,6 +89,11 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "sentence_split_udtf",
     "csv_roundtrip_agg",
+    "events_value_histogram",
+    "corr_qty_discount",
+    "train_test_split",
+    "inverted_index",
+    "tfidf_top_terms",
 ]
 
 

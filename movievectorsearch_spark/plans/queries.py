@@ -3111,6 +3111,269 @@ def csv_roundtrip_agg(spark, sf_dir):
 
 
 @q(
+    "orc_roundtrip_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+           CAST(SUM({CENTS.format(col='l_extendedprice')}) AS BIGINT) / 100.0 AS sum_price,
+           CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def orc_roundtrip_agg(spark, sf_dir):
+    """ORC sink + source (sources/orcio.py): lineitem is written to ORC
+    and read back through the vectorized native reader, then
+    aggregated. DuckDB cannot read ORC, so the oracle runs on the
+    ORIGINAL parquet — a PASS proves the columnar round trip is
+    lossless (doubles, timestamps)."""
+    import tempfile
+
+    from movievectorsearch_spark.sources.orcio import read_orc, write_orc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="spark_graft_orc_") + "/lineitem"
+    write_orc(li, path)
+    back = read_orc(spark, path, li.schema)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            (F.sum(_cents("l_extendedprice")).cast("bigint") / F.lit(100).cast("double")).alias(
+                "sum_price"
+            ),
+            F.sum(F.round("l_quantity", 0).cast("bigint")).cast("bigint").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "events_value_histogram",
+    f"""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS bin_lo,
+           count(*) AS n,
+           CAST(SUM({CENTS.format(col='value')}) AS BIGINT) / 100.0 AS sum_value
+    FROM events
+    GROUP BY bin ORDER BY bin
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width histogram (the profiling twin of ntile_value_binning's
+    equal-frequency bins): bin = floor(value/width) computed inline, so
+    the whole histogram is ONE map-side-combining aggregate — no sort,
+    no window, ~#bins rows shuffled per partition regardless of data
+    size. The per-bin sum is exact integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / 50.0).cast("bigint")
+    return (
+        ev.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("value")).cast("bigint") / F.lit(100).cast("double")).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 50.0).alias("bin_lo"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("bin")
+    )
+
+
+@q(
+    "corr_qty_discount",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)
+                      * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)
+                      * CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(round(l_discount * 100, 0) AS BIGINT)
+                      * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def corr_qty_discount(spark, sf_dir):
+    """Exact-sums Pearson correlation per group. F.corr/covar stream
+    co-moments in float — partition-order-dependent low bits, so two
+    runs (or two engines) disagree in the hash compare. Instead the six
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    exact BIGINTs (qty ≤ ~50, discount-cents ≤ 100: Σxy bounded by
+    5000·rows — inside int64 up to ~10^15 rows) and the correlation is
+    one double expression over exact scalars — bit-identical on any
+    partitioning, any engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round("l_quantity", 0).cast("bigint")
+    y = _cents("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * y).cast("bigint").alias("sxy"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+        F.sum(y * y).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    corr = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr")
+    ).orderBy("l_returnflag")
+
+
+@q(
+    "train_test_split",
+    f"""
+    SELECT CASE WHEN {poly_hash_sql('CAST(doc_id AS VARCHAR)')} % 100 < 80
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents
+    GROUP BY split ORDER BY split
+    """,
+)
+def train_test_split(spark, sf_dir):
+    """Deterministic 80/20 train/test split by content-stable hash —
+    the split a training pipeline must reproduce across runs, engines,
+    and repartitions (a random() split is none of those). The portable
+    polynomial hash (functions/hashing.py) keeps Spark and the oracle
+    bit-identical; at scale the split predicate is a pure map-side
+    expression — no shuffle, no state, append-safe (new docs land in a
+    stable split forever)."""
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        poly_hash(F.col("doc_id").cast("string")) % 100 < 80, "train"
+    ).otherwise("test")
+    return (
+        d.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+@q(
+    "inverted_index",
+    f"""
+    WITH td AS (
+      SELECT doc_id, u.token, count(*) AS tf
+      FROM documents, LATERAL (SELECT unnest({tokens_sql('text')}) AS token) u
+      GROUP BY doc_id, u.token
+    )
+    SELECT token, count(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 8), ',') AS postings_head
+    FROM td
+    GROUP BY token
+    HAVING count(*) >= 5
+    ORDER BY df DESC, token
+    LIMIT 100
+    """,
+)
+def inverted_index(spark, sf_dir):
+    """Inverted-index build (token → document postings), the core
+    data structure of a search/retrieval pipeline. Stage 1 groups by
+    (doc, token) — exact per-doc term frequencies with map-side
+    combine; stage 2 re-groups by token for document frequency, total
+    tf, and a bounded posting-list head (sorted, first 8) so no
+    unbounded list ever materializes in the checked output. Both
+    shuffles carry pre-aggregated rows only."""
+    d = load_table(spark, sf_dir, "documents")
+    td = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        td.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 8), ","
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 5)
+        .orderBy(F.desc("df"), "token")
+        .limit(100)
+    )
+
+
+@q(
+    "tfidf_top_terms",
+    f"""
+    WITH td AS (
+      SELECT doc_id, u.token, count(*) AS tf
+      FROM documents, LATERAL (SELECT unnest({tokens_sql('text')}) AS token) u
+      GROUP BY doc_id, u.token
+    ),
+    df AS (SELECT token, count(*) AS df FROM td GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT td.doc_id, td.token, td.tf, df.df,
+             round(td.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+      FROM td JOIN df ON td.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, token) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    ORDER BY doc_id, score DESC, token
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 terms per document. Term
+    frequencies and document frequencies are exact integer aggregates;
+    the corpus size is a 1-row broadcast; idf = ln(N/df) is computed
+    from exact ints and rounded, so ranking ties (same tf, df) resolve
+    by token in both engines. The per-doc top-3 is a row_number window
+    over the already-aggregated (doc, token) rows — never raw tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    td = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = td.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    score = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        td.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score")
+        .orderBy("doc_id", F.desc("score"), "token")
+    )
+
+
+@q(
     "sentence_split_udtf",
     """
     WITH s AS (

@@ -216,3 +216,21 @@ def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q16_supplier_part_counts")
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_histogram_is_single_aggregate(spark, sf_dir):
+    """Histogram binning must be one map-side-combining aggregate — no
+    window, no sort before the final order-by of ~#bins rows."""
+    p = plan_of(spark, sf_dir, "events_value_histogram")
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_tfidf_window_input_is_aggregated(spark, sf_dir):
+    """TF-IDF top-3: the row_number window partitions by doc over the
+    (doc, token) AGGREGATE — raw exploded tokens must never reach the
+    window, and the corpus size must be a broadcast, not a recompute
+    per row."""
+    p = plan_of(spark, sf_dir, "tfidf_top_terms")
+    assert "HashAggregate" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

@@ -91,3 +91,37 @@ def test_snapshot_diff_classification(spark):
     }
     # null-safe compare: (3, c, NULL) vs (3, c, NULL) is unchanged
     assert got == {1: "delete", 2: "update", 3: "unchanged", 4: "insert"}
+
+
+def test_train_test_split_is_deterministic_partition(spark, sf_dir):
+    """The hash split must (a) partition the corpus exactly, (b) be
+    reproducible run-to-run, (c) land near 80/20."""
+    from movievectorsearch_spark.catalog import load_table
+
+    rows = {r["split"]: r for r in
+            Q.QUERIES["train_test_split"]["spark"](spark, sf_dir).collect()}
+    total = load_table(spark, sf_dir, "documents").count()
+    assert rows["train"]["n_docs"] + rows["test"]["n_docs"] == total
+    again = {r["split"]: r["n_docs"] for r in
+             Q.QUERIES["train_test_split"]["spark"](spark, sf_dir).collect()}
+    assert again == {k: v["n_docs"] for k, v in rows.items()}
+    assert 0.6 * total <= rows["train"]["n_docs"] <= 0.95 * total
+
+
+def test_corr_matches_spark_builtin_loosely(spark, sf_dir):
+    """The exact-sums Pearson formula must agree with F.corr to float
+    tolerance (the builtin is order-dependent in low bits, which is WHY
+    the registry entry doesn't use it — but they estimate the same
+    statistic)."""
+    import pyspark.sql.functions as F
+    from movievectorsearch_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    builtin = {
+        r["l_returnflag"]: r["c"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.corr(F.round("l_quantity", 0), F.round(F.col("l_discount") * 100, 0)).alias("c"))
+        .collect()
+    }
+    for r in Q.QUERIES["corr_qty_discount"]["spark"](spark, sf_dir).collect():
+        assert abs(r["corr"] - builtin[r["l_returnflag"]]) < 1e-6, r
