@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "train_test_split",
     "inverted_index",
     "tfidf_top_terms",
+    "impute_mode",
+    "events_outliers",
+    "events_ewma",
 ]
 
 

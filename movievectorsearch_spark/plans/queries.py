@@ -1776,6 +1776,160 @@ def impute_median(spark, sf_dir):
     )
 
 
+@q(
+    "impute_mode",
+    """
+    WITH c AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang AS mode_lang, n AS n_docs
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY n DESC, lang) AS rk FROM c)
+    WHERE rk = 1
+    ORDER BY source
+    """,
+)
+def impute_mode(spark, sf_dir):
+    """Deterministic per-group mode (the categorical twin of
+    impute_median): most frequent lang per source, ties broken
+    alphabetically. F.mode() leaves ties implementation-defined, so the
+    mode is computed as count → argmax window with an explicit
+    tie-break — same answer on any engine, any partitioning. The window
+    input is the (source, lang) AGGREGATE (tiny), never raw rows."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("mode_lang"), F.col("n").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+@q(
+    "events_outliers",
+    f"""
+    WITH x AS (
+      SELECT event_type, {CENTS.format(col='value')} AS c FROM events
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(SUM(c) AS BIGINT) AS sx,
+             CAST(SUM(c * c) AS BIGINT) AS sxx
+      FROM x GROUP BY event_type
+    ),
+    st AS (
+      SELECT event_type, n, sx, sxx,
+             CAST(sx AS DOUBLE) / n AS mean_c,
+             sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  / (CAST(n AS DOUBLE) * (n - 1))) AS std_c
+      FROM s WHERE n > 1
+    )
+    SELECT x.event_type,
+           count(*) AS n_outliers,
+           round(min(x.c) / 100.0, 6) AS min_outlier,
+           round(max(x.c) / 100.0, 6) AS max_outlier
+    FROM x JOIN st ON x.event_type = st.event_type
+    WHERE abs(CAST(x.c AS DOUBLE) - st.mean_c) > 2.0 * st.std_c
+    GROUP BY x.event_type
+    ORDER BY x.event_type
+    """,
+)
+def events_outliers(spark, sf_dir):
+    """Z-score outlier detection per group — the numeric-quality gate of
+    a training pipeline. Per-type mean/std come from exact BIGINT sums
+    (n, Σx, Σx²), so the derived doubles — and therefore the outlier
+    PREDICATE at its boundary — are bit-identical on any partitioning
+    and any engine (IEEE +,-,*,/,sqrt are correctly rounded; both sides
+    spell the formula in the same op order). Two passes over events:
+    stats (tiny, broadcast back) then filter+count — the fact table is
+    never shuffled by value."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select("event_type", _cents("value").alias("c"))
+    s = x.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    st = s.filter(F.col("n") > 1).select(
+        "event_type",
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_c"),
+        F.sqrt(
+            (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+            / (nd * (F.col("n") - 1))
+        ).alias("std_c"),
+    )
+    return (
+        x.join(F.broadcast(st), "event_type")
+        .filter(
+            F.abs(F.col("c").cast("double") - F.col("mean_c"))
+            > 2.0 * F.col("std_c")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_outliers"),
+            F.round(F.min("c") / 100.0, 6).alias("min_outlier"),
+            F.round(F.max("c") / 100.0, 6).alias("max_outlier"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "events_ewma",
+    f"""
+    WITH ordered AS (
+      SELECT user_id,
+             list(CAST({CENTS.format(col='value')} AS DOUBLE)
+                  ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, len(vals) AS n_events,
+           round(list_reduce(vals, (acc, v) -> acc * 0.8 + v * 0.2), 6) AS ewma
+    FROM ordered ORDER BY user_id
+    """,
+)
+def events_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average per user — the recursive
+    time-series operator no window frame expresses (each step depends
+    on the previous ACCUMULATOR, not previous rows). Implemented as an
+    ordered fold: collect each user's values time-ordered (ties broken
+    by event_id), then a linear higher-order aggregate seeded with the
+    first element — the exact op sequence both engines run, so results
+    are bit-identical. Per-user history must fit one task (same
+    contract as any per-key collect); for unbounded streams the
+    stateful streaming tier (applyInPandasWithState) is the scale
+    path. The fold references acc/v once each — no interpreted-HOF
+    blowup (see word_shingles)."""
+    e = load_table(spark, sf_dir, "events")
+    ordered = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), _cents("value").cast("double").alias("c")
+            ).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("rec")).alias("recs"))
+        .select(
+            "user_id",
+            F.transform(F.col("recs"), lambda r: r["c"]).alias("vals"),
+        )
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, v: acc * 0.8 + v * 0.2,
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    ).orderBy("user_id")
+
+
 @q("stratified_sample", None)
 def stratified_sample(spark, sf_dir):
     """Stratified sampling (``sampleBy`` — per-stratum Bernoulli with a

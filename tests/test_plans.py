@@ -234,3 +234,21 @@ def test_tfidf_window_input_is_aggregated(spark, sf_dir):
     p = plan_of(spark, sf_dir, "tfidf_top_terms")
     assert "HashAggregate" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_outliers_stats_broadcast_back(spark, sf_dir):
+    """Outlier filter: per-type stats must broadcast back onto events —
+    the fact side is never shuffled by value; two aggregate levels
+    (stats, then outlier counts) with a broadcast join between."""
+    p = plan_of(spark, sf_dir, "events_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ewma_fold_is_single_shuffle(spark, sf_dir):
+    """EWMA: one exchange (the per-user collect); the fold itself is a
+    projection over the collected array — no window, no second
+    shuffle."""
+    p = plan_of(spark, sf_dir, "events_ewma")
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert "Window" not in p
