@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "impute_mode",
     "events_outliers",
     "events_ewma",
+    "events_funnel",
+    "events_cohort_retention",
 ]
 
 

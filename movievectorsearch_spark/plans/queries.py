@@ -1930,6 +1930,105 @@ def events_ewma(spark, sf_dir):
     ).orderBy("user_id")
 
 
+@q(
+    "events_funnel",
+    """
+    WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN t1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= t1.t1 GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN t2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= t2.t2 GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM t1) AS n_view,
+           (SELECT count(*) FROM t2) AS n_click_after_view,
+           (SELECT count(*) FROM t3) AS n_purchase_after_click
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Sequential funnel (view → click-after-view → purchase-after-
+    click): the ordered-sequence operator of event analytics. The
+    relational form (oracle) needs one fact join per stage; the Spark
+    plan collects each user's time-ordered events ONCE and resolves
+    every stage with array expressions — each stage timestamp is
+    projected as a named column before the next stage references it, so
+    the interpreted HOF filter never re-derives a prior stage per
+    element (see word_shingles). One shuffle total, any number of
+    funnel stages."""
+    e = load_table(spark, sf_dir, "events")
+    recs = (
+        e.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_type").alias("et")).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("rec")).alias("recs"))
+    )
+
+    def first_at_or_after(kind, lower):
+        hits = F.filter(
+            F.col("recs"), lambda r: (r["et"] == kind) & (r["ts"] >= lower)
+        )
+        return F.when(F.size(hits) > 0, F.element_at(hits, 1)["ts"])
+
+    staged = (
+        recs.withColumn(
+            "t1",
+            F.element_at(
+                F.filter(F.col("recs"), lambda r: r["et"] == "view"), 1
+            )["ts"],
+        )
+        .withColumn(
+            "t2", F.when(F.col("t1").isNotNull(), first_at_or_after("click", F.col("t1")))
+        )
+        .withColumn(
+            "t3", F.when(F.col("t2").isNotNull(), first_at_or_after("purchase", F.col("t2")))
+        )
+    )
+    return staged.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_after_view"),
+        F.count("t3").alias("n_purchase_after_click"),
+    )
+
+
+@q(
+    "events_cohort_retention",
+    """
+    WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+    SELECT strftime(f.first_ts, '%Y-%m') AS cohort,
+           CAST(floor((epoch(e.ts) - epoch(f.first_ts)) / 604800.0) AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN f USING (user_id)
+    GROUP BY cohort, week_offset
+    ORDER BY cohort, week_offset
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen month, one
+    row per (cohort, weeks-since-first-event) with active-user counts.
+    Week offsets are raw epoch arithmetic (floor(Δs/604800)) — no
+    calendar week-truncation, whose week-start convention differs
+    across engines. Per-user first-seen is a grouped min broadcast back
+    onto events (the fact side keeps its partitioning); the distinct
+    count is the standard two-phase expansion."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    week = F.floor(
+        (F.unix_timestamp("ts") - F.unix_timestamp("first_ts")) / 604800.0
+    ).cast("bigint")
+    return (
+        e.join(F.broadcast(f), "user_id")
+        .groupBy(
+            F.date_format("first_ts", "yyyy-MM").alias("cohort"),
+            week.alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort", "week_offset")
+    )
+
+
 @q("stratified_sample", None)
 def stratified_sample(spark, sf_dir):
     """Stratified sampling (``sampleBy`` — per-stratum Bernoulli with a

@@ -252,3 +252,11 @@ def test_ewma_fold_is_single_shuffle(spark, sf_dir):
     p = plan_of(spark, sf_dir, "events_ewma")
     assert p.count("Exchange hashpartitioning") <= 1
     assert "Window" not in p
+
+
+def test_funnel_single_shuffle_any_stage_count(spark, sf_dir):
+    """Funnel: all stages resolve from ONE per-user collect — the
+    relational form would join the fact table once per stage."""
+    p = plan_of(spark, sf_dir, "events_funnel")
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in p
