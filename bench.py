@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "events_ewma",
     "events_funnel",
     "events_cohort_retention",
+    "ab_test_zstat",
+    "clustered_scan_agg",
 ]
 
 

@@ -2029,6 +2029,86 @@ def events_cohort_retention(spark, sf_dir):
     )
 
 
+@q(
+    "ab_test_zstat",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             {poly_hash_sql('CAST(user_id AS VARCHAR)')} % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b
+      FROM u
+    )
+    SELECT n_a, n_b, c_a, c_b,
+           round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+    FROM s
+    """,
+)
+def ab_test_zstat(spark, sf_dir):
+    """Two-proportion z-test over a deterministic hash assignment — the
+    experiment-analysis primitive of an event pipeline. Arms come from
+    the portable polynomial hash (stable across runs/engines, like
+    train_test_split); conversion (a
+    high-value purchase) and exposure counts are exact BIGINTs; the
+    z statistic is one fixed-order double expression over those exact
+    scalars, so it hash-matches across engines. Plan: per-user
+    conversion agg (one shuffle) → single-row conditional sums →
+    scalar math."""
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 150), 1
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            (poly_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+            "converted",
+        )
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (ra - rb) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+    )
+
+
 @q("stratified_sample", None)
 def stratified_sample(spark, sf_dir):
     """Stratified sampling (``sampleBy`` — per-stratum Bernoulli with a
@@ -3623,6 +3703,45 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "tf", "df", "score")
         .orderBy("doc_id", F.desc("score"), "token")
+    )
+
+
+@q(
+    "clustered_scan_agg",
+    f"""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM({CENTS.format(col='value')}) AS BIGINT) / 100.0 AS sum_value
+    FROM events
+    WHERE value >= 100 AND value < 110
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def clustered_scan_agg(spark, sf_dir):
+    """Sort-clustered layout (sources/layout.py): events re-written
+    range-partitioned + sorted on `value`, then a range filter
+    aggregates over the clustered copy. The oracle runs on the ORIGINAL
+    parquet — a PASS proves the re-layout is lossless; the row-group
+    skipping the layout exists for is asserted with scan metrics in
+    tests/test_layout.py (clustered scan reads a fraction of the rows,
+    random layout reads all of them)."""
+    import tempfile
+
+    from movievectorsearch_spark.sources.layout import write_sort_clustered
+
+    e = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="spark_graft_cluster_") + "/events"
+    write_sort_clustered(e, path, "value")
+    return (
+        spark.read.parquet(path)
+        .filter((F.col("value") >= 100) & (F.col("value") < 110))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("value")).cast("bigint") / F.lit(100).cast("double")).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("event_type")
     )
 
 
