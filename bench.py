@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_cohort_retention",
     "ab_test_zstat",
+    "events_range_frame",
     "clustered_scan_agg",
 ]
 

@@ -1531,6 +1531,49 @@ def events_window_frames(spark, sf_dir):
 
 
 @q(
+    "events_range_frame",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch(ts)::BIGINT AS sec,
+                      CAST(round(value * 100, 0) AS BIGINT) AS cents
+               FROM events)
+    SELECT user_id, event_id,
+           count(*) OVER f AS n_last_hour,
+           CAST(SUM(cents) OVER f AS BIGINT) AS cents_last_hour
+    FROM e
+    WINDOW f AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def events_range_frame(spark, sf_dir):
+    """RANGE (value-based) window frame — per event, activity in the
+    PRECEDING HOUR of the same user. Physically distinct from the ROWS
+    frames of events_window_frames: the frame edge slides by ordering
+    VALUE, not row count, so peer rows (equal timestamps) enter the
+    frame together — both engines agree because the frame is defined on
+    exact integer epoch seconds, sidestepping interval-type frame
+    semantics that differ across dialects. Same single (user_id)
+    exchange as any per-user window."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(f).alias("n_last_hour"),
+        F.sum("cents").over(f).cast("bigint").alias("cents_last_hour"),
+    ).orderBy("user_id", "event_id")
+
+
+@q(
     "events_value_percentiles",
     """
     SELECT event_type,
