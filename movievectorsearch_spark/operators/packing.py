@@ -1,0 +1,109 @@
+"""Sequence packing for LLM training pipelines.
+
+Pretraining dataloaders do not pad one document per context window —
+they concatenate the token stream of the whole corpus (in a fixed,
+reproducible document order) and cut it into fixed-size chunks, letting
+documents straddle chunk boundaries. The operator that drives this is a
+GLOBAL ORDERED PREFIX SUM of per-document token counts: once every
+document knows its start offset in the concatenated stream, its chunk
+span is pure arithmetic.
+
+The naive Spark expression — ``F.sum(tok).over(Window.orderBy(id))`` —
+is a correctness trap at scale: a window with a global ORDER BY and no
+PARTITION BY collapses the whole table into ONE partition (Spark even
+warns ``WindowExec: No Partition Defined``). At 100 TB that is a
+single-task sort of the corpus. The textbook distributed fix, encoded
+here, is the two-phase scan:
+
+1. range-partition by the order key (parallel sort, N partitions),
+2. per-partition local prefix sums (parallel, one window per
+   partition keyed by ``spark_partition_id()``),
+3. a TINY side table of per-partition totals (N rows) gets its own
+   prefix sum (cheap — N = number of partitions, not rows) and is
+   broadcast back to shift each partition's local sums by the sum of
+   everything before it.
+
+The result is deterministic and partitioning-independent: range
+boundaries come from sampling, but moving a row between adjacent range
+partitions changes ``_local`` and ``_off`` by exactly offsetting
+amounts. No O(corpus) data ever moves through a single task.
+
+The reference has no packing operator (it embeds one document per
+vector — movie_generator.py:425-450); this is part of the
+training-data tier SURVEY.md §7 step 8 calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["global_prefix_sum", "pack_sequences"]
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out: str = "offset",
+    num_parts: int = 32,
+) -> DataFrame:
+    """Exclusive prefix sum of ``val_col`` in global ``order_col`` order,
+    without ever funnelling the data through one partition.
+
+    ``out`` = sum of ``val_col`` over all rows strictly before this row
+    in ``order_col`` order. ``order_col`` must be unique.
+    """
+    d = df.repartitionByRange(num_parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    d = d.withColumn(
+        "_local", F.sum(val_col).over(w).cast("bigint") - F.col(val_col)
+    )
+    totals = d.groupBy("_pid").agg(F.sum(val_col).cast("bigint").alias("_tot"))
+    # N-rows-tall side table: its global window is a single task over
+    # `num_parts` rows, which is the point of the two-phase scan.
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(wp), F.lit(0)).alias("_off")
+    )
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(out, (F.col("_local") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    num_parts: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk packing: assign each document its span of
+    fixed-``budget`` training chunks in the concatenated token stream.
+
+    Adds ``start_off`` (first token's global offset), ``chunk_first`` /
+    ``chunk_last`` (ids of the chunks this document touches, where
+    chunk ``i`` covers token offsets ``[i*budget, (i+1)*budget)``), and
+    ``n_chunks``. Documents straddle boundaries by design — that is
+    what packing means; empty documents are treated as 1 token so every
+    document lands in exactly one chunk.
+    """
+    tok = F.greatest(F.col(token_col), F.lit(1))
+    d = global_prefix_sum(
+        docs.withColumn(token_col, tok), order_col, token_col, "start_off", num_parts
+    )
+    end: Column = F.col("start_off") + F.col(token_col) - 1
+    return (
+        d.withColumn(
+            "chunk_first", F.floor(F.col("start_off") / budget).cast("bigint")
+        )
+        .withColumn("chunk_last", F.floor(end / budget).cast("bigint"))
+        .withColumn(
+            "n_chunks", (F.col("chunk_last") - F.col("chunk_first") + 1).cast("bigint")
+        )
+    )

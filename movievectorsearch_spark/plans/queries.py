@@ -39,6 +39,7 @@ from movievectorsearch_spark.functions.text import (
     clean_text,
     normalize_key,
     slug_id,
+    token_count,
     tokens,
     tokens_sql,
 )
@@ -2150,6 +2151,211 @@ def ab_test_zstat(spark, sf_dir):
         F.round(rb, 6).alias("rate_b"),
         F.round(z, 6).alias("z"),
     )
+
+
+@q(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             greatest(len({tokens_sql('text')}), 1) AS tok
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, tok,
+             CAST(coalesce(SUM(tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_off
+      FROM t
+    )
+    SELECT doc_id, tok, start_off,
+           CAST(floor(start_off / 512.0) AS BIGINT) AS chunk_first,
+           CAST(floor((start_off + tok - 1) / 512.0) AS BIGINT) AS chunk_last,
+           CAST(floor((start_off + tok - 1) / 512.0)
+                - floor(start_off / 512.0) + 1 AS BIGINT) AS n_chunks
+    FROM o ORDER BY doc_id
+    """,
+)
+def pack_sequences_query(spark, sf_dir):
+    """Training-sequence packing (concat-and-chunk): every document's
+    span of 512-token training chunks in the corpus-order concatenated
+    token stream. The engine op is a GLOBAL ORDERED PREFIX SUM done the
+    distributed way — range partition, per-partition local cumsum, tiny
+    per-partition-totals table broadcast back (operators/packing.py) —
+    never the one-partition `Window.orderBy(id)` trap the oracle SQL is
+    allowed to use at sf0.01. Chunk spans are arithmetic on the offsets;
+    documents straddle chunk boundaries by design (that IS packing)."""
+    from movievectorsearch_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("tok")
+    )
+    return pack_sequences(d, "tok", "doc_id", budget=512).orderBy("doc_id")
+
+
+@q(
+    "weighted_sample_priority",
+    f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars AS DOUBLE)
+               / ((({poly_hash_sql("CAST(doc_id AS VARCHAR)")}) + 1)
+                  / {float(P + 1)!r}) AS prio
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(prio, 6) AS prio
+    FROM s ORDER BY s.prio DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_priority(spark, sf_dir):
+    """Priority sampling (Duffield–Lund–Thorup, JACM '07): weight-
+    proportional top-k sample with priorities ``w / u``, where ``u`` is
+    a deterministic hash-derived uniform in (0,1] — longer documents
+    are proportionally likelier to be kept, and the sample is
+    reproducible across runs AND engines (both sides compute the same
+    two IEEE-exact divisions; no transcendentals, unlike the
+    exp-sort formulation). The corpus-rebalancing primitive a training
+    pipeline uses when strata are continuous (length, quality score)
+    rather than categorical (cf. stratified_sample). Plan: scan →
+    per-row arithmetic → TakeOrderedAndProject — no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (poly_hash(F.col("doc_id").cast("string")) + 1) / F.lit(float(P + 1))
+    prio = F.col("n_chars").cast("double") / u
+    return (
+        d.select("doc_id", "n_chars", prio.alias("_prio"))
+        .orderBy(F.desc("_prio"), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("_prio", 6).alias("prio"))
+    )
+
+
+@q(
+    "events_cum_distinct_users",
+    """
+    WITH d AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS day, user_id
+               FROM events)
+    SELECT DISTINCT event_type, strftime(day, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY day)
+             AS cum_users
+    FROM d ORDER BY event_type, day
+    """,
+)
+def events_cum_distinct_users(spark, sf_dir):
+    """Cumulative distinct users per event type by day — the audience-
+    growth curve. Spark does not support COUNT(DISTINCT) OVER a running
+    frame (the oracle uses DuckDB's native form, making this a genuine
+    cross-formulation check); the scalable identity used here is
+    first-occurrence decomposition: distinct-to-date(day) == Σ users
+    whose FIRST day ≤ day. Per-(type,user) min-day agg → per-day
+    new-user counts → left join onto the observed day grid → running
+    sum per type. Every stage is partition-parallel on event_type /
+    user_id; no state grows with history."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    days = e.select("event_type", "day").distinct()
+    firsts = e.groupBy("event_type", "user_id").agg(F.min("day").alias("day"))
+    new_users = firsts.groupBy("event_type", "day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        days.join(new_users, ["event_type", "day"], "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@q(
+    "null_safe_director_join",
+    f"""
+    {FILMS_CTE},
+    a AS (SELECT director, count(*) AS n FROM films GROUP BY director),
+    b AS (SELECT director, round(avg(year), 6) AS avg_year
+          FROM films GROUP BY director)
+    SELECT a.director, a.n, b.avg_year
+    FROM a JOIN b ON a.director IS NOT DISTINCT FROM b.director
+    ORDER BY a.director NULLS FIRST
+    """,
+)
+def null_safe_director_join(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): two grouped
+    views of films joined on a NULLABLE key (director is NULL for every
+    doc_id % 10 == 0 row — catalog.films_view), so the NULL group
+    survives the join as a real key instead of vanishing, matching the
+    reference's document-model reads where an absent field is still a
+    groupable value (search.py:51). Catalyst plans `<=>` as an ordinary
+    hash-join key (null-safe comparison in the hash), not a cross
+    product."""
+    f = films_view(spark, sf_dir)
+    a = f.groupBy("director").agg(F.count("*").alias("n"))
+    b = f.groupBy("director").agg(F.round(F.avg("year"), 6).alias("avg_year"))
+    return (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.director").eqNullSafe(F.col("b.director")))
+        .select(F.col("a.director"), "n", "avg_year")
+        .orderBy(F.asc_nulls_first("a.director"))
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d{1,3}-\d{3}-\d{4}"
+
+
+@q(
+    "pii_redact",
+    f"""
+    WITH n AS (
+      SELECT doc_id,
+             'contact user' || doc_id::VARCHAR || '@example.com or call +1-555-'
+               || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' re: ' || text AS note
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(note, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(note, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(note, '{_PHONE_RE}')) AS n_phones
+    FROM n ORDER BY doc_id
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII scrubbing — the compliance pass every training-data pipeline
+    runs before tokenization: regex redaction of emails and phone
+    numbers plus per-document match accounting. Deterministic synthetic
+    PII is spliced into each document (the driver corpus contains
+    none), then redacted with the same RE2-compatible patterns on both
+    engines; the real text rides along to prove no false positives.
+    Pure per-row regexp_replace/regexp_count — JVM codegen, no UDF, no
+    shuffle; at 100 TB this is a map-only pass that saturates scan
+    bandwidth."""
+    d = load_table(spark, sf_dir, "documents")
+    note = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.col("text"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(note, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.regexp_count(note, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(note, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+    ).orderBy("doc_id")
 
 
 @q("stratified_sample", None)

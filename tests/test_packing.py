@@ -1,0 +1,72 @@
+"""Distributed prefix-sum / sequence-packing invariants
+(operators/packing.py). The oracle parity test already hash-checks
+pack_sequences against DuckDB's single-window cumsum; these tests pin
+the properties that make the two-phase formulation trustworthy at
+scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movievectorsearch_spark.catalog import load_table
+from movievectorsearch_spark.functions.text import token_count
+from movievectorsearch_spark.operators.packing import (
+    global_prefix_sum,
+    pack_sequences,
+)
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("tok")
+    )
+
+
+def test_prefix_sum_matches_naive_global_window(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    got = {
+        r.doc_id: r.off
+        for r in global_prefix_sum(d, "doc_id", "tok", "off", num_parts=7).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.doc_id: r.off or 0
+        for r in d.select("doc_id", F.sum("tok").over(w).alias("off")).collect()
+    }
+    assert got == want
+
+
+def test_prefix_sum_independent_of_partition_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = global_prefix_sum(d, "doc_id", "tok", "off", num_parts=3).collect()
+    b = global_prefix_sum(d, "doc_id", "tok", "off", num_parts=32).collect()
+    assert {(r.doc_id, r.off) for r in a} == {(r.doc_id, r.off) for r in b}
+
+
+def test_pack_covers_stream_contiguously(spark, sf_dir):
+    rows = pack_sequences(_docs(spark, sf_dir), "tok", "doc_id", 512).collect()
+    rows.sort(key=lambda r: r.doc_id)
+    off = 0
+    for r in rows:
+        assert r.start_off == off, "gap or overlap in the token stream"
+        assert r.n_chunks >= 1
+        assert r.chunk_first == r.start_off // 512
+        assert r.chunk_last == (r.start_off + r.tok - 1) // 512
+        off += r.tok
+
+
+def test_per_partition_windows_not_global(spark, sf_dir):
+    """The O(corpus) window must run per range-partition (keyed by
+    _pid), never as one global sort task; the only unpartitioned pieces
+    are the N-row totals table's window and the final presentation
+    sort. RangePartitioning in the plan proves the parallel sort."""
+    d = _docs(spark, sf_dir)
+    plan = (
+        global_prefix_sum(d, "doc_id", "tok", "off", num_parts=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "windowspecdefinition(_pid" in plan.replace(" ", "").lower()
