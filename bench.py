@@ -102,6 +102,12 @@ BENCH_QUERIES = [
     "ab_test_zstat",
     "events_range_frame",
     "clustered_scan_agg",
+    "pack_sequences",
+    "weighted_sample_priority",
+    "events_cum_distinct_users",
+    "pii_redact",
+    "distinct_rollup_hll",
+    "jsonl_roundtrip_agg",
 ]
 
 

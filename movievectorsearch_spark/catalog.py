@@ -53,9 +53,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanos under spark.sql.legacy.parquet.nanosAsLong (session.py).
         # Truncate to micros — the same thing DuckDB's epoch_us does —
         # so both engines see identical timestamps.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # `div` (integer division), NOT `floor(ts / 1000)`: the latter
+        # divides in DOUBLE, whose ulp at 2024-epoch nanos (~1.7e18) is
+        # ~256 ns — enough to round some values up a whole microsecond.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

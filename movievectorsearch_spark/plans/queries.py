@@ -3731,6 +3731,46 @@ def orc_roundtrip_agg(spark, sf_dir):
 
 
 @q(
+    "jsonl_roundtrip_agg",
+    f"""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM({CENTS.format(col='value')}) AS BIGINT) AS sum_cents,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def jsonl_roundtrip_agg(spark, sf_dir):
+    """JSON-lines sink + schema-enforced source (sources/jsonio.py):
+    events — timestamps, doubles, and a JSON-string column — written as
+    one object per line and read back with an explicit schema (no
+    inference pass), then aggregated. The oracle runs on the ORIGINAL
+    parquet, and the output includes per-group min/max timestamps at
+    microsecond precision, so a PASS proves the round trip is lossless
+    for doubles (shortest round-trip serialization) and timestamps
+    (explicit micros format, not the truncating default)."""
+    import tempfile
+
+    from movievectorsearch_spark.sources.jsonio import read_jsonl, write_jsonl
+
+    e = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="spark_graft_jsonl_") + "/events"
+    write_jsonl(e, path)
+    back = read_jsonl(spark, path, e.schema)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_cents("value")).cast("bigint").alias("sum_cents"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("min_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
     "events_value_histogram",
     f"""
     SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
@@ -4227,6 +4267,45 @@ def approx_distinct_users(spark, sf_dir):
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+@q("distinct_rollup_hll")
+def distinct_rollup_hll(spark, sf_dir):
+    """Rows-only: PERSISTABLE distinct-count rollup — one HLL sketch
+    per (event_type, day), unioned across days per event_type
+    (operators/sketch.py hll_rollup). Unlike approx_count_distinct's
+    internal partials, these sketches are values you can store with a
+    daily partition and fold over any date range later without
+    rescanning the fact table — the 100 TB pattern for distinct-count
+    dashboards. tests/test_sketch.py bounds the estimate against the
+    exact count (engine-specific sketch → no DuckDB hash-compare)."""
+    from movievectorsearch_spark.operators.sketch import hll_rollup
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    return hll_rollup(e, ["event_type"], "day", "user_id").orderBy("event_type")
+
+
+@q("heavy_hitters_cms")
+def heavy_hitters_cms(spark, sf_dir):
+    """Rows-only: count-min-sketch frequency screening. One fixed-size
+    mergeable sketch summarizes the event stream; the candidate keys'
+    estimated counts ride next to their exact counts (estimate ≥ exact,
+    ≤ exact + ε·N — bounded in tests/test_sketch.py). At scale the
+    sketch screens candidates in one pass so the exact pass only
+    aggregates the few survivors."""
+    from movievectorsearch_spark.operators.sketch import cms_build, cms_estimate
+
+    e = load_table(spark, sf_dir, "events")
+    sketch = cms_build(e, "event_type", eps=0.001)
+    exact = e.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    est = [
+        (r["event_type"], cms_estimate(spark, sketch, r["event_type"]))
+        for r in exact.select("event_type").collect()
+    ]
+    est_df = spark.createDataFrame(est, "event_type string, cms_n bigint")
+    return exact.join(est_df, "event_type").orderBy("event_type")
 
 
 # ===========================================================================
