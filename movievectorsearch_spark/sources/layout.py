@@ -23,9 +23,15 @@ actually read from a clustered vs unclustered layout).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-__all__ = ["write_sort_clustered", "scan_output_rows"]
+__all__ = [
+    "write_sort_clustered",
+    "write_zorder_clustered",
+    "morton_interleave",
+    "scan_output_rows",
+]
 
 
 def write_sort_clustered(
@@ -45,6 +51,82 @@ def write_sort_clustered(
     (
         df.repartitionByRange(num_files, cluster_by)
         .sortWithinPartitions(cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+# classic 64-bit mask ladder spreading a ≤31-bit value onto every 2nd
+# bit position (each step doubles the gap between occupied bit groups)
+_SPREAD_MASKS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _spread_bits(col: Column) -> Column:
+    """Spread a ≤31-bit value so its bits occupy every 2nd position —
+    pure shift/mask arithmetic, stays inside whole-stage codegen."""
+    x = col.bitwiseAND(F.lit(0x7FFFFFFF))
+    for shift, mask in _SPREAD_MASKS:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton_interleave(a: Column, b: Column) -> Column:
+    """Morton (Z-order) interleave of two ≤31-bit non-negative ints.
+
+    Adjacent Morton values are adjacent in BOTH dimensions, so sorting
+    by this key gives every file/row-group a narrow min/max range on
+    EACH input column simultaneously — which is what lets parquet
+    stats prune on either predicate. Inputs must already be scaled to
+    comparable bit widths (``write_zorder_clustered`` does this); a raw
+    interleave of a 13-bit id with a 21-bit measure would let the wide
+    column dominate every split and the narrow one prune nothing.
+    """
+    return _spread_bits(a).bitwiseOR(F.shiftleft(_spread_bits(b), 1))
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 16,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-order-clustered on TWO high-cardinality columns.
+
+    Single-column sort-clustering makes one dimension prunable and
+    leaves the other unsorted (its per-file min/max spans everything).
+    Z-ordering scales both columns onto a common ``bits``-wide grid
+    (min/max from one tiny agg — the same stats pass any table format's
+    OPTIMIZE ZORDER runs), interleaves the bits, and range-partitions +
+    sorts by the interleaved key. Each output file then owns a Z-box:
+    narrow in BOTH dimensions, so range filters on either column (or
+    both) skip most files. tests/test_layout.py proves it with scan
+    metrics against the single-column layout."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+
+    def scaled(col: str, lo, hi) -> Column:
+        span = float(hi - lo) or 1.0
+        return (
+            ((F.col(col) - F.lit(lo)) / F.lit(span) * F.lit((1 << bits) - 1))
+            .cast("bigint")
+        )
+
+    z = morton_interleave(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b))
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
         .write.mode(mode)
         .parquet(path)
     )
