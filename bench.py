@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "pii_redact",
     "distinct_rollup_hll",
     "jsonl_roundtrip_agg",
+    "zorder_scan_agg",
+    "grouping_sets_lang_source",
+    "events_rank_functions",
 ]
 
 

@@ -2671,6 +2671,115 @@ def cube_lang_source(spark, sf_dir):
 
 
 @q(
+    "grouping_sets_lang_source",
+    """
+    SELECT lang, source,
+           CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+           CAST(GROUPING(source) AS BIGINT) AS g_source,
+           count(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST
+    """,
+)
+def grouping_sets_lang_source(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form ROLLUP
+    (`rollup_status_priority`) and CUBE (`cube_lang_source`) are sugar
+    over: exactly the (lang), (source), and grand-total sets, with
+    GROUPING() flags to tell a real NULL from a superaggregate NULL.
+    One Expand + one shuffle regardless of how many sets — the rows
+    multiply map-side (3× here), never rescan."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupingSets([["lang"], ["source"], []], "lang", "source")
+        .agg(
+            F.grouping("lang").cast("bigint").alias("g_lang"),
+            F.grouping("source").cast("bigint").alias("g_source"),
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select("lang", "source", "g_lang", "g_source", "n", "sum_chars")
+        .orderBy(
+            "g_lang",
+            "g_source",
+            F.asc_nulls_first("lang"),
+            F.asc_nulls_first("source"),
+        )
+    )
+
+
+@q(
+    "events_rank_functions",
+    f"""
+    WITH u AS (
+      SELECT event_type, user_id,
+             CAST(SUM({CENTS.format(col='value')}) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, cents,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM u
+    WINDOW w AS (PARTITION BY event_type ORDER BY cents DESC)
+    ORDER BY event_type, cents DESC, user_id
+    """,
+)
+def events_rank_functions(spark, sf_dir):
+    """The full ranking-function family (rank / dense_rank /
+    percent_rank / cume_dist) over per-user spend within each event
+    type — deliberately ordered ONLY by the measure so ties exercise
+    the gap (rank), no-gap (dense_rank), and fraction (percent_rank,
+    cume_dist) semantics identically on both engines. Shares one
+    (event_type) exchange and one sort across all four functions."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(_cents("value")).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("cents"))
+    return u.select(
+        "event_type",
+        "user_id",
+        "cents",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    ).orderBy("event_type", F.desc("cents"), "user_id")
+
+
+@q(
+    "lang_source_listagg",
+    """
+    SELECT lang, count(*) AS n,
+           array_to_string(list_sort(list(DISTINCT source)), ',') AS sources_csv
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def lang_source_listagg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg semantics):
+    distinct sources per language as one deterministic CSV. Collection
+    order out of a shuffle is nondeterministic in every engine —
+    sorting inside the aggregate row (`array_sort` before `array_join`)
+    is what makes the result reproducible; checked outputs never carry
+    raw arrays (registry discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+                "sources_csv"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
     "intersect_except_keys",
     """
     SELECT 'both' AS tag, doc_id AS id FROM
@@ -4023,6 +4132,50 @@ def clustered_scan_agg(spark, sf_dir):
     return (
         spark.read.parquet(path)
         .filter((F.col("value") >= 100) & (F.col("value") < 110))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("value")).cast("bigint") / F.lit(100).cast("double")).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "zorder_scan_agg",
+    f"""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM({CENTS.format(col='value')}) AS BIGINT) / 100.0 AS sum_value
+    FROM events
+    WHERE user_id < 8 AND value >= 60 AND value < 120
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def zorder_scan_agg(spark, sf_dir):
+    """Z-order (Morton) clustered layout (sources/layout.py): events
+    re-written clustered on the interleaved (user_id, value-cents) key,
+    then filtered on BOTH dimensions and aggregated. The oracle runs on
+    the ORIGINAL parquet — a PASS proves the two-dimensional re-layout
+    is lossless; the either-dimension file skipping it exists for is
+    asserted with scan metrics in tests/test_zorder.py (the single-sort
+    layout reads 100% on its unsorted dimension, the Z layout prunes
+    both)."""
+    import tempfile
+
+    from movievectorsearch_spark.sources.layout import write_zorder_clustered
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "cents", _cents("value").cast("bigint")
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_zorder_") + "/events"
+    write_zorder_clustered(e, path, "user_id", "cents")
+    return (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("user_id") < 8) & (F.col("value") >= 60) & (F.col("value") < 120)
+        )
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
