@@ -1,0 +1,324 @@
+"""Training-data curation operators (beyond-the-reference tier).
+
+The large-pipeline capabilities a 100 TB pretraining-data build needs on
+top of the reference's search/dedup surface (SURVEY.md §7 scope note):
+
+- benchmark-contamination screening (n-gram overlap vs a held-out eval
+  set — the decontamination pass every pretraining pipeline runs),
+- per-document repetition signals (Gopher-style quality heuristics:
+  distinct-token ratio, top-token / top-bigram mass),
+- temperature-weighted mixture sampling (per-source rate ∝ n^alpha,
+  deterministic hash gate — how corpus mixtures are rebalanced),
+- int8 embedding quantization (per-vector absmax scale — the storage
+  format ANN shards actually ship),
+- one relational k-means sweep (assign + exact-integer update stats —
+  the building block of IVF coarse quantizers, operators/ann.py).
+
+Every operator is built from JVM-side expressions (no Python UDFs) and
+designed so the DuckDB oracle can reproduce it bit-for-bit: integer
+thresholds are compared by cross-multiplication, float folds fix their
+order, and means derive from exact BIGINT sums (plans/queries.py
+preamble).  All shapes are scan → explode → bounded groupBy: the
+shuffles carry (doc, feature) pairs pre-aggregated map-side, never raw
+text, so each op is one pass over the corpus at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movievectorsearch_spark.functions.hashing import P, poly_hash
+from movievectorsearch_spark.functions.text import tokens, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+def contamination_overlap(
+    docs: DataFrame,
+    bench_pred,
+    shingle_n: int = 5,
+    frac_num: int = 5,
+    frac_den: int = 100,
+) -> DataFrame:
+    """Per-corpus-doc overlap with a benchmark set, by distinct word
+    ``shingle_n``-gram hashes. ``bench_pred`` is a boolean Column
+    selecting the benchmark rows. A doc is flagged contaminated when
+    overlap/n_shingles >= frac_num/frac_den (compared by integer
+    cross-multiplication — no float boundary).
+
+    Plan shape: both sides explode to (id, shingle-hash) pairs,
+    distinct map-side; the join key is the 8-byte hash, so the shuffle
+    carries hashes, not text. The benchmark side is tiny (an eval set)
+    → Catalyst broadcasts it and the corpus never shuffles.
+    """
+    sh = F.explode(F.array_distinct(word_shingles(F.col("text"), shingle_n)))
+    corpus = (
+        docs.filter(~bench_pred)
+        .select("doc_id", sh.alias("shingle"))
+        .select("doc_id", poly_hash(F.col("shingle")).alias("h"))
+    )
+    bench = (
+        docs.filter(bench_pred)
+        .select(sh.alias("shingle"))
+        .select(poly_hash(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    overlap = (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        sizes.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        )
+        .withColumn(
+            "contaminated",
+            (
+                F.col("n_overlap") * F.lit(frac_den)
+                >= F.col("n_shingles") * F.lit(frac_num)
+            ).cast("int"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition / quality signals
+# ---------------------------------------------------------------------------
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style per-document repetition heuristics:
+
+    - ``distinct_ratio``  = distinct tokens / tokens
+    - ``top_token_frac``  = occurrences of the most frequent token / tokens
+    - ``top_bigram_frac`` = occurrences of the most frequent word bigram
+      / bigram count
+
+    each rounded to 6dp (integer inputs → deterministic), plus a
+    ``repetitive`` flag (top_bigram_frac >= 0.18 by exact integer
+    cross-multiply). One explode per granularity, pre-aggregated
+    map-side; the doc's token list never leaves its partition.
+    """
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        word_shingles(F.col("text"), 2).alias("bigrams"),
+    )
+    tok_stats = (
+        base.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_token_n"),
+        )
+    )
+    bi_stats = (
+        base.select("doc_id", F.explode("bigrams").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n"))
+    )
+    return (
+        tok_stats.join(bi_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_token_n") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6).alias(
+                "top_bigram_frac"
+            ),
+            (F.col("top_bigram_n") * 100 >= F.col("n_bigrams") * 18)
+            .cast("int")
+            .alias("repetitive"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-weighted mixture sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_D = 1_000_000  # hash-gate denominator
+
+
+def mixture_sample(
+    docs: DataFrame,
+    budget_num: int = 2,
+    budget_den: int = 5,
+) -> DataFrame:
+    """Rebalance a multi-source corpus to a global keep-budget of
+    ``budget_num/budget_den`` with per-source rates ∝ sqrt(n_source)
+    (temperature alpha = 0.5 — upweights small sources relative to
+    proportional sampling).
+
+    Exactness: w_s = floor(1e6 * sqrt(n_s)) — IEEE sqrt and multiply
+    are correctly rounded, so w_s is a reproducible BIGINT on any
+    engine. Target kept count per source is budget·N·w_s/Σw, so the
+    per-source keep rate is that over n_s; a row is kept iff
+    poly_hash(source || ':' || doc_id) % D <
+    floor((budget·N·w_s·D) / (Σw·n_s)) — int64 products, one double
+    division (correctly rounded in both engines), so the gate is
+    deterministic, append-stable, and partition-independent (like
+    train_test_split).
+
+    Plan shape: per-source counts are a tiny aggregate broadcast back;
+    the keep predicate is then pure map-side — the corpus itself never
+    shuffles.
+    """
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    weights = counts.select(
+        "source",
+        "n_s",
+        F.floor(F.sqrt(F.col("n_s").cast("double")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("w"),
+    )
+    total = weights.agg(
+        F.sum("w").alias("w_total"), F.sum("n_s").alias("n_total")
+    )
+    rates = weights.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.floor(
+            (F.lit(budget_num) * F.col("n_total") * F.col("w") * F.lit(_SAMPLE_D))
+            / (F.lit(budget_den) * F.col("w_total") * F.col("n_s"))
+        )
+        .cast("bigint")
+        .alias("thresh"),
+    )
+    gate = poly_hash(
+        F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+    ) % F.lit(_SAMPLE_D)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(gate < F.col("thresh"))
+        .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+def quantize_int8(emb: DataFrame, head: int = 8) -> DataFrame:
+    """Per-vector absmax int8 quantization: scale = max|x|, q_i =
+    round(x_i * 127 / scale) ∈ [-127, 127]. Output is summary columns
+    (scale to 6dp, exact integer sum/min/max of the codes, first
+    ``head`` codes as CSV) — the checked projection of the quantized
+    shard format. All list math is JVM-side higher-order functions;
+    one narrow pass, no shuffle.
+    """
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(x, F.abs))
+    qcodes = F.transform(
+        x,
+        lambda v: F.when(scale == 0, F.lit(0.0))
+        .otherwise(
+            F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.round(v * F.lit(127.0) / scale, 0)),
+            )
+        )
+        .cast("bigint"),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale_r6"),
+        F.aggregate(qcodes, F.lit(0).cast("bigint"), lambda a, b: a + b).alias(
+            "q_sum"
+        ),
+        F.array_min(qcodes).alias("q_min"),
+        F.array_max(qcodes).alias("q_max"),
+        F.array_join(F.slice(qcodes, 1, head), ",").alias("q_head"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational k-means sweep (assign + update statistics)
+# ---------------------------------------------------------------------------
+
+def kmeans_step(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    out_dims: int = 4,
+) -> DataFrame:
+    """One k-means sweep with data-derived seeds: centroids are the
+    embeddings of ``centroid_ids``; every vector joins to its nearest
+    centroid (squared L2, left-to-right fold so the double is
+    bit-stable); the update step emits per-(cluster, dim) means for the
+    first ``out_dims`` dims, derived from exact BIGINT sums of
+    round(x * 1e6) so any partitioning gives identical results.
+
+    Plan shape: k centroid rows broadcast against the corpus scan (no
+    shuffle to assign); the update shuffle carries (cluster, dim)
+    partial sums — k × dim rows regardless of corpus size. This is the
+    training sweep behind the IVF coarse quantizer (operators/ann.py).
+    """
+    cents = (
+        emb.filter(F.col("vec_id").isin(centroid_ids))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+                "cvec"
+            ),
+        )
+    )
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    dist = F.aggregate(
+        F.zip_with(x, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", dist.alias("dist"), F.col("embedding")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster_id"), "embedding")
+    )
+    by_dim = assigned.select(
+        "cluster_id",
+        F.posexplode(
+            F.slice(
+                F.transform(
+                    F.col("embedding"),
+                    lambda v: F.round(v.cast("double") * F.lit(1e6), 0).cast(
+                        "bigint"
+                    ),
+                ),
+                1,
+                out_dims,
+            )
+        ).alias("dim", "xs"),
+    )
+    return (
+        by_dim.groupBy("cluster_id", "dim")
+        .agg(F.count("*").alias("n_members"), F.sum("xs").alias("sum_scaled"))
+        .select(
+            "cluster_id",
+            "dim",
+            "n_members",
+            F.round(
+                F.col("sum_scaled") / (F.col("n_members") * F.lit(1e6)), 6
+            ).alias("mean_r6"),
+        )
+    )

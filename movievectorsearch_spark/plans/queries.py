@@ -1360,7 +1360,10 @@ def events_sessionize(spark, sf_dir):
     All arithmetic on integer epoch-micros for cross-engine exactness."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    eus = F.unix_micros("ts")
+    # events.ts may arrive as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
+    # unix_micros only takes TIMESTAMP. Session tz is UTC (session.py), so the
+    # NTZ->TZ cast is wall-clock-preserving and matches DuckDB's epoch_us.
+    eus = F.unix_micros(F.col("ts").cast("timestamp"))
     flagged = e.withColumn(
         "new_session",
         F.when(
@@ -4685,6 +4688,277 @@ def ingest_with_cost_accounting(spark, sf_dir):
     tracker = TokenCostTracker(spark)
     out = embed_with_accounting(d, tracker)
     return out.select("doc_id", F.size("embedding").alias("dim"))
+
+
+# ---------------------------------------------------------------------------
+# training-data curation tier (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rng
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, min(ts) AS run_start,
+         CAST(min(rn) AS BIGINT) AS run_ord,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM ordered GROUP BY user_id, event_type, rn - rng
+)
+SELECT user_id, event_type,
+       strftime(run_start, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(run_start) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       n_events,
+       CASE WHEN lead(run_start) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM runs
+WINDOW w AS (PARTITION BY user_id ORDER BY run_ord)
+"""
+
+
+@q("events_scd2_intervals", _SCD2_SQL)
+def events_scd2_intervals(spark, sf_dir):
+    """SCD2 change capture: collapse each user's event stream into
+    validity intervals per consecutive run of the same event_type
+    (gaps-and-islands), valid_to = next run's start, open-ended for the
+    current run — how a warehouse derives a slowly-changing dimension
+    from a change log. One shuffle on user_id; every window reuses that
+    partitioning (same contract as events_sessionize). The run ordinal
+    (min rn) orders runs, so ts ties across runs can't flip lead()."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    we = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w) - F.row_number().over(we)).alias("grp"),
+        F.row_number().over(w).alias("rn"),
+    )
+    runs = flagged.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("run_start"),
+        F.min("rn").alias("run_ord"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_ord")
+    nxt = F.lead("run_start").over(w2)
+    return runs.select(
+        "user_id",
+        "event_type",
+        F.date_format("run_start", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "n_events",
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+_CONTAM_N = 5
+_CONTAM_BENCH_MOD = 97
+
+
+def _contam_shingles_sql() -> str:
+    from movievectorsearch_spark.functions.text import shingles_sql
+
+    return shingles_sql("text", _CONTAM_N)
+
+
+_CONTAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_contam_shingles_sql()})) AS shingle
+  FROM documents
+),
+hh AS (SELECT doc_id, {poly_hash_sql('shingle')} AS h FROM sh),
+bench AS (SELECT DISTINCT h FROM hh WHERE doc_id % {_CONTAM_BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, h FROM hh WHERE doc_id % {_CONTAM_BENCH_MOD} <> 0),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+          FROM corpus GROUP BY doc_id),
+ov AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+       FROM corpus c JOIN bench b ON c.h = b.h GROUP BY c.doc_id)
+SELECT s.doc_id, s.n_shingles,
+       coalesce(o.n_overlap, 0) AS n_overlap,
+       CASE WHEN coalesce(o.n_overlap, 0) * 100 >= s.n_shingles * 5
+            THEN 1 ELSE 0 END AS contaminated
+FROM sizes s LEFT JOIN ov o ON s.doc_id = o.doc_id
+"""
+
+
+@q("contamination_ngram_overlap", _CONTAM_SQL)
+def contamination_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination screen: distinct word 5-gram hashes of
+    every corpus doc joined against a held-out eval set (doc_id % 97 =
+    0 stands in for the benchmark); flag docs whose overlap fraction
+    >= 5% (integer cross-multiply — no float boundary). The join key is
+    the 8-byte portable hash and the bench side broadcasts, so the
+    corpus never shuffles (operators/curation.contamination_overlap)."""
+    from movievectorsearch_spark.operators.curation import contamination_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    return contamination_overlap(
+        d, F.col("doc_id") % _CONTAM_BENCH_MOD == 0, _CONTAM_N
+    )
+
+
+def _bigram_sql() -> str:
+    from movievectorsearch_spark.functions.text import shingles_sql
+
+    return shingles_sql("text", 2)
+
+
+_REPETITION_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({tokens_sql('text')}) AS t FROM documents),
+tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+tstats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_token_n
+  FROM tc GROUP BY doc_id
+),
+bg AS (SELECT doc_id, unnest({_bigram_sql()}) AS b FROM documents),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+bstats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(max(c) AS BIGINT) AS top_bigram_n
+  FROM bc GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       round(t.n_distinct / t.n_tokens, 6) AS distinct_ratio,
+       round(t.top_token_n / t.n_tokens, 6) AS top_token_frac,
+       round(b.top_bigram_n / b.n_bigrams, 6) AS top_bigram_frac,
+       CASE WHEN b.top_bigram_n * 100 >= b.n_bigrams * 18 THEN 1 ELSE 0 END
+         AS repetitive
+FROM tstats t JOIN bstats b ON t.doc_id = b.doc_id
+"""
+
+
+@q("repetition_signals", _REPETITION_SQL)
+def repetition_signals_q(spark, sf_dir):
+    """Gopher-style repetition/quality heuristics per document:
+    distinct-token ratio, top-token mass, top-bigram mass + repetitive
+    flag — the filters a pretraining pipeline runs before dedup. All
+    ratios from exact integer counts (operators/curation.py)."""
+    from movievectorsearch_spark.operators.curation import repetition_signals
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_signals(d)
+
+
+_MIX_SQL = f"""
+WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+                FROM documents GROUP BY source),
+weights AS (
+  SELECT source, n_s, CAST(floor(sqrt(n_s::DOUBLE) * 1e6) AS BIGINT) AS w
+  FROM counts
+),
+total AS (SELECT CAST(sum(w) AS BIGINT) AS w_total,
+                 CAST(sum(n_s) AS BIGINT) AS n_total FROM weights),
+rates AS (
+  SELECT source,
+         CAST(floor((2 * n_total * w * 1000000) / (5 * w_total * n_s))
+              AS BIGINT) AS thresh
+  FROM weights, total
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {poly_hash_sql("d.source || ':' || d.doc_id::VARCHAR")} % 1000000 < r.thresh
+"""
+
+
+@q("mixture_sample_temperature", _MIX_SQL)
+def mixture_sample_temperature(spark, sf_dir):
+    """Temperature-weighted corpus mixture (alpha=0.5, 40% global
+    budget): per-source keep rate ∝ sqrt(n_source), gated by the
+    portable hash — deterministic, append-stable, partition-independent
+    (operators/curation.mixture_sample). The per-source rate table is a
+    tiny broadcast; the corpus itself never shuffles."""
+    from movievectorsearch_spark.operators.curation import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_sample(d)
+
+
+_QUANT_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x,
+         list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS scale
+  FROM embeddings
+),
+qc AS (
+  SELECT vec_id, scale,
+         list_transform(
+           x,
+           v -> CAST(CASE WHEN scale = 0 THEN 0
+                          ELSE greatest(-127, least(127, round(v * 127.0 / scale, 0)))
+                     END AS BIGINT)) AS q
+  FROM base
+)
+SELECT vec_id, round(scale, 6) AS scale_r6,
+       list_reduce(list_prepend(0::BIGINT, q), (a, b) -> a + b) AS q_sum,
+       list_min(q) AS q_min, list_max(q) AS q_max,
+       array_to_string(q[1:8], ',') AS q_head
+FROM qc
+"""
+
+
+@q("embedding_quantize_int8", _QUANT_SQL)
+def embedding_quantize_int8(spark, sf_dir):
+    """Per-vector absmax int8 quantization — the shard format ANN
+    serving actually stores (operators/curation.quantize_int8). Checked
+    projection: scale, exact integer code sum/min/max, first-8 codes.
+    Narrow JVM-side list math; zero shuffles."""
+    from movievectorsearch_spark.operators.curation import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(e)
+
+
+_KMEANS_CIDS = [1, 7, 13, 29]
+_KMEANS_DIMS = 4
+
+_KMEANS_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+cents AS (SELECT vec_id AS cid, x AS cvec FROM emb
+          WHERE vec_id IN ({', '.join(map(str, _KMEANS_CIDS))})),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_reduce(
+           list_prepend(0.0, list_transform(range(1, len(e.x) + 1),
+                                            i -> (e.x[i] - c.cvec[i]) * (e.x[i] - c.cvec[i]))),
+           (a, b) -> a + b) AS dist
+  FROM emb e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rnk
+    FROM scored
+  ) WHERE rnk = 1
+),
+bydim AS (
+  SELECT a.cluster_id, i - 1 AS dim,
+         CAST(round(e.x[i] * 1e6, 0) AS BIGINT) AS xs
+  FROM assigned a JOIN emb e ON e.vec_id = a.vec_id, range(1, {_KMEANS_DIMS + 1}) t(i)
+)
+SELECT cluster_id, CAST(dim AS INTEGER) AS dim,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(CAST(sum(xs) AS BIGINT) / (count(*) * 1e6), 6) AS mean_r6
+FROM bydim GROUP BY cluster_id, dim
+"""
+
+
+@q("kmeans_relational_step", _KMEANS_SQL)
+def kmeans_relational_step(spark, sf_dir):
+    """One k-means sweep expressed relationally: k data-derived seed
+    centroids broadcast against the corpus (assign, fixed-order L2
+    fold), then per-(cluster, dim) means from exact BIGINT sums — the
+    training step behind the IVF coarse quantizer (operators/ann.py),
+    bit-stable under any partitioning (operators/curation.kmeans_step)."""
+    from movievectorsearch_spark.operators.curation import kmeans_step
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_step(e, _KMEANS_CIDS, _KMEANS_DIMS)
+    return out.withColumn("dim", F.col("dim").cast("int"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

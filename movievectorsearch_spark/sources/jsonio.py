@@ -34,11 +34,21 @@ _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write ``df`` as JSON-lines (one object per line, splittable)."""
-    df.write.mode(mode).option("timestampFormat", _TS_FMT).json(path)
+    (
+        df.write.mode(mode)
+        .option("timestampFormat", _TS_FMT)
+        # TIMESTAMP_NTZ columns format via the separate NTZ option; its
+        # default truncates to millis, silently losing micros.
+        .option("timestampNTZFormat", _TS_FMT)
+        .json(path)
+    )
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     """Read JSON-lines with an ENFORCED schema (no inference pass)."""
     return (
-        spark.read.schema(schema).option("timestampFormat", _TS_FMT).json(path)
+        spark.read.schema(schema)
+        .option("timestampFormat", _TS_FMT)
+        .option("timestampNTZFormat", _TS_FMT)
+        .json(path)
     )

@@ -1,0 +1,105 @@
+"""Invariant tests for the training-data curation tier
+(operators/curation.py) — the properties the oracle hash can't see:
+sampling budgets, quantization error bounds, assignment totality,
+interval chaining.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from movievectorsearch_spark.catalog import load_table
+from movievectorsearch_spark.operators.curation import (
+    contamination_overlap,
+    kmeans_step,
+    mixture_sample,
+    quantize_int8,
+    repetition_signals,
+)
+from movievectorsearch_spark.plans.queries import QUERIES
+
+
+def test_mixture_sample_budget_and_determinism(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    total = d.count()
+    kept1 = mixture_sample(d).toPandas().sort_values("doc_id").reset_index(drop=True)
+    kept2 = mixture_sample(d).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(kept1, kept2)  # hash gate, not rand()
+    frac = len(kept1) / total
+    # 40% global budget; poly-hash uniformity at small n is loose
+    assert 0.25 <= frac <= 0.55, frac
+    # benchmark of determinism under repartitioning
+    kept3 = (
+        mixture_sample(d.repartition(7))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(kept1, kept3)
+
+
+def test_contamination_excludes_benchmark_and_bounds(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = contamination_overlap(d, F.col("doc_id") % 97 == 0).toPandas()
+    assert (out.doc_id % 97 != 0).all()  # benchmark rows never screened
+    assert (out.n_overlap <= out.n_shingles).all()
+    assert set(out.contaminated.unique()) <= {0, 1}
+    # a doc identical to a benchmark doc must be flagged: doc 0 is the
+    # benchmark; every corpus doc sharing >=5% distinct shingles is 1
+    flagged = out[out.contaminated == 1]
+    for _, r in flagged.iterrows():
+        assert r.n_overlap * 100 >= r.n_shingles * 5
+
+
+def test_quantize_int8_error_bound(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    out = quantize_int8(e).toPandas()
+    assert out.q_min.min() >= -127 and out.q_max.max() <= 127
+    # recompute a sample in NumPy: codes round-trip within half a step
+    sample = e.limit(5).toPandas()
+    got = out.set_index("vec_id")
+    for _, r in sample.iterrows():
+        x = np.asarray(r.embedding, dtype=np.float64)
+        scale = np.abs(x).max()
+        q = np.clip(np.round(x * 127.0 / scale), -127, 127).astype(np.int64)
+        row = got.loc[r.vec_id]
+        assert row.q_sum == q.sum()
+        assert row.q_head == ",".join(str(v) for v in q[:8])
+        recon = q * scale / 127.0
+        assert np.abs(recon - x).max() <= scale / 127.0 * 0.5 + 1e-12
+
+
+def test_kmeans_step_partitions_corpus(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    out = kmeans_step(e, [1, 7, 13, 29], out_dims=4).toPandas()
+    # every vector assigned exactly once: per-dim membership sums to n
+    for dim, grp in out.groupby("dim"):
+        assert grp.n_members.sum() == n, dim
+    assert set(out.cluster_id.unique()) <= {1, 7, 13, 29}
+    assert out.mean_r6.abs().max() < 10  # sane scale for unit-ish vectors
+
+
+def test_repetition_signal_ranges(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = repetition_signals(d).toPandas()
+    assert ((out.distinct_ratio > 0) & (out.distinct_ratio <= 1)).all()
+    assert ((out.top_token_frac > 0) & (out.top_token_frac <= 1)).all()
+    assert ((out.top_bigram_frac > 0) & (out.top_bigram_frac <= 1)).all()
+    assert (out.n_tokens > 0).all()
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    out = QUERIES["events_scd2_intervals"]["spark"](spark, sf_dir).toPandas()
+    # exactly one open interval per user
+    cur = out.groupby("user_id").is_current.sum()
+    assert (cur == 1).all()
+    # intervals chain: sorted by valid_from, each valid_to equals the
+    # next valid_from (strict SCD2 contiguity)
+    for _, grp in out.groupby("user_id"):
+        g = grp.sort_values("valid_from").reset_index(drop=True)
+        for i in range(len(g) - 1):
+            assert g.valid_to[i] == g.valid_from[i + 1]
+        assert g.valid_to.iloc[-1] is None or pd.isna(g.valid_to.iloc[-1])
