@@ -4961,6 +4961,92 @@ def kmeans_relational_step(spark, sf_dir):
     return out.withColumn("dim", F.col("dim").cast("int"))
 
 
+# ---------------------------------------------------------------------------
+# Python DataSource API source (sources/moviegen.py)
+# ---------------------------------------------------------------------------
+
+_MOVIEGEN_N = 2000
+
+
+def _moviegen_cte() -> str:
+    from movievectorsearch_spark.sources.moviegen import moviegen_oracle_sql
+
+    return moviegen_oracle_sql(_MOVIEGEN_N)
+
+
+def _moviegen_df(spark):
+    from movievectorsearch_spark.sources import moviegen
+
+    moviegen.register(spark)
+    return (
+        spark.read.format("moviegen")
+        .option("count", _MOVIEGEN_N)
+        .option("numPartitions", 8)
+        .load()
+    )
+
+
+_MOVIEGEN_ROWS_SQL = f"""
+WITH gen AS ({_moviegen_cte()})
+SELECT gen_id, title, year, director,
+       array_to_string("cast", ',') AS cast_csv,
+       array_to_string(genres, ',') AS genres_csv,
+       plot
+FROM gen
+"""
+
+
+@q("moviegen_source_rows", _MOVIEGEN_ROWS_SQL)
+def moviegen_source_rows(spark, sf_dir):
+    """The generator-as-a-source, row-level: the reference's ingestion
+    loop *generates* its input (movie_generator.py:240-327); here
+    generation is a registered Python DataSource (Spark 4 API) read as
+    ``spark.read.format("moviegen")`` — partition-parallel (each
+    partition derives its rows from ordinals alone, no driver data) and
+    hash-checked end-to-end against a DuckDB range()-arithmetic mirror."""
+    d = _moviegen_df(spark)
+    return d.select(
+        "gen_id",
+        "title",
+        "year",
+        "director",
+        F.array_join("cast", ",").alias("cast_csv"),
+        F.array_join("genres", ",").alias("genres_csv"),
+        "plot",
+    )
+
+
+_MOVIEGEN_AGG_SQL = f"""
+WITH gen AS ({_moviegen_cte()})
+SELECT CAST(year - year % 10 AS INTEGER) AS decade,
+       genres[1] AS genre,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT title) AS BIGINT) AS n_titles,
+       CAST(sum(len("cast")) AS BIGINT) AS cast_total
+FROM gen
+WHERE gen_id < 1500
+GROUP BY 1, 2
+"""
+
+
+@q("moviegen_source_agg", _MOVIEGEN_AGG_SQL)
+def moviegen_source_agg(spark, sf_dir):
+    """Aggregate over the custom source with the gen_id predicate
+    PUSHED INTO the source (MovieGenReader.pushFilters narrows the
+    ordinal ranges, so pruned rows are never generated — the
+    source-level analog of parquet row-group pruning, new in Spark
+    4.1's Python DataSource filter pushdown)."""
+    d = _moviegen_df(spark).filter(F.col("gen_id") < 1500)
+    return d.groupBy(
+        (F.col("year") - F.col("year") % 10).cast("int").alias("decade"),
+        F.element_at("genres", 1).alias("genre"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("title").alias("n_titles"),
+        F.sum(F.size("cast")).alias("cast_total"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["spark"] for name, spec in QUERIES.items()}
 

@@ -60,6 +60,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (sources/moviegen.py) —
+        # required whenever a reader implements pushFilters()
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # the driver's events.parquet stores ts as TIMESTAMP(NANOS), which
         # Spark's vectorized parquet reader rejects; read the raw int64
