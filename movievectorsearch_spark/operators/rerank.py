@@ -1,0 +1,101 @@
+"""Maximal Marginal Relevance re-ranking (diversity-aware top-k).
+
+The reference ranks purely by similarity (ai_service.py:112-115 →
+search.py:40). A search surface that feeds an LLM context window (the
+reference's analyze endpoints, routes.py:49-97) wants the top-k to be
+*diverse*, not k near-duplicates — MMR is the standard fix:
+
+    MMR(d) = λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s)
+
+Split per Spark's execution model:
+
+- **distributed**: score the whole corpus and take the top-``fetch_n``
+  candidate pool — a TakeOrderedAndProject (per-partition heaps, k rows
+  per partition to the driver, no shuffle of the corpus), identical in
+  shape to knn_topk. This is the only part that touches all N rows, so
+  it's the only part that must scale.
+- **driver-side**: the greedy selection itself is inherently sequential
+  (each pick conditions the next) over fetch_n ≤ ~100 rows — a NumPy
+  O(fetch_n²·dim) loop on bounded data, NOT a distributed op. Putting
+  it in the driver is the honest design; the collected pool is bounded
+  by construction, never by luck.
+
+Determinism: candidate pool ordered by (score desc, id), all kernels on
+float64 with fixed fold order, ties in the MMR argmax broken by id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from movievectorsearch_spark.functions.vector import cosine_to_query
+
+
+def mmr_select(
+    ids: list,
+    scores: np.ndarray,
+    vecs: np.ndarray,
+    k: int,
+    lam: float = 0.7,
+) -> list[tuple]:
+    """Greedy MMR over a candidate pool (NumPy, deterministic).
+    Returns [(id, rank, rel_score, mmr_score), ...]."""
+    n = len(ids)
+    k = min(k, n)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    selected: list[int] = []
+    out: list[tuple] = []
+    remaining = list(range(n))
+    for rank in range(k):
+        if not selected:
+            mmr = lam * scores[remaining]
+        else:
+            red = unit[remaining] @ unit[selected].T  # cosine to selected
+            mmr = lam * scores[remaining] - (1.0 - lam) * red.max(axis=1)
+        # argmax with id tie-break: stable because remaining is id-sorted
+        # within equal scores (pool pre-sorted by score desc, id asc)
+        best_pos = int(np.argmax(mmr))
+        best = remaining.pop(best_pos)
+        selected.append(best)
+        out.append((ids[best], rank + 1, float(scores[best]), float(mmr[best_pos])))
+    return out
+
+
+def mmr_rerank(
+    spark: SparkSession,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    fetch_n: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Distributed candidate fetch (cosine top-``fetch_n``) + driver
+    MMR selection of ``k``. Returns (id, mmr_rank, rel_score,
+    mmr_score) ordered by mmr_rank."""
+    from pyspark.sql import functions as F
+
+    pool = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            cosine_to_query(query_vec, F.col(vec_col)).alias("_score"),
+        )
+        .orderBy(F.desc("_score"), "_id")
+        .limit(fetch_n)
+        .collect()
+    )
+    ids = [r._id for r in pool]
+    scores = np.array([r._score for r in pool], dtype=np.float64)
+    vecs = np.array([r._vec for r in pool], dtype=np.float64)
+    rows = [
+        (i, rank, round(rel, 6), round(m, 6))
+        for i, rank, rel, m in mmr_select(ids, scores, vecs, k, lam)
+    ]
+    return spark.createDataFrame(
+        rows, f"{id_col} bigint, mmr_rank int, rel_score double, mmr_score double"
+    )

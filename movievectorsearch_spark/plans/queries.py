@@ -1240,6 +1240,39 @@ def events_props_json(spark, sf_dir):
 
 
 @q(
+    "events_props_variant",
+    """
+    WITH x AS (
+      SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+    )
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS nd_k,
+           CAST(sum(k * k) AS BIGINT) AS sum_k2,
+           CAST(sum(k // 10) AS BIGINT) AS sum_bucket
+    FROM x GROUP BY event_type
+    """,
+)
+def events_props_variant(spark, sf_dir):
+    """F14 at scale, the Spark 4 way: ``parse_json`` → VARIANT (binary
+    semi-structured encoding, parsed ONCE per row) → typed
+    ``variant_get`` paths feeding aggregates. Versus the regex/
+    from_json form (events_props_json), variant keeps shredded access
+    O(path) instead of re-parsing the string per expression — the
+    difference that matters when props is a 10 KB blob with 20 accessed
+    paths. Oracle: DuckDB JSON path extraction."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    x = e.select("event_type", k.alias("k"))
+    return x.groupBy("event_type").agg(
+        F.count("k").alias("n_k"),
+        F.countDistinct("k").alias("nd_k"),
+        F.sum(F.col("k") * F.col("k")).alias("sum_k2"),
+        F.sum(F.floor(F.col("k") / 10)).alias("sum_bucket"),
+    )
+
+
+@q(
     "events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -5044,6 +5077,22 @@ def moviegen_source_agg(spark, sf_dir):
         F.count("*").alias("n"),
         F.countDistinct("title").alias("n_titles"),
         F.sum(F.size("cast")).alias("cast_total"),
+    )
+
+
+@q("mmr_rerank_topk")
+def mmr_rerank_topk(spark, sf_dir):
+    """Rows-only: MMR diversity re-rank — distributed cosine top-50
+    candidate fetch (TakeOrderedAndProject, same plan as knn_topk) +
+    driver-side greedy selection of 10 over the bounded pool
+    (operators/rerank.py; NumPy parity + diversity tests in
+    tests/test_rerank.py). Non-SQL-expressible: the greedy pick is
+    sequentially dependent."""
+    from movievectorsearch_spark.operators.rerank import mmr_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        spark, e, "vec_id", "embedding", QUERY_VEC, k=10, fetch_n=50
     )
 
 
