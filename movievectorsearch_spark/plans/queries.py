@@ -5080,6 +5080,48 @@ def moviegen_source_agg(spark, sf_dir):
     )
 
 
+_CURATE_ROUNDTRIP_SQL = f"""
+WITH gen AS ({_moviegen_cte()})
+SELECT title, year,
+       replace(director, '_', '') AS director,
+       array_to_string(list_transform("cast", c -> replace(c, '_', '')), ',')
+         AS cast_csv,
+       array_to_string(genres, ',') AS genres_csv,
+       plot,
+       replace(lower(title), ' ', '_') || '_' || year::VARCHAR AS id
+FROM gen
+"""
+
+
+@q("moviegen_curate_roundtrip", _CURATE_ROUNDTRIP_SQL)
+def moviegen_curate_roundtrip(spark, sf_dir):
+    """End-to-end parser proof over ground-truth-labeled input: generate
+    structured rows (moviegen source) → render to the reference's
+    TITLE:/YEAR:/... LLM text WITH markdown noise (pipeline/curator.
+    render_movie_text) → parse/clean/validate (pipeline/ingest, F1-F4 +
+    P6) → slug (F6). The oracle is the generator's own arithmetic
+    mirror, so any parser drift hash-fails. The F1 cleaner strips
+    underscores by design (movie_generator.py:330), mirrored in the
+    oracle's replace()."""
+    from movievectorsearch_spark.functions.text import slug_id
+    from movievectorsearch_spark.pipeline.curator import (
+        generated,
+        render_movie_text,
+    )
+    from movievectorsearch_spark.pipeline.ingest import parse_movie_text
+
+    parsed = parse_movie_text(render_movie_text(generated(spark, _MOVIEGEN_N)))
+    return parsed.select(
+        "title",
+        "year",
+        "director",
+        F.array_join("cast", ",").alias("cast_csv"),
+        F.array_join("genres", ",").alias("genres_csv"),
+        "plot",
+        slug_id(F.col("title"), F.col("year")).alias("id"),
+    )
+
+
 @q("mmr_rerank_topk")
 def mmr_rerank_topk(spark, sf_dir):
     """Rows-only: MMR diversity re-rank — distributed cosine top-50
