@@ -260,3 +260,42 @@ def test_funnel_single_shuffle_any_stage_count(spark, sf_dir):
     p = plan_of(spark, sf_dir, "events_funnel")
     assert p.count("Exchange hashpartitioning") <= 1
     assert "Join" not in p
+
+
+def test_contamination_bench_side_broadcasts(spark, sf_dir):
+    """Decontamination: the eval set is tiny, so its hash set must
+    broadcast — the corpus side's (doc, hash) pairs never shuffle for
+    the join (one shuffle remains for the per-doc counts)."""
+    p = plan_of(spark, sf_dir, "contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in p
+
+
+def test_mixture_sample_corpus_never_shuffles(spark, sf_dir):
+    """Temperature sampling: rates are a tiny broadcast; the corpus
+    exchange count must be 0 — the keep gate is pure map-side."""
+    p = plan_of(spark, sf_dir, "mixture_sample_temperature")
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_quantize_is_narrow(spark, sf_dir):
+    """int8 quantization: one scan, zero exchanges of any kind."""
+    p = plan_of(spark, sf_dir, "embedding_quantize_int8")
+    assert "Exchange" not in p
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    """k-means sweep: k centroid rows broadcast against the corpus scan
+    (assignment is shuffle-free); the only hash exchanges carry
+    (vec, cid) scored rows into the per-vec argmin window and
+    (cluster, dim) partial sums."""
+    p = plan_of(spark, sf_dir, "kmeans_relational_step")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_scd2_single_user_partitioning(spark, sf_dir):
+    """SCD2: both window passes and the run aggregation reuse ONE
+    hash exchange on user_id."""
+    p = plan_of(spark, sf_dir, "events_scd2_intervals")
+    assert p.count("Exchange hashpartitioning") <= 2  # user / (user,type) windows
