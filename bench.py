@@ -141,14 +141,29 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+
+    # Full per-query map goes to a FILE: round 1's stdout line carried all
+    # 83 timings (~3.5 KB) and overflowed the driver's tail capture, so
+    # BENCH_r01.json recorded "parsed": null. Keep the stdout line short.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    slow5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    with open(detail_path, "w") as f:
+        json.dump(
+            {"metric": "headline_query_wall_time", "value": total,
+             "unit": "sec", "sf": sf_val, "queries": timings, "rows": rows,
+             "slowest5": slow5},
+            f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries": slow5,
             }
         )
     )

@@ -27,9 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from movievectorsearch_spark.functions.hashing import P, poly_hash
+from movievectorsearch_spark.functions.hashing import (
+    P,
+    minhash_permute,
+    poly_hash,
+)
 from movievectorsearch_spark.functions.text import tokens, word_shingles
 
 
@@ -157,6 +160,8 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SAMPLE_D = 1_000_000  # hash-gate denominator
+_MIX_A = 1_103_515_245  # odd affine mixer (see gate comment below)
+_MIX_B = 12_345
 
 
 def mixture_sample(
@@ -173,11 +178,17 @@ def mixture_sample(
     are correctly rounded, so w_s is a reproducible BIGINT on any
     engine. Target kept count per source is budget·N·w_s/Σw, so the
     per-source keep rate is that over n_s; a row is kept iff
-    poly_hash(source || ':' || doc_id) % D <
-    floor((budget·N·w_s·D) / (Σw·n_s)) — int64 products, one double
-    division (correctly rounded in both engines), so the gate is
-    deterministic, append-stable, and partition-independent (like
-    train_test_split).
+    affine_mix(poly_hash(source || ':' || doc_id)) % D < thresh (the
+    affine step de-bands sequential ids — see gate comment) with
+    thresh =
+    floor(D · (budget_num/budget_den) · N / Σw · w_s / n_s), evaluated
+    in DOUBLE with that exact left-to-right operation order. Each IEEE
+    multiply/divide is correctly rounded, so Spark and DuckDB produce
+    bit-identical thresholds; intermediates stay ≈D·budget·N (no int64
+    product like D·N·w_s, which overflows once N·sqrt(n_s) passes
+    ~9.2e18/1e12 ≈ 4.6e6 — i.e. at even modest production scale). The
+    gate is deterministic, append-stable, and partition-independent
+    (like train_test_split).
 
     Plan shape: per-source counts are a tiny aggregate broadcast back;
     the keep predicate is then pure map-side — the corpus itself never
@@ -197,15 +208,33 @@ def mixture_sample(
     rates = weights.crossJoin(F.broadcast(total)).select(
         "source",
         F.floor(
-            (F.lit(budget_num) * F.col("n_total") * F.col("w") * F.lit(_SAMPLE_D))
-            / (F.lit(budget_den) * F.col("w_total") * F.col("n_s"))
+            F.lit(float(_SAMPLE_D))
+            * (F.lit(budget_num).cast("double") / F.lit(budget_den).cast("double"))
+            * F.col("n_total").cast("double")
+            / F.col("w_total").cast("double")
+            * F.col("w").cast("double")
+            / F.col("n_s").cast("double")
         )
         .cast("bigint")
         .alias("thresh"),
     )
-    gate = poly_hash(
-        F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
-    ) % F.lit(_SAMPLE_D)
+    # affine mixing before the mod: sequential doc_ids give the raw
+    # polynomial hash a small-stride band structure, so raw % D is
+    # lumpy (70% observed keep at a 40% threshold on 60k sequential
+    # keys); multiplying by a large odd constant mod P spreads the band
+    # across [0, P) first. Portable: identical ints in DuckDB.
+    gate = (
+        minhash_permute(
+            poly_hash(
+                F.concat(
+                    F.col("source"), F.lit(":"), F.col("doc_id").cast("string")
+                )
+            ),
+            _MIX_A,
+            _MIX_B,
+        )
+        % F.lit(_SAMPLE_D)
+    )
     return (
         docs.join(F.broadcast(rates), "source")
         .filter(gate < F.col("thresh"))
@@ -266,12 +295,18 @@ def kmeans_step(
     first ``out_dims`` dims, derived from exact BIGINT sums of
     round(x * 1e6) so any partitioning gives identical results.
 
-    Plan shape: k centroid rows broadcast against the corpus scan (no
-    shuffle to assign); the update shuffle carries (cluster, dim)
-    partial sums — k × dim rows regardless of corpus size. This is the
-    training sweep behind the IVF coarse quantizer (operators/ann.py).
+    Plan shape: the k centroids collapse to ONE array row broadcast
+    against the corpus scan, and the argmin is a per-row ``array_min``
+    over (dist, cid) structs — assignment is pure map-side, no join, no
+    window, nothing shuffles the corpus. (The earlier row_number-window
+    formulation shuffled every corpus×k scored row — each carrying the
+    embedding — to rank them; the fold keeps all N·k distance evals
+    inside the row's own task.) The only shuffle is the update step,
+    which carries (cluster, dim) partial sums — k × dim rows regardless
+    of corpus size. This is the training sweep behind the IVF coarse
+    quantizer (operators/ann.py).
     """
-    cents = (
+    cents_arr = (
         emb.filter(F.col("vec_id").isin(centroid_ids))
         .select(
             F.col("vec_id").alias("cid"),
@@ -279,21 +314,28 @@ def kmeans_step(
                 "cvec"
             ),
         )
+        .agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
     )
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    dist = F.aggregate(
-        F.zip_with(x, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+
+    def _dist(c):
+        # fixed left-to-right fold — bit-stable on any engine
+        return F.aggregate(
+            F.zip_with(x, c["cvec"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # lexicographic struct min == ORDER BY dist, cid LIMIT 1, and is
+    # independent of collect_list's nondeterministic centroid order
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(_dist(c).alias("dist"), c["cid"].alias("cid")),
+        )
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", dist.alias("dist"), F.col("embedding")
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cluster_id"), "embedding")
+    assigned = emb.crossJoin(F.broadcast(cents_arr)).select(
+        "vec_id", best["cid"].alias("cluster_id"), "embedding"
     )
     by_dim = assigned.select(
         "cluster_id",

@@ -28,6 +28,12 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from movievectorsearch_spark.functions.vector import cosine_to_query
 
@@ -96,6 +102,14 @@ def mmr_rerank(
         (i, rank, round(rel, 6), round(m, 6))
         for i, rank, rel, m in mmr_select(ids, scores, vecs, k, lam)
     ]
-    return spark.createDataFrame(
-        rows, f"{id_col} bigint, mmr_rank int, rel_score double, mmr_score double"
+    # the id field keeps the corpus's own type (bigint vec_ids, string
+    # slugs, ...) — hardcoding bigint broke string-keyed corpora
+    out_schema = StructType(
+        [
+            StructField(id_col, corpus.schema[id_col].dataType),
+            StructField("mmr_rank", IntegerType()),
+            StructField("rel_score", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+        ]
     )
+    return spark.createDataFrame(rows, out_schema)

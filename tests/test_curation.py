@@ -40,6 +40,34 @@ def test_mixture_sample_budget_and_determinism(spark, sf_dir):
     pd.testing.assert_frame_equal(kept1, kept3)
 
 
+def test_mixture_sample_no_int64_overflow_at_scale(spark):
+    # 60k rows in one source: the pre-fix int64 threshold numerator
+    # budget*N*w*1e6 ≈ 2*6e4*(1e6*sqrt(6e4))*1e6 ≈ 2.9e19 overflows
+    # int64 (ANSI mode raises ARITHMETIC_OVERFLOW). The staged-double
+    # form must run and still hit the ~40% budget.
+    d = spark.range(60_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("web").alias("source"),
+    )
+    kept = mixture_sample(d).count()
+    assert 0.35 <= kept / 60_000 <= 0.45, kept
+
+
+def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
+    # assignment = broadcast centroid array + per-row array_min fold;
+    # the ONLY exchange in the whole plan is the (cluster, dim) update
+    # aggregation (k*dim rows). A second exchange would mean the corpus
+    # itself is being shuffled to assign (the old row_number window).
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        kmeans_step(e, [1, 7, 13, 29], out_dims=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "Window" not in plan, plan
+
+
 def test_contamination_excludes_benchmark_and_bounds(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     out = contamination_overlap(d, F.col("doc_id") % 97 == 0).toPandas()

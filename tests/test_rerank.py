@@ -5,6 +5,7 @@ relevance of the first pick, diversity effect, determinism.
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from movievectorsearch_spark.catalog import load_table
 from movievectorsearch_spark.operators.rerank import mmr_rerank, mmr_select
@@ -84,6 +85,20 @@ def test_mmr_first_pick_is_top1_and_diversifies(spark, sf_dir):
         .sort_values("mmr_rank")
     )
     assert list(out.vec_id) == list(again.vec_id)
+
+
+def test_mmr_rerank_string_keyed_corpus(spark, sf_dir):
+    # the output id field must inherit the corpus's id type — slug-style
+    # string keys (used across the repo) previously hit the hardcoded
+    # bigint schema and failed at createDataFrame time
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("slug"),
+        "embedding",
+    )
+    out = mmr_rerank(spark, e, "slug", "embedding", QUERY_VEC, k=5, fetch_n=20)
+    assert dict(out.dtypes)["slug"] == "string"
+    pdf = out.toPandas()
+    assert len(pdf) == 5 and pdf.slug.str.startswith("doc-").all()
 
 
 def test_mmr_select_prefers_diverse_over_redundant():
