@@ -407,3 +407,104 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )
+
+
+def embedding_neardup_pairs_srp(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by sign-random-projection LSH
+    buckets — the 100 TB form of :func:`embedding_neardup_pairs`.
+
+    Blocking by a data column (label/category) gives block sizes
+    proportional to the CORPUS: at 100 TB a 10-value label makes
+    ~10 TB "blocks", and the per-block GEMM task OOMs. Here the block
+    key is (table, srp_bucket): ``n_tables`` independent hyperplane
+    tables of ``n_planes`` sign bits each (multiprobe-for-recall via
+    table multiplicity, the classic L-table cosine-LSH construction).
+    Expected bucket size is N / 2^n_planes per table and n_planes grows
+    with the corpus (add bits, buckets shrink) — block size is a free
+    parameter, not a data property. A pair is a candidate when it
+    collides in ANY table; candidates are distinct-ed and re-scored
+    with the exact sequential-fold dot, so the final pair set is
+    exactly {(a, b) : collide ∧ cos ≥ threshold} — deterministic and
+    reproducible by the DuckDB oracle (which mirrors the same literal
+    hyperplanes and fold order).
+
+    Plan shape: bucket assignment is a pure whole-stage-codegen
+    expression at scan speed; explode ×n_tables; one groupBy per
+    (table, bucket) runs the NumPy GEMM over a BOUNDED pandas block;
+    candidates (ids only) shuffle to distinct; the re-score is a
+    sparse equi-join on id. Nothing anywhere is corpus-sized in one
+    task.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from movievectorsearch_spark.functions.vector import dot, l2_normalize
+    from movievectorsearch_spark.operators.ann import (
+        random_hyperplanes,
+        srp_bucket,
+    )
+
+    base = (
+        emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(
+            F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("nv")
+        )
+        .filter(F.col("nv").isNotNull())  # zero vectors have no cosine
+    )
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                srp_bucket(
+                    F.col("nv"), random_hyperplanes(n_planes, dim, seed + t)
+                ).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    exploded = base.select(
+        "id", "nv", F.explode(tables).alias("tb")
+    ).select("id", "nv", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+
+    id_type = base.schema["id"].dataType
+    cand_schema = StructType(
+        [StructField("a_id", id_type), StructField("b_id", id_type)]
+    )
+    margin = threshold - 1e-9
+
+    def find_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype(
+                {"a_id": pdf["id"].dtype, "b_id": pdf["id"].dtype}
+            )
+        pdf = pdf.sort_values("id")  # triu ⇒ a_id < b_id
+        ids = pdf["id"].to_numpy()
+        m = np.vstack(pdf["nv"].to_numpy())
+        sims = m @ m.T
+        ai, bi = np.nonzero(np.triu(sims >= margin, k=1))
+        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
+
+    cand = (
+        exploded.groupBy("tbl", "bkt")
+        .applyInPandas(find_pairs, cand_schema)
+        .distinct()  # a pair may collide in several tables
+    )
+    av = base.select(F.col("id").alias("a_id"), F.col("nv").alias("a_nv"))
+    bv = base.select(F.col("id").alias("b_id"), F.col("nv").alias("b_nv"))
+    return (
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
+        .withColumn("cos", dot(F.col("a_nv"), F.col("b_nv")))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )

@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["hll_rollup", "cms_build", "cms_estimate"]
+__all__ = [
+    "hll_rollup",
+    "cms_build",
+    "cms_estimate",
+    "cms_table",
+    "cms_estimate_join",
+]
 
 
 def hll_rollup(
@@ -73,8 +79,105 @@ def cms_build(
 
 def cms_estimate(spark: SparkSession, sketch: bytes, item: str) -> int:
     """Driver-side point query against a serialized count-min sketch
-    (estimate ≥ true count; ≤ true + ε·N at the sketch's confidence)."""
+    (estimate ≥ true count; ≤ true + ε·N at the sketch's confidence).
+
+    For anything beyond a handful of probes use
+    :func:`cms_table` + :func:`cms_estimate_join` instead — the JVM
+    sketch object only answers one key per py4j round-trip, which is
+    the wrong shape for screening 10⁶ candidate keys."""
     jvm = spark._jvm
     stream = jvm.java.io.ByteArrayInputStream(bytearray(sketch))
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(stream)
     return int(cms.estimateCount(item))
+
+
+# ---------------------------------------------------------------------------
+# Relational count-min sketch (portable, executor-side estimation)
+# ---------------------------------------------------------------------------
+#
+# The textbook CMS expressed as data instead of an opaque JVM object:
+# depth hash rows × width counters become a DataFrame of at most
+# depth*width (row, bucket, n) rows. Build is one explode + groupBy;
+# the sketch stays mergeable (sum counters by (row, bucket)) and
+# PERSISTABLE like the HLL rollup above. Estimation is a broadcast
+# join of candidate keys against the tiny counter table — fully
+# executor-side, so screening 10⁶ candidates is one distributed join,
+# not 10⁶ driver round-trips. Hashing is the repo's portable
+# polynomial + affine family, so the DuckDB oracle reproduces every
+# counter and estimate bit-for-bit (unlike the JVM sketch, whose
+# Murmur layout is engine-specific).
+
+def _cms_bucket(key_col, a: int, b: int, width: int):
+    from movievectorsearch_spark.functions.hashing import (
+        minhash_permute,
+        poly_hash,
+    )
+
+    return (minhash_permute(poly_hash(key_col), a, b) % width).cast("int")
+
+
+def cms_coeffs(depth: int, seed: int = 7):
+    from movievectorsearch_spark.functions.hashing import minhash_coeffs
+
+    return minhash_coeffs(depth, seed)
+
+
+def cms_table(
+    df: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Build the relational CMS: (row, bucket, n) with one counter row
+    per touched cell (≤ depth·width rows total, independent of data
+    size). Merge two sketches by unioning and summing on (row, bucket).
+    """
+    key = F.col(col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                _cms_bucket(key, a, b, width).alias("bucket"),
+            )
+            for j, (a, b) in enumerate(cms_coeffs(depth, seed))
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_estimate_join(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Estimate counts for a column of candidate keys against a
+    :func:`cms_table` sketch: compute the depth bucket coordinates per
+    key (scan-speed expressions), broadcast-join the counter table,
+    take the min over the depth rows. Missing cells count as 0 (key
+    never seen). Returns (col, cms_n)."""
+    key = F.col(col).cast("string")
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                _cms_bucket(key, a, b, width).alias("bucket"),
+            )
+            for j, (a, b) in enumerate(cms_coeffs(depth, seed))
+        ]
+    )
+    probed = candidates.select(col, F.explode(coords).alias("c")).select(
+        col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_n"))
+    )

@@ -1120,30 +1120,85 @@ def dedup_clusters(spark, sf_dir):
 
 
 _NEARDUP_THRESHOLD = 0.3
+_SRP_PLANES = 8
+_SRP_TABLES = 4
+_SRP_SEED = 42
 # mirror of the Spark plan: L2-normalize per ROW, dot per PAIR — the
 # identical op sequence keeps the floats bit-equal across engines
 _NORM_EMB = "sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x), (a,b) -> a+b))"
-_NEARDUP_SQL = f"""
+
+
+def _srp_bucket_sql(nv_expr: str, planes) -> str:
+    """DuckDB mirror of operators/ann.srp_bucket over the SAME literal
+    hyperplanes: bit j = sign of the sequential-fold dot with plane j.
+    repr(float) round-trips IEEE doubles exactly, so both engines
+    compare bit-identical dot products against 0."""
+    bits = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        bits.append(
+            f"CASE WHEN ({dot_sql(nv_expr, lit)}) >= 0 THEN {1 << j} ELSE 0 END"
+        )
+    return "(" + "\n     + ".join(bits) + ")"
+
+
+def _neardup_srp_sql() -> str:
+    from movievectorsearch_spark.operators.ann import random_hyperplanes
+
+    table_selects = []
+    for t in range(_SRP_TABLES):
+        planes = random_hyperplanes(_SRP_PLANES, len(QUERY_VEC), _SRP_SEED + t)
+        table_selects.append(
+            f"SELECT vec_id, nv, {t} AS tbl,\n"
+            f"{_srp_bucket_sql('nv', planes)} AS bkt FROM e"
+        )
+    buckets = "\nUNION ALL\n".join(table_selects)
+    return f"""
 WITH e AS (
-  SELECT vec_id, label,
+  SELECT vec_id,
          CASE WHEN {_NORM_EMB} <> 0
               THEN list_transform(embedding::DOUBLE[], x -> x / {_NORM_EMB}) END AS nv
   FROM embeddings
   WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND {_NORM_EMB} <> 0
+),
+buckets AS (
+{buckets}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       round({dot_sql('a.nv', 'b.nv')}, 6) AS cos
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {dot_sql('a.nv', 'b.nv')} >= {_NEARDUP_THRESHOLD}
+SELECT c.a_id, c.b_id, round({dot_sql('ea.nv', 'eb.nv')}, 6) AS cos
+FROM cand c
+JOIN e ea ON ea.vec_id = c.a_id
+JOIN e eb ON eb.vec_id = c.b_id
+WHERE {dot_sql('ea.nv', 'eb.nv')} >= {_NEARDUP_THRESHOLD}
 """
 
 
-@q("dedup_embedding_cosine", _NEARDUP_SQL)
+@q("dedup_embedding_cosine", _neardup_srp_sql())
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by label (at scale the
-    block key is an LSH/IVF bucket — see operators/ann.py)."""
+    """Embedding-cosine near-dup pairs blocked by SRP-LSH buckets
+    (operators/dedup.embedding_neardup_pairs_srp): n_tables independent
+    sign-random-projection tables → bounded (table, bucket) blocks →
+    per-block GEMM candidates → exact-fold re-score. Block size is
+    N / 2^n_planes per table — a tuning knob, not a data property (the
+    earlier label blocking made blocks scale with the corpus: ~10 TB a
+    block at 100 TB). The oracle mirrors the identical literal
+    hyperplanes, so the pair set is bit-reproducible."""
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = D.embedding_neardup_pairs(e, "vec_id", "embedding", "label", _NEARDUP_THRESHOLD)
+    pairs = D.embedding_neardup_pairs_srp(
+        e,
+        dim=len(QUERY_VEC),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=_NEARDUP_THRESHOLD,
+        n_planes=_SRP_PLANES,
+        n_tables=_SRP_TABLES,
+        seed=_SRP_SEED,
+    )
     return pairs.select("a_id", "b_id", F.round("cos", 6).alias("cos"))
 
 
@@ -4391,34 +4446,50 @@ def multimodal_decode(spark, sf_dir):
 
 @q("ann_srp_topk")
 def ann_srp_topk(spark, sf_dir):
-    """Rows-only: SRP-LSH approximate top-10 (V3 scale path). Validated
-    in tests as ⊆ exact-top-k superset, never value-hashed
-    (SURVEY.md §5)."""
-    from movievectorsearch_spark.operators.ann import srp_search
+    """Rows-only: SRP-LSH approximate top-10 (V3 scale path) served
+    from a PERSISTED index — the corpus written partitioned by SRP
+    bucket (sources/ann_index.py), probed via partition pruning so
+    only the probe set's directories are read (the honest analog of
+    the reference's persistent Atlas index, database.py:28-47; scan
+    metrics proven in tests/test_ann_index.py). Row-identical to the
+    in-memory srp_search; validated in tests as ⊆ exact-top-k
+    superset, never value-hashed (SURVEY.md §5)."""
+    import tempfile
+
+    from movievectorsearch_spark.sources.ann_index import (
+        srp_search_indexed,
+        write_srp_index,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
-    return srp_search(e, QUERY_VEC, k=10, n_planes=8, max_hamming=1).select(
-        "vec_id", "label", F.round("score", 6).alias("score")
-    )
+    path = tempfile.mkdtemp(prefix="spark_graft_srp_") + "/index"
+    write_srp_index(e, path, dim=len(QUERY_VEC), n_planes=8)
+    out = srp_search_indexed(spark, path, QUERY_VEC, k=10, n_planes=8,
+                             max_hamming=1)
+    return out.select("vec_id", "label", F.round("score", 6).alias("score"))
 
 
 @q("ann_ivf_topk")
 def ann_ivf_topk(spark, sf_dir):
-    """Rows-only: IVF coarse-quantized approximate top-10 — cell
-    assignment is the partition key at scale (partition pruning =
-    index probe)."""
-    from movievectorsearch_spark.operators.ann import (
-        ivf_assign,
-        ivf_search,
-        seeded_centroids,
+    """Rows-only: IVF coarse-quantized approximate top-10 served from a
+    PERSISTED index — inverted lists laid out as cell partitions, the
+    centroid table stored alongside, probes = partition pruning
+    (sources/ann_index.py; scan metrics in tests/test_ann_index.py).
+    Row-identical to the in-memory ivf_search."""
+    import tempfile
+
+    from movievectorsearch_spark.operators.ann import seeded_centroids
+    from movievectorsearch_spark.sources.ann_index import (
+        ivf_search_indexed,
+        write_ivf_index,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = seeded_centroids(e, n_cells=8)
-    assigned = ivf_assign(e, cents)
-    return ivf_search(assigned, cents, QUERY_VEC, k=10, nprobe=2).select(
-        "vec_id", "label", F.round("score", 6).alias("score")
-    )
+    path = tempfile.mkdtemp(prefix="spark_graft_ivf_") + "/index"
+    write_ivf_index(e, path, cents)
+    out = ivf_search_indexed(spark, path, QUERY_VEC, k=10, nprobe=2)
+    return out.select("vec_id", "label", F.round("score", 6).alias("score"))
 
 
 @q("ingest_pipeline")
@@ -4476,25 +4547,80 @@ def distinct_rollup_hll(spark, sf_dir):
     return hll_rollup(e, ["event_type"], "day", "user_id").orderBy("event_type")
 
 
-@q("heavy_hitters_cms")
+_CMS_DEPTH = 5
+_CMS_WIDTH = 1024
+_CMS_SEED = 7
+
+
+def _cms_sql() -> str:
+    """DuckDB mirror of the relational CMS (operators/sketch.cms_table
+    + cms_estimate_join): same polynomial+affine bucket coordinates,
+    same counter table, same min-over-rows estimate."""
+    from movievectorsearch_spark.operators.sketch import cms_coeffs
+
+    coeffs = cms_coeffs(_CMS_DEPTH, _CMS_SEED)
+    k = poly_hash_sql("event_type::VARCHAR")
+    cell_selects = "\nUNION ALL\n".join(
+        f"SELECT {j} AS row, ((({k}) * {a} + {b}) % 2147483647) % {_CMS_WIDTH}"
+        f" AS bucket FROM events"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    probe_selects = "\nUNION ALL\n".join(
+        f"SELECT event_type, {j} AS row,"
+        f" ((({k}) * {a} + {b}) % 2147483647) % {_CMS_WIDTH} AS bucket"
+        f" FROM exact"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+WITH cells AS (
+  SELECT row, CAST(bucket AS INTEGER) AS bucket, count(*) AS n FROM (
+{cell_selects}
+  ) GROUP BY row, bucket
+),
+exact AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+          FROM events GROUP BY event_type),
+probes AS (
+  SELECT event_type, row, CAST(bucket AS INTEGER) AS bucket FROM (
+{probe_selects}
+  )
+),
+est AS (
+  SELECT p.event_type, CAST(min(COALESCE(c.n, 0)) AS BIGINT) AS cms_n
+  FROM probes p LEFT JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+  GROUP BY p.event_type
+)
+SELECT e.event_type, e.exact_n, s.cms_n
+FROM exact e JOIN est s ON e.event_type = s.event_type
+ORDER BY e.event_type
+"""
+
+
+@q("heavy_hitters_cms", _cms_sql())
 def heavy_hitters_cms(spark, sf_dir):
-    """Rows-only: count-min-sketch frequency screening. One fixed-size
-    mergeable sketch summarizes the event stream; the candidate keys'
-    estimated counts ride next to their exact counts (estimate ≥ exact,
-    ≤ exact + ε·N — bounded in tests/test_sketch.py). At scale the
-    sketch screens candidates in one pass so the exact pass only
-    aggregates the few survivors."""
-    from movievectorsearch_spark.operators.sketch import cms_build, cms_estimate
+    """Count-min-sketch frequency screening, fully relational: the
+    sketch is a ≤ depth·width counter TABLE (one explode + groupBy —
+    mergeable and persistable like the HLL rollup), and candidate
+    estimates come from a broadcast join against it with a min over
+    the depth rows (operators/sketch.cms_table / cms_estimate_join).
+    Executor-side end to end — screening 10⁶ candidate keys is one
+    distributed join, not 10⁶ driver round-trips (the earlier form
+    probed a JVM sketch object in a driver loop). Portable hashing →
+    the DuckDB oracle reproduces every counter, so this query is
+    hash-checked, not rows-only. Estimate ≥ exact always; ≤ exact +
+    collisions (bounded in tests/test_sketch.py)."""
+    from movievectorsearch_spark.operators.sketch import (
+        cms_estimate_join,
+        cms_table,
+    )
 
     e = load_table(spark, sf_dir, "events")
-    sketch = cms_build(e, "event_type", eps=0.001)
+    sketch = cms_table(e, "event_type", _CMS_DEPTH, _CMS_WIDTH, _CMS_SEED)
     exact = e.groupBy("event_type").agg(F.count("*").alias("exact_n"))
-    est = [
-        (r["event_type"], cms_estimate(spark, sketch, r["event_type"]))
-        for r in exact.select("event_type").collect()
-    ]
-    est_df = spark.createDataFrame(est, "event_type string, cms_n bigint")
-    return exact.join(est_df, "event_type").orderBy("event_type")
+    est = cms_estimate_join(
+        exact.select("event_type"), sketch, "event_type",
+        _CMS_DEPTH, _CMS_WIDTH, _CMS_SEED,
+    )
+    return exact.join(est, "event_type").orderBy("event_type")
 
 
 # ===========================================================================
@@ -5185,6 +5311,7 @@ _RECHECK_FIRST = [
     "dedup_embedding_cosine",
     "mixture_sample_temperature",
     "kmeans_relational_step",
+    "heavy_hitters_cms",
 ]
 
 

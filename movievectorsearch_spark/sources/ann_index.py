@@ -1,0 +1,165 @@
+"""Persistent ANN index: the corpus written partitioned by its LSH/IVF
+bucket, served with partition pruning.
+
+The reference's vector index is a PERSISTENT server-side structure —
+MongoDB Atlas builds it once and every query probes it (reference
+backend/database.py:28-47 asserts its existence at startup;
+ai_service.py:59-96 queries it). The in-memory forms in operators/ann.py
+recompute bucket assignment per query, which is honest for a one-shot
+job but not the analog of a served index. Here the bucket/cell id
+becomes the physical PARTITION KEY of a parquet layout:
+
+- write once: assignment (a pure codegen expression / broadcast argmax)
+  runs at scan speed, then one ``partitionBy`` write lays each bucket
+  out as its own directory.
+- probe forever: a query filters on the partition column, Spark's
+  partition pruning turns that into "read only the probed directories"
+  — the scan-metrics analog of an index probe. No bucket computation,
+  no full scan, at any corpus size.
+
+tests/test_ann_index.py proves probed-bucket-only reads with scan
+metrics (same observable as tests/test_zorder.py) and that the served
+results equal the in-memory ANN operators row-for-row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movievectorsearch_spark.functions.vector import cosine_to_query
+from movievectorsearch_spark.operators.ann import (
+    _bucket_of,
+    _probe_buckets,
+    ivf_cell,
+    random_hyperplanes,
+    srp_bucket,
+)
+
+BUCKET_COL = "bucket"
+CELL_COL = "cell"
+_CENTROID_SUBDIR = "_centroids"  # leading underscore: invisible to scans
+
+
+def _has_vec(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+
+
+# ---------------------------------------------------------------------------
+# SRP (sign-random-projection) index
+# ---------------------------------------------------------------------------
+
+def write_srp_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """One-time build: bucket = bit-packed hyperplane signs (pure
+    whole-stage-codegen expression), then ``partitionBy(bucket)`` so
+    each of the 2^n_planes buckets is its own directory. At 100 TB the
+    write is one pass over the corpus; every later query reads only
+    its probe set."""
+    planes = random_hyperplanes(n_planes, dim, seed)
+    bucketed = _has_vec(corpus, vec_col).withColumn(
+        BUCKET_COL, srp_bucket(F.col(vec_col), planes)
+    )
+    bucketed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+
+
+def srp_search_indexed(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Probe the persisted index: filter on the PARTITION column →
+    partition pruning reads only the probed bucket directories; exact
+    cosine rescore; top-k. Row-identical to operators/ann.srp_search
+    over the same corpus (same probes, same rescore, same tie-break)."""
+    dim = len(query_vec)
+    planes = random_hyperplanes(n_planes, dim, seed)
+    probes = _probe_buckets(_bucket_of(query_vec, planes), n_planes, max_hamming)
+    cand = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(probes))
+    scored = cand.withColumn("score", cosine_to_query(query_vec, F.col(vec_col)))
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k).drop(BUCKET_COL)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF index
+# ---------------------------------------------------------------------------
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """One-time build: cell = argmax-cosine over broadcast centroid
+    literals; ``partitionBy(cell)`` lays each inverted list out as its
+    own directory. Centroids persist under ``_centroids`` (underscore
+    prefix → ignored by data scans) so serving needs no side channel."""
+    assigned = _has_vec(corpus, vec_col).withColumn(
+        CELL_COL, ivf_cell(F.col(vec_col), centroids)
+    )
+    assigned.write.mode("overwrite").partitionBy(CELL_COL).parquet(path)
+    spark = corpus.sparkSession
+    cent_rows = [(i, list(map(float, c))) for i, c in enumerate(centroids)]
+    (
+        spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{_CENTROID_SUBDIR}")
+    )
+
+
+def read_ivf_centroids(spark: SparkSession, path: str) -> list[list[float]]:
+    rows = (
+        spark.read.parquet(f"{path}/{_CENTROID_SUBDIR}")
+        .orderBy("cell")
+        .collect()
+    )
+    return [list(r.centroid) for r in rows]
+
+
+def ivf_search_indexed(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the persisted IVF index: rank cells by centroid cosine on
+    the driver (K tiny vectors), partition-prune to the nprobe nearest
+    inverted lists, exact rescore, top-k. Row-identical to
+    operators/ann.ivf_search over the same corpus."""
+    import numpy as np
+
+    centroids = read_ivf_centroids(spark, path)
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    def cos(c):
+        c = np.asarray(c, dtype=np.float64)
+        d = np.linalg.norm(q) * np.linalg.norm(c)
+        return float(q @ c / d) if d else -1.0
+
+    order = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
+    cells = order[:nprobe]
+    cand = spark.read.parquet(path).filter(F.col(CELL_COL).isin(cells))
+    scored = cand.withColumn("score", cosine_to_query(query_vec, F.col(vec_col)))
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k).drop(CELL_COL)
+    )

@@ -160,3 +160,68 @@ def test_embedding_neardup_gemm_path_matches_expression_path(spark, sf_dir):
     )
     to_set = lambda df: {(r["a_id"], r["b_id"], r["cos"]) for r in df.collect()}
     assert to_set(fast) == to_set(slow) and fast.count() > 0
+
+
+def test_embedding_neardup_srp_matches_numpy_model(spark, sf_dir):
+    # independent NumPy recomputation of the whole pipeline: same
+    # hyperplanes, bucket collisions in any table, exact cos >= T
+    import numpy as np
+
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.operators.ann import random_hyperplanes
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = D.embedding_neardup_pairs_srp(
+        e, dim=64, threshold=0.3, n_planes=8, n_tables=4, seed=42
+    )
+    got = {(r["a_id"], r["b_id"]) for r in out.collect()}
+
+    pdf = e.toPandas().sort_values("vec_id")
+    V = np.vstack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    nv = V / np.linalg.norm(V, axis=1)[:, None]
+    coll = np.zeros((len(ids), len(ids)), bool)
+    for t in range(4):
+        P = random_hyperplanes(8, 64, 42 + t)
+        keys = ((nv @ P.T) >= 0) @ (1 << np.arange(8))
+        coll |= keys[:, None] == keys[None, :]
+    S = nv @ nv.T
+    iu, ju = np.nonzero(np.triu(coll & (S >= 0.3 - 1e-9), k=1))
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(iu, ju)}
+    assert got == want and len(got) > 0
+
+
+def test_embedding_neardup_srp_block_sizes_bounded(spark, sf_dir):
+    # the point of the SRP rewrite: the GEMM block key is (table,
+    # bucket), whose size is N/2^n_planes in expectation — NOT a data
+    # column like label whose blocks scale with the corpus. On sf data
+    # label blocks are ~N/10; SRP blocks must be far smaller.
+    import numpy as np
+
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.functions.vector import l2_normalize
+    from movievectorsearch_spark.operators.ann import (
+        random_hyperplanes,
+        srp_bucket,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    base = e.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("nv"), "label"
+    )
+    sizes = []
+    for t in range(4):
+        planes = random_hyperplanes(8, 64, 42 + t)
+        counts = (
+            base.select(srp_bucket(F.col("nv"), planes).alias("bkt"))
+            .groupBy("bkt")
+            .count()
+        )
+        sizes.append(counts.agg(F.max("count")).first()[0])
+    max_label_block = (
+        base.groupBy("label").count().agg(F.max("count")).first()[0]
+    )
+    # each SRP block well under the label blocks and a small corpus frac
+    assert max(sizes) < max_label_block / 2, (sizes, max_label_block)
+    assert max(sizes) <= max(8 * n // 256, 16), (sizes, n)

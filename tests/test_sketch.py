@@ -12,6 +12,8 @@ from movievectorsearch_spark.catalog import load_table
 from movievectorsearch_spark.operators.sketch import (
     cms_build,
     cms_estimate,
+    cms_estimate_join,
+    cms_table,
     hll_rollup,
 )
 
@@ -76,3 +78,60 @@ def test_cms_bounds(spark, sf_dir):
 
     # a key never seen must estimate ~0 (≤ eps·N collisions)
     assert cms_estimate(spark, sketch, "no_such_event") <= eps * total
+
+
+def test_relational_cms_bounds_and_no_driver_loop(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    sketch = cms_table(e, "event_type", depth=5, width=1024)
+    assert sketch.count() <= 5 * 1024  # counter table, not data-sized
+    cands = e.select("event_type").distinct()
+    est = cms_estimate_join(cands, sketch, "event_type", depth=5, width=1024)
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    got = {r.event_type: r.cms_n for r in est.collect()}
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert got[k] >= n, "CMS must never underestimate"
+    # estimate path is one declarative plan: broadcast hash join of the
+    # counter table, no collect-per-key (the plan would show nothing if
+    # the estimates came from a driver loop)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_relational_cms_collisions_still_upper_bound(spark):
+    # force collisions with a tiny width: estimates may inflate but
+    # must remain upper bounds
+    df = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(700)], "key string"
+    )
+    sketch = cms_table(df, "key", depth=4, width=4)
+    exact = {
+        r.key: r.n
+        for r in df.groupBy("key").agg(F.count("*").alias("n")).collect()
+    }
+    est = cms_estimate_join(
+        df.select("key").distinct(), sketch, "key", depth=4, width=4
+    )
+    for r in est.collect():
+        assert r.cms_n >= exact[r.key]
+
+
+def test_relational_cms_mergeable(spark, sf_dir):
+    # sum of per-shard sketches == whole-corpus sketch (the property
+    # that lets counter tables persist per partition grain)
+    e = load_table(spark, sf_dir, "events")
+    s_all = cms_table(e, "event_type", depth=3, width=64)
+    h1 = e.filter(F.col("event_id") % 2 == 0)
+    h2 = e.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        cms_table(h1, "event_type", depth=3, width=64)
+        .unionByName(cms_table(h2, "event_type", depth=3, width=64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    a = {(r.row, r.bucket): r.n for r in s_all.collect()}
+    b = {(r.row, r.bucket): r.n for r in merged.collect()}
+    assert a == b
