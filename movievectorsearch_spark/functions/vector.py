@@ -77,6 +77,28 @@ def py_l2_norm(vec: Sequence[float]) -> float:
     return math.sqrt(acc)
 
 
+def py_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    """Driver-side dot with the SAME sequential fold order as
+    :func:`dot` / :func:`dot_sql`, so tiny scalar decisions made on the
+    driver (e.g. IVF probe-cell ranking) are bit-reproducible in the
+    DuckDB oracle — numpy's pairwise/SIMD summation is NOT."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def py_cosine_to_query(
+    query_vec: Sequence[float], c: Sequence[float]
+) -> float | None:
+    """Driver-side mirror of :func:`cosine_to_query` /
+    :func:`cosine_to_query_sql`: identical fold order and the identical
+    ``qn * |c|`` denominator, so the result is the same IEEE double both
+    engines compute. None when the denominator is zero."""
+    d = py_l2_norm(query_vec) * py_l2_norm(c)
+    return (py_dot(query_vec, c) / d) if d != 0.0 else None
+
+
 def cosine_to_query(query_vec: Sequence[float], b: Column) -> Column:
     """cos(q, b) with the query norm folded to a driver-side constant.
 

@@ -35,6 +35,7 @@ from movievectorsearch_spark.functions.vector import (
     cosine_similarity,
     cosine_to_query,
     dot,
+    py_cosine_to_query,
     vector_lit,
 )
 
@@ -157,13 +158,13 @@ def ivf_search(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Probe the nprobe nearest cells, exact-rescore, top-k."""
-    q = np.asarray(query_vec, dtype=np.float64)
+    """Probe the nprobe nearest cells, exact-rescore, top-k. Probe
+    ranking uses the sequential-fold cosine (py_cosine_to_query), not
+    numpy, so the probed cell set is bit-reproducible in the oracle."""
 
     def cos(c):
-        c = np.asarray(c, dtype=np.float64)
-        d = np.linalg.norm(q) * np.linalg.norm(c)
-        return float(q @ c / d) if d else -1.0
+        v = py_cosine_to_query(query_vec, c)
+        return v if v is not None else -1.0
 
     order = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
     cells = order[:nprobe]

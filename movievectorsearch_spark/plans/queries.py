@@ -30,6 +30,8 @@ from movievectorsearch_spark.catalog import films_view, load_table
 from movievectorsearch_spark.functions.hashing import (
     P,
     minhash_coeffs,
+    minhash_permute,
+    minhash_permute_sql,
     poly_hash,
     poly_hash_sql,
 )
@@ -2449,20 +2451,57 @@ def pii_redact(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@q("stratified_sample", None)
-def stratified_sample(spark, sf_dir):
-    """Stratified sampling (``sampleBy`` — per-stratum Bernoulli with a
-    fixed seed): downsample the over-represented event types, keep the
-    rare ones whole — corpus rebalancing before training. Seeded and
-    partitioning-stable, so repeated runs agree (asserted in
-    tests/test_registry_extra.py) but not SQL-expressible — rows-only
-    check."""
-    e = load_table(spark, sf_dir, "events")
-    fractions = {"click": 0.25, "view": 0.25, "purchase": 1.0,
-                 "signup": 1.0, "error": 0.5}
-    return e.sampleBy("event_type", fractions, seed=42).select(
-        "event_id", "user_id", "event_type"
+_STRATA_GATE_D = 1_000_000
+# per-stratum keep thresholds out of _STRATA_GATE_D: downsample the
+# over-represented event types, keep the rare ones whole
+_STRATA = {"click": 250_000, "view": 250_000, "purchase": 1_000_000,
+           "signup": 1_000_000, "error": 500_000}
+_STRATA_MIX_A = 1_103_515_245  # same odd affine mixer as mixture_sample:
+_STRATA_MIX_B = 12_345         # de-bands sequential event_ids before % D
+
+
+def _stratified_sample_sql() -> str:
+    gate = minhash_permute_sql(
+        poly_hash_sql("event_type || ':' || CAST(event_id AS VARCHAR)"),
+        _STRATA_MIX_A, _STRATA_MIX_B,
     )
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _STRATA.items()
+    )
+    return f"""
+    SELECT event_id, user_id, event_type FROM events
+    WHERE ({gate}) % {_STRATA_GATE_D}
+          < CASE event_type {cases} ELSE 0 END
+    """
+
+
+@q("stratified_sample", _stratified_sample_sql())
+def stratified_sample(spark, sf_dir):
+    """Stratified sampling by deterministic hash gate: a row is kept iff
+    affine_mix(poly_hash(stratum ':' id)) % D < per-stratum threshold —
+    the portable form of ``sampleBy`` (which draws from a partition-seeded
+    RNG and so can't be oracle-checked; the hash gate is append-stable,
+    partition-independent, AND reproducible in DuckDB, which is the
+    property a 100 TB corpus rebalance actually wants: re-running over a
+    grown corpus keeps exactly the same rows it kept before). The gate is
+    pure map-side — no shuffle, no state."""
+    e = load_table(spark, sf_dir, "events")
+    gate = (
+        minhash_permute(
+            poly_hash(
+                F.concat(
+                    F.col("event_type"), F.lit(":"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            _STRATA_MIX_A, _STRATA_MIX_B,
+        )
+        % F.lit(_STRATA_GATE_D)
+    )
+    thresh = F.lit(0)
+    for k, v in _STRATA.items():
+        thresh = F.when(F.col("event_type") == k, F.lit(v)).otherwise(thresh)
+    return e.filter(gate < thresh).select("event_id", "user_id", "event_type")
 
 
 @q(
@@ -4444,16 +4483,40 @@ def multimodal_decode(spark, sf_dir):
 # ANN + pipeline + approx (rows-only: non-SQL-expressible / approximate)
 # ===========================================================================
 
-@q("ann_srp_topk")
+def _ann_srp_sql() -> str:
+    """SRP-LSH is deterministic given the seeded hyperplanes, so the
+    'approximate' index probe IS hash-checkable: the oracle inlines the
+    SAME literal hyperplanes and probe-bucket list the Spark path uses
+    (same pattern as dedup_embedding_cosine's oracle)."""
+    from movievectorsearch_spark.operators.ann import (
+        _bucket_of,
+        _probe_buckets,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(8, len(QUERY_VEC), 42)
+    probes = _probe_buckets(_bucket_of(QUERY_VEC, planes), 8, 1)
+    score = cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), "embedding")
+    return f"""
+    SELECT vec_id, label, round({score}, 6) AS score
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
+      AND ({_srp_bucket_sql('embedding', planes)})
+          IN ({', '.join(str(b) for b in sorted(set(probes)))})
+    ORDER BY {score} DESC, vec_id LIMIT 10
+    """
+
+
+@q("ann_srp_topk", _ann_srp_sql())
 def ann_srp_topk(spark, sf_dir):
-    """Rows-only: SRP-LSH approximate top-10 (V3 scale path) served
-    from a PERSISTED index — the corpus written partitioned by SRP
-    bucket (sources/ann_index.py), probed via partition pruning so
-    only the probe set's directories are read (the honest analog of
-    the reference's persistent Atlas index, database.py:28-47; scan
-    metrics proven in tests/test_ann_index.py). Row-identical to the
-    in-memory srp_search; validated in tests as ⊆ exact-top-k
-    superset, never value-hashed (SURVEY.md §5)."""
+    """SRP-LSH approximate top-10 (V3 scale path) served from a
+    PERSISTED index — the corpus written partitioned by SRP bucket
+    (sources/ann_index.py), probed via partition pruning so only the
+    probe set's directories are read (the honest analog of the
+    reference's persistent Atlas index, database.py:28-47; scan metrics
+    proven in tests/test_ann_index.py). Hash-checked: bucket assignment
+    is a pure expression over seeded literal hyperplanes, so the oracle
+    reproduces the exact probe set and rescore bit-for-bit."""
     import tempfile
 
     from movievectorsearch_spark.sources.ann_index import (
@@ -4469,13 +4532,57 @@ def ann_srp_topk(spark, sf_dir):
     return out.select("vec_id", "label", F.round("score", 6).alias("score"))
 
 
-@q("ann_ivf_topk")
+def _ann_ivf_sql() -> str:
+    """IVF is deterministic end-to-end here: centroids are a seeded
+    id-mod sample (operators/ann.seeded_centroids), cell assignment is
+    argmax-cosine with a (neg, cell) tie-break, probe ranking is the
+    sequential-fold cosine — every step re-derivable in SQL from the
+    same parquet, so the 'approximate' index serve hash-checks."""
+    score = cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), "a.embedding")
+    cscore = cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), "c.cv")
+    cell_cos = cosine_sql("e.embedding", "c.cv")
+    step = "greatest((SELECT count(*) FROM embeddings) // 8, 1)"
+    return f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND vec_id % {step} = 0 AND vec_id / {step} < 8
+      ORDER BY vec_id LIMIT 8
+    ),
+    e AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    asg AS (
+      SELECT vec_id, label, embedding, cell FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY -1.0 * ({cell_cos}) ASC,
+                                           c.cell ASC) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cell FROM cents c
+      ORDER BY coalesce({cscore}, -1.0) DESC, cell LIMIT 2
+    )
+    SELECT vec_id, label, round({score}, 6) AS score
+    FROM asg a WHERE cell IN (SELECT cell FROM probe)
+    ORDER BY {score} DESC, vec_id LIMIT 10
+    """
+
+
+@q("ann_ivf_topk", _ann_ivf_sql())
 def ann_ivf_topk(spark, sf_dir):
-    """Rows-only: IVF coarse-quantized approximate top-10 served from a
-    PERSISTED index — inverted lists laid out as cell partitions, the
-    centroid table stored alongside, probes = partition pruning
+    """IVF coarse-quantized approximate top-10 served from a PERSISTED
+    index — inverted lists laid out as cell partitions, the centroid
+    table stored alongside, probes = partition pruning
     (sources/ann_index.py; scan metrics in tests/test_ann_index.py).
-    Row-identical to the in-memory ivf_search."""
+    Row-identical to the in-memory ivf_search, and hash-checked: the
+    oracle re-derives the seeded centroids, cell assignment, and probe
+    ranking from the same parquet (see _ann_ivf_sql)."""
     import tempfile
 
     from movievectorsearch_spark.operators.ann import seeded_centroids
@@ -4517,15 +4624,35 @@ def ingest_pipeline(spark, sf_dir):
     return out.select("id", "title", "year", F.size("embedding").alias("dim"))
 
 
-@q("approx_distinct_users")
+@q(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS exact_users,
+           TRUE AS approx_within_15pct
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark, sf_dir):
-    """Rows-only: HLL approx_count_distinct next to the exact count
-    (sketch aggregation — map-side partial merge, constant state; the
-    100 TB answer to count(distinct))."""
+    """HLL approx_count_distinct next to the exact count (sketch
+    aggregation — map-side partial merge, constant state; the 100 TB
+    answer to count(distinct)). The HLL estimate itself is
+    engine-specific, so the hash-checked projection is the exact count
+    plus a relative-error bound: default rsd is 0.05, so a 15% band is a
+    3-sigma assertion the sketch actually worked — a real driver-visible
+    check where a raw estimate column could only ever be rows-only."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (err <= 0.15).alias("approx_within_15pct"),
     )
 
 
@@ -5312,6 +5439,11 @@ _RECHECK_FIRST = [
     "mixture_sample_temperature",
     "kmeans_relational_step",
     "heavy_hitters_cms",
+    # newly oracle-backed this round (were rows-only in r1)
+    "stratified_sample",
+    "approx_distinct_users",
+    "ann_srp_topk",
+    "ann_ivf_topk",
 ]
 
 

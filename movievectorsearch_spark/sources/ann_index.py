@@ -145,16 +145,16 @@ def ivf_search_indexed(
     """Probe the persisted IVF index: rank cells by centroid cosine on
     the driver (K tiny vectors), partition-prune to the nprobe nearest
     inverted lists, exact rescore, top-k. Row-identical to
-    operators/ann.ivf_search over the same corpus."""
-    import numpy as np
+    operators/ann.ivf_search over the same corpus; probe ranking uses
+    the sequential-fold cosine so the probed cell set is
+    bit-reproducible in the DuckDB oracle."""
+    from movievectorsearch_spark.functions.vector import py_cosine_to_query
 
     centroids = read_ivf_centroids(spark, path)
-    q = np.asarray(query_vec, dtype=np.float64)
 
     def cos(c):
-        c = np.asarray(c, dtype=np.float64)
-        d = np.linalg.norm(q) * np.linalg.norm(c)
-        return float(q @ c / d) if d else -1.0
+        v = py_cosine_to_query(query_vec, c)
+        return v if v is not None else -1.0
 
     order = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
     cells = order[:nprobe]

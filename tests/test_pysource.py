@@ -112,7 +112,9 @@ def test_stream_checkpoint_resume_no_reprocessing(mg, tmp_path):
             .start()
         )
         try:
-            for _ in range(240):
+            # generous budget: the full suite saturates local[32], and a slow
+            # micro-batch under load must not read as a correctness failure
+            for _ in range(600):
                 try:
                     if mg.read.parquet(out).count() >= target:
                         break
