@@ -4841,6 +4841,103 @@ def mllib_embed_knn(spark, sf_dir):
     )
 
 
+_HTFIDF_DIM = 32
+_HTFIDF_SCALE = 1_000_000  # fixed-point contributions → order-free sums
+
+
+def _hashed_tfidf_sql() -> str:
+    slots = ",\n             ".join(
+        f"coalesce(sum(CASE WHEN bucket = {b} THEN contrib END), 0)"
+        for b in range(_HTFIDF_DIM)
+    )
+    return f"""
+    WITH td AS (
+      SELECT doc_id, u.token, count(*) AS tf
+      FROM documents, LATERAL (SELECT unnest({tokens_sql('text')}) AS token) u
+      GROUP BY doc_id, u.token
+    ),
+    df AS (SELECT token, count(*) AS df FROM td GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    contribs AS (
+      SELECT td.doc_id,
+             {poly_hash_sql('td.token')} % {_HTFIDF_DIM} AS bucket,
+             CAST(floor(td.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                        * {_HTFIDF_SCALE}) AS BIGINT) AS contrib
+      FROM td JOIN df ON td.token = df.token CROSS JOIN n
+    ),
+    vecs AS (
+      SELECT doc_id,
+             [{slots}]::DOUBLE[] AS emb
+      FROM contribs GROUP BY doc_id
+    ),
+    qv AS (SELECT emb AS qemb FROM vecs ORDER BY doc_id LIMIT 1)
+    SELECT v.doc_id, round({cosine_sql('v.emb', 'q.qemb')}, 6) AS score
+    FROM vecs v CROSS JOIN qv q
+    WHERE {cosine_sql('v.emb', 'q.qemb')} IS NOT NULL
+    ORDER BY {cosine_sql('v.emb', 'q.qemb')} DESC, v.doc_id LIMIT 5
+    """
+
+
+@q("hashed_tfidf_knn", _hashed_tfidf_sql())
+def hashed_tfidf_knn(spark, sf_dir):
+    """The hash-checkable twin of mllib_embed_knn (V5): hashing-trick
+    TF-IDF embeddings built relationally — tokens → exact (doc, token)
+    tf and df counts → idf = ln(N/df) from exact ints → feature bucket
+    = poly_hash(token) % 32 → per-bucket FIXED-POINT contributions
+    floor(tf·idf·1e6) summed as BIGINT (integer sums are
+    order-independent, so shuffle/partial-agg order can't perturb float
+    low bits — the same trick as the integer-cents money sums) → 32-dim
+    vector → cosine KNN against the lowest-doc_id vector. Every stage
+    is a shuffle on pre-aggregated rows; the query vector joins as a
+    broadcast 1-row crossJoin, never a collect."""
+    d = load_table(spark, sf_dir, "documents")
+    td = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = td.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    contribs = (
+        td.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            (poly_hash(F.col("token")) % _HTFIDF_DIM).alias("bucket"),
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * _HTFIDF_SCALE
+            )
+            .cast("bigint")
+            .alias("contrib"),
+        )
+    )
+    vecs = contribs.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("bucket") == b, F.col("contrib"))),
+                    F.lit(0),
+                )
+                for b in range(_HTFIDF_DIM)
+            ]
+        )
+        .cast("array<double>")
+        .alias("emb")
+    )
+    qv = vecs.orderBy("doc_id").limit(1).select(F.col("emb").alias("qemb"))
+    score = cosine_similarity(F.col("emb"), F.col("qemb"))
+    return (
+        vecs.crossJoin(F.broadcast(qv))
+        .withColumn("score", score)
+        .filter(F.col("score").isNotNull())
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(5)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 @q(
     "union_ranked_unranked",
     f"""
@@ -5444,6 +5541,8 @@ _RECHECK_FIRST = [
     "approx_distinct_users",
     "ann_srp_topk",
     "ann_ivf_topk",
+    # new this round
+    "hashed_tfidf_knn",
 ]
 
 

@@ -27,6 +27,16 @@ def test_ann_entries_subset_of_exact(spark, sf_dir):
         assert scores == sorted(scores, reverse=True), name
 
 
+def test_hashed_tfidf_knn_self_first(spark, sf_dir):
+    """The query vector is the lowest-doc_id vector, so that doc must
+    rank first with cosine exactly 1.0."""
+    rows = Q.QUERIES["hashed_tfidf_knn"]["spark"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert rows[0]["score"] == 1.0
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_ingest_pipeline_excludes_seen_titles(spark, sf_dir):
     rows = Q.QUERIES["ingest_pipeline"]["spark"](spark, sf_dir).collect()
     titles = {r["title"] for r in rows}
