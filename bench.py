@@ -111,6 +111,16 @@ BENCH_QUERIES = [
     "zorder_scan_agg",
     "grouping_sets_lang_source",
     "events_rank_functions",
+    # round 2: persisted-ANN serve, relational sketch, portable sampling,
+    # fixed-point TF-IDF KNN
+    "ann_srp_topk",
+    "ann_ivf_topk",
+    "heavy_hitters_cms",
+    "stratified_sample",
+    "approx_distinct_users",
+    "hashed_tfidf_knn",
+    "mixture_sample_temperature",
+    "kmeans_relational_step",
 ]
 
 
@@ -149,12 +159,21 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     slow5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    detail = {"metric": "headline_query_wall_time", "value": total,
+              "unit": "sec", "sf": sf_val, "queries": timings, "rows": rows,
+              "slowest5": slow5}
+    # fold in the latest scaling-probe table (tools/scaling_probe.py:
+    # per-query exponent from an 8x blown-up copy of the big tables)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                detail["scaling"] = json.load(f)
+        except (OSError, ValueError):
+            pass
     with open(detail_path, "w") as f:
-        json.dump(
-            {"metric": "headline_query_wall_time", "value": total,
-             "unit": "sec", "sf": sf_val, "queries": timings, "rows": rows,
-             "slowest5": slow5},
-            f, indent=1, sort_keys=True)
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {

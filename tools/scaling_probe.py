@@ -1,0 +1,175 @@
+"""Scaling probe: does each headline plan's wall time grow ~linearly?
+
+local[32] timings at one SF can hide super-linear behavior (a plan that
+is O(n^2) in a blocked join, a window that funnels into one partition).
+This probe blows the five big tables up by ``FACTOR`` with shifted keys
+(join fan-outs preserved: orderkey shifts consistently across
+orders/lineitem, doc_id/vec_id across documents/embeddings), times a
+probe set at both scales, and records the per-query scaling exponent
+
+    exponent = log(t_big / t_small) / log(FACTOR)
+
+~1.0 is linear, ~1.1 is n log n at these sizes; anything >1.35 is
+flagged. Results land in SCALING.json, and bench.py folds them into
+BENCH_DETAIL.json on its next run.
+
+The probe set is restricted to queries whose OUTPUT scales linearly
+under replication. The near-dup JOIN queries (fuzzy_band_join, the LSH
+band join, SRP-blocked embedding dedup) are excluded by design: blowing
+a corpus up by replicating rows multiplies the genuine near-duplicate
+PAIRS quadratically, so their time growth measures the answer growing,
+not the plan degrading. Their scale story is the blocking knob
+(bands/planes scale with log N — operators/dedup.py docstrings), not a
+fixed-knob replication probe.
+
+Usage: python tools/scaling_probe.py [factor] [small_sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from movievectorsearch_spark.catalog import TABLES, table_path
+from movievectorsearch_spark.plans import queries as Q
+from movievectorsearch_spark.session import get_spark
+
+PROBE_QUERIES = [
+    # TPC-H shapes: scan-agg, joins, big group-bys
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "q18_big_orders",
+    "q21_waiting_suppliers",
+    # vector: top-k constant output
+    "knn_topk",
+    "knn_batch",
+    # dedup (linear stages only — see module docstring)
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    # text
+    "text_profile",
+    "token_stats",
+    "tfidf_top_terms",
+    # events / windows
+    "events_hourly",
+    "events_sessionize",
+    "events_window_frames",
+    # global-prefix-sum decomposition
+    "pack_sequences",
+]
+
+SHIFT_KEYS = {
+    # table -> columns that must shift together so join fan-out per key
+    # is preserved (8 copies of an order get 8 distinct orderkeys, each
+    # with the original's lineitems)
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build_blowup(spark, src_dir: str, dst_dir: str, factor: int) -> None:
+    # one shift constant per key FAMILY (orderkey shared by orders and
+    # lineitem; doc_id/vec_id shared by documents and embeddings)
+    fam_of = {"o_orderkey": "ok", "l_orderkey": "ok", "event_id": "ev",
+              "doc_id": "doc", "vec_id": "doc"}
+    fam_shift: dict[str, int] = {}
+    for t, cols in SHIFT_KEYS.items():
+        df = spark.read.parquet(table_path(src_dir, t))
+        m = df.agg(F.max(cols[0])).first()[0]
+        fam = fam_of[cols[0]]
+        fam_shift[fam] = max(fam_shift.get(fam, 0), int(m) + 1)
+    for t in TABLES:
+        src = table_path(src_dir, t)
+        dst = table_path(dst_dir, t)
+        if t not in SHIFT_KEYS:
+            shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(
+                src, dst
+            )
+            continue
+        df = spark.read.parquet(src)
+        col = SHIFT_KEYS[t][0]
+        shift = fam_shift[fam_of[col]]
+        parts = [
+            df.withColumn(col, (F.col(col) + F.lit(i * shift)).cast(
+                dict(df.dtypes)[col]))
+            for i in range(factor)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(dst)
+
+
+def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in names:
+            fn = Q.QUERIES[name]["spark"]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            timings[name] = round(min(timings.get(name, dt), dt), 3)
+    return timings
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    src_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="mvs-scaling", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dst_dir = tempfile.mkdtemp(prefix="spark_graft_blowup_")
+    print(f"# building x{factor} blow-up of {src_dir} in {dst_dir}",
+          file=sys.stderr)
+    build_blowup(spark, src_dir, dst_dir, factor)
+
+    Q.QUERIES["count_scan"]["spark"](spark, src_dir).collect()  # warmup
+    t_small = time_queries(spark, src_dir, PROBE_QUERIES)
+    t_big = time_queries(spark, dst_dir, PROBE_QUERIES)
+
+    table = {}
+    for name in PROBE_QUERIES:
+        ratio = t_big[name] / max(t_small[name], 1e-3)
+        exponent = math.log(max(ratio, 1e-9)) / math.log(factor)
+        table[name] = {
+            "t_small": t_small[name],
+            "t_big": t_big[name],
+            "ratio": round(ratio, 2),
+            "exponent": round(exponent, 2),
+            "flag": "SUPERLINEAR" if exponent > 1.35 else "",
+        }
+        print(f"# {name}: {t_small[name]:.2f}s -> {t_big[name]:.2f}s "
+              f"(x{ratio:.1f}, exp {exponent:.2f})"
+              f"{'  <-- SUPERLINEAR' if exponent > 1.35 else ''}",
+              file=sys.stderr)
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.json")
+    with open(out_path, "w") as f:
+        json.dump({"factor": factor, "src": src_dir, "queries": table},
+                  f, indent=1, sort_keys=True)
+    flagged = [n for n, r in table.items() if r["flag"]]
+    print(json.dumps({"factor": factor, "n_queries": len(table),
+                      "flagged": flagged}))
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
