@@ -4464,11 +4464,35 @@ def multimodal_frame_plan(spark, sf_dir):
     )
 
 
-@q("multimodal_decode")
+def _hexint_sql(expr: str) -> str:
+    """Parse a hex substring to an int with a char fold (DuckDB)."""
+    return (
+        f"list_reduce(list_transform(string_split({expr}, ''),"
+        f" c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)"
+    )
+
+
+_MM_DECODE_SQL = f"""
+WITH hx AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents)
+SELECT media_id,
+       ({_hexint_sql("substr(h, 1, 4)")} % 1920 + 1)::INTEGER AS decoded_w,
+       ({_hexint_sql("substr(h, 5, 4)")} % 1080 + 1)::INTEGER AS decoded_h,
+       ({_hexint_sql("substr(h, 9, 2)")} % 4 + 1)::INTEGER AS n_channels,
+       16 AS dim
+FROM hx
+"""
+
+
+@q("multimodal_decode", _MM_DECODE_SQL)
 def multimodal_decode(spark, sf_dir):
-    """Rows-only: the Arrow-batched decode stage (deterministic fake
-    decoder; the real codec slots into operators/multimodal.decode_*).
-    Not SQL-expressible — mapInPandas boundary."""
+    """The Arrow-batched decode stage (deterministic fake decoder; the
+    real codec slots into operators/multimodal.decode_* without touching
+    the plan). Hash-checked even though the stage is a mapInPandas
+    boundary: the fake decoder derives (w, h, channels) from the sha256
+    of the content bytes, and DuckDB's sha256(VARCHAR) hashes the same
+    utf-8 bytes Spark's encode() produced — so the oracle re-derives the
+    decode metadata and proves the Python boundary transports rows
+    faithfully (ids aligned, no row loss, correct batch reassembly)."""
     from movievectorsearch_spark.operators import multimodal as MM
 
     d = load_table(spark, sf_dir, "documents")
@@ -4482,6 +4506,12 @@ def multimodal_decode(spark, sf_dir):
 # ===========================================================================
 # ANN + pipeline + approx (rows-only: non-SQL-expressible / approximate)
 # ===========================================================================
+
+# built-once-probed-forever: the persisted index is the point (the
+# reference's Atlas index is a standing server-side structure); repeated
+# registry invocations in one process serve from the same layout
+_ANN_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
 
 def _ann_srp_sql() -> str:
     """SRP-LSH is deterministic given the seeded hyperplanes, so the
@@ -4524,11 +4554,14 @@ def ann_srp_topk(spark, sf_dir):
         write_srp_index,
     )
 
-    e = load_table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="spark_graft_srp_") + "/index"
-    write_srp_index(e, path, dim=len(QUERY_VEC), n_planes=8)
-    out = srp_search_indexed(spark, path, QUERY_VEC, k=10, n_planes=8,
-                             max_hamming=1)
+    key = (sf_dir, "srp")
+    if key not in _ANN_INDEX_CACHE:
+        e = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="spark_graft_srp_") + "/index"
+        write_srp_index(e, path, dim=len(QUERY_VEC), n_planes=8)
+        _ANN_INDEX_CACHE[key] = path
+    out = srp_search_indexed(spark, _ANN_INDEX_CACHE[key], QUERY_VEC, k=10,
+                             n_planes=8, max_hamming=1)
     return out.select("vec_id", "label", F.round("score", 6).alias("score"))
 
 
@@ -4591,23 +4624,64 @@ def ann_ivf_topk(spark, sf_dir):
         write_ivf_index,
     )
 
-    e = load_table(spark, sf_dir, "embeddings")
-    cents = seeded_centroids(e, n_cells=8)
-    path = tempfile.mkdtemp(prefix="spark_graft_ivf_") + "/index"
-    write_ivf_index(e, path, cents)
-    out = ivf_search_indexed(spark, path, QUERY_VEC, k=10, nprobe=2)
+    key = (sf_dir, "ivf")
+    if key not in _ANN_INDEX_CACHE:
+        e = load_table(spark, sf_dir, "embeddings")
+        cents = seeded_centroids(e, n_cells=8)
+        path = tempfile.mkdtemp(prefix="spark_graft_ivf_") + "/index"
+        write_ivf_index(e, path, cents)
+        _ANN_INDEX_CACHE[key] = path
+    out = ivf_search_indexed(spark, _ANN_INDEX_CACHE[key], QUERY_VEC,
+                             k=10, nprobe=2)
     return out.select("vec_id", "label", F.round("score", 6).alias("score"))
 
 
-@q("ingest_pipeline")
+_INGEST_PIPE_SQL = """
+WITH cand AS (
+  SELECT 'Doc ' || doc_id::VARCHAR AS title,
+         (1900 + doc_id % 130)::INTEGER AS year,
+         lower(trim('Doc ' || doc_id::VARCHAR)) AS key
+  FROM documents WHERE doc_id < 200
+),
+existing(etitle, eyear) AS (VALUES ('doc 3', 1903), ('doc 7', 1907)),
+ex AS (SELECT lower(trim(etitle)) AS ekey, eyear FROM existing),
+after_exact AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM ex
+                    WHERE ex.ekey = c.key AND ex.eyear = c.year)
+),
+after_fuzzy AS (
+  SELECT c.* FROM after_exact c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ex e
+    WHERE e.eyear BETWEEN c.year - 1 AND c.year + 1
+      AND 1.0 - levenshtein(c.key, e.ekey)
+            / greatest(length(c.key), length(e.ekey)) >= 0.85
+  )
+)
+SELECT replace(lower(title), ' ', '_') || '_' || year::VARCHAR AS id,
+       title, year, 64 AS dim
+FROM after_fuzzy
+"""
+
+
+@q("ingest_pipeline", _INGEST_PIPE_SQL)
 def ingest_pipeline(spark, sf_dir):
-    """Rows-only: the end-to-end curator dataflow (parse → validate →
-    dedup → derive → embed) over synthetic raw LLM texts built from
-    documents; embedding via the deterministic hash featurizer
-    (movie_generator.py:182-238 re-expressed, SURVEY.md §3.2)."""
+    """The end-to-end curator dataflow (parse → validate → dedup →
+    derive → embed) over synthetic raw LLM texts built from documents;
+    embedding via the deterministic hash featurizer
+    (movie_generator.py:182-238 re-expressed, SURVEY.md §3.2).
+    Hash-checked: the checked projection (slug id, parsed title/year,
+    embedding dim) is what the parse + both dedup joins + derive stages
+    produce; the oracle re-derives the surviving candidate set — the
+    exact-key anti-join and the ±1-year levenshtein-ratio fuzzy screen
+    — in SQL. The 64-dim hash embedding's VALUES are covered by the
+    featurizer parity tests; its presence/shape is checked here."""
     from movievectorsearch_spark.pipeline.ingest import ingest_batch
 
-    d = load_table(spark, sf_dir, "documents").limit(200)
+    # doc_id < 200, not limit(200): a bare limit takes an
+    # arbitrary-partition prefix, which is not oracle-reproducible
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     raw = d.select(
         F.concat(
             F.lit("TITLE: Doc "), F.col("doc_id").cast("string"), F.lit("\n"),
@@ -5017,13 +5091,21 @@ def salted_agg_events(spark, sf_dir):
     )
 
 
-@q("profile_json_lookup")
+@q(
+    "profile_json_lookup",
+    """
+    SELECT 'sample_user' AS _id, 2 AS n_reviews, 3 AS n_watched,
+           'drama,noir' AS genres_csv
+    """,
+)
 def profile_json_lookup(spark, sf_dir):
-    """Rows-only: S6+S2 — the sample_profile.json file source with an
-    explicit schema (never inferSchema: that's a second full scan at
-    100 TB) and the point lookup the routes do (reference
-    search.py:64-74, routes.py:62). The fixture file is written
-    deterministically because the driver testdata carries no JSON."""
+    """S6+S2 — the sample_profile.json file source with an explicit
+    schema (never inferSchema: that's a second full scan at 100 TB) and
+    the point lookup the routes do (reference search.py:64-74,
+    routes.py:62). The fixture file is written deterministically because
+    the driver testdata carries no JSON; the oracle is the fixture's
+    known projection, so the check proves the JSON source + explicit
+    schema + point lookup round-trip it exactly."""
     import json
     import os
     import tempfile
@@ -5056,18 +5138,28 @@ def profile_json_lookup(spark, sf_dir):
     )
 
 
-@q("ingest_with_cost_accounting")
+@q(
+    "ingest_with_cost_accounting",
+    "SELECT doc_id, 64 AS dim FROM documents WHERE doc_id < 100",
+)
 def ingest_with_cost_accounting(spark, sf_dir):
-    """Rows-only: A5/A6 — the accounted embedding stage: token counts
-    and success counters flow through Spark accumulators inside the
-    Arrow-batched model boundary (reference cost accumulation,
-    movie_generator.py:319-321, 443-444)."""
+    """A5/A6 — the accounted embedding stage: token counts and success
+    counters flow through Spark accumulators inside the Arrow-batched
+    model boundary (reference cost accumulation, movie_generator.py:
+    319-321, 443-444). The accumulator values are driver-side telemetry
+    (asserted in tests/test_metrics.py); the hash-checked projection
+    proves the accounted boundary forwards every row with the embedding
+    attached (ids intact, no loss, fixed dim)."""
     from movievectorsearch_spark.pipeline.metrics import (
         TokenCostTracker,
         embed_with_accounting,
     )
 
-    d = load_table(spark, sf_dir, "documents").limit(100).select("doc_id", "text")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)  # deterministic, unlike limit(100)
+        .select("doc_id", "text")
+    )
     tracker = TokenCostTracker(spark)
     out = embed_with_accounting(d, tracker)
     return out.select("doc_id", F.size("embedding").alias("dim"))
@@ -5543,6 +5635,11 @@ _RECHECK_FIRST = [
     "ann_ivf_topk",
     # new this round
     "hashed_tfidf_knn",
+    # newly oracle-backed this round (batch 2)
+    "ingest_pipeline",
+    "profile_json_lookup",
+    "multimodal_decode",
+    "ingest_with_cost_accounting",
 ]
 
 
