@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "hashed_tfidf_knn",
     "mixture_sample_temperature",
     "kmeans_relational_step",
+    "chunk_documents",
 ]
 
 

@@ -4181,6 +4181,67 @@ def inverted_index(spark, sf_dir):
     )
 
 
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (8-token overlap)
+
+_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks,
+         len({tokens_sql('text')}) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         CASE WHEN n_tok <= {_CHUNK_W} THEN 1
+              ELSE CAST(floor((n_tok - {_CHUNK_W} + {_CHUNK_S - 1})
+                              / {_CHUNK_S}.0) AS INTEGER) + 1 END AS nc
+  FROM t
+)
+SELECT doc_id, i::INTEGER AS chunk_idx,
+       len(toks[i*{_CHUNK_S} + 1 : i*{_CHUNK_S} + {_CHUNK_W}])::INTEGER
+         AS n_chunk_tokens,
+       array_to_string(toks[i*{_CHUNK_S} + 1 : i*{_CHUNK_S} + {_CHUNK_W}], ' ')
+         AS chunk_text
+FROM c, LATERAL (SELECT unnest(range(0, nc)) AS i) u
+"""
+
+
+@q("chunk_documents", _CHUNK_SQL)
+def chunk_documents(spark, sf_dir):
+    """Sliding-window token chunking with overlap — the context-length
+    preprocessing step of an LLM training pipeline (every doc becomes
+    ceil((n-W)/S)+1 chunks of W tokens at stride S; the final chunk
+    covers the tail). Pure column expressions: tokenize once, explode a
+    chunk-index sequence, slice — a narrow op (no shuffle) whose output
+    feeds pack_sequences. The chunk count formula guarantees full
+    coverage: (nc-1)*S + W >= n_tokens."""
+    toks = tokens(F.col("text"))
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tok")
+    )
+    nc = (
+        F.when(F.col("n_tok") <= _CHUNK_W, F.lit(1))
+        .otherwise(
+            F.floor(
+                (F.col("n_tok") - _CHUNK_W + (_CHUNK_S - 1)) / float(_CHUNK_S)
+            ).cast("int")
+            + 1
+        )
+    )
+    chunked = base.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), nc - 1))
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_idx") * _CHUNK_S + 1, _CHUNK_W
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 @q(
     "tfidf_top_terms",
     f"""
@@ -5640,6 +5701,7 @@ _RECHECK_FIRST = [
     "profile_json_lookup",
     "multimodal_decode",
     "ingest_with_cost_accounting",
+    "chunk_documents",
 ]
 
 

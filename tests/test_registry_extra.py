@@ -27,6 +27,34 @@ def test_ann_entries_subset_of_exact(spark, sf_dir):
         assert scores == sorted(scores, reverse=True), name
 
 
+def test_chunk_documents_full_coverage(spark, sf_dir):
+    """Every token of every doc lands in some chunk: the last chunk's
+    window must reach the end, and all non-final chunks are full."""
+    from pyspark.sql import functions as F
+
+    df = Q.QUERIES["chunk_documents"]["spark"](spark, sf_dir)
+    per_doc = df.groupBy("doc_id").agg(
+        F.max("chunk_idx").alias("last_idx"),
+        F.count("*").alias("n_chunks"),
+        F.min("n_chunk_tokens").alias("min_len"),
+        F.max("n_chunk_tokens").alias("max_len"),
+    ).collect()
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.functions.text import token_count
+
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", token_count(F.col("text")).alias("n"))
+        .collect()
+    }
+    for r in per_doc:
+        assert r["n_chunks"] == r["last_idx"] + 1
+        assert r["max_len"] <= 32
+        # coverage: (nc-1)*stride + window >= n_tokens
+        assert r["last_idx"] * 24 + 32 >= n_tok[r["doc_id"]], r
+
+
 def test_hashed_tfidf_knn_self_first(spark, sf_dir):
     """The query vector is the lowest-doc_id vector, so that doc must
     rank first with cosine exactly 1.0."""
