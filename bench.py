@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "mixture_sample_temperature",
     "kmeans_relational_step",
     "chunk_documents",
+    "vocab_oov_rate",
 ]
 
 

@@ -4181,6 +4181,73 @@ def inverted_index(spark, sf_dir):
     )
 
 
+_VOCAB_N = 1000
+
+_VOCAB_OOV_SQL = f"""
+WITH occ AS (
+  SELECT d.lang, u.token, count(*) AS n
+  FROM documents d, LATERAL (SELECT unnest({tokens_sql('d.text')}) AS token) u
+  GROUP BY d.lang, u.token
+),
+tot AS (SELECT token, sum(n) AS cnt FROM occ GROUP BY token),
+vocab AS (
+  SELECT token FROM tot ORDER BY cnt DESC, token LIMIT {_VOCAB_N}
+)
+SELECT occ.lang,
+       sum(occ.n)::BIGINT AS n_tokens,
+       coalesce(sum(occ.n) FILTER (WHERE v.token IS NULL), 0)::BIGINT AS n_oov,
+       round(coalesce(sum(occ.n) FILTER (WHERE v.token IS NULL), 0)
+             / sum(occ.n)::DOUBLE, 6) AS oov_rate
+FROM occ LEFT JOIN vocab v ON occ.token = v.token
+GROUP BY occ.lang
+ORDER BY occ.lang
+"""
+
+
+@q("vocab_oov_rate", _VOCAB_OOV_SQL)
+def vocab_oov_rate(spark, sf_dir):
+    """Vocabulary coverage — the tokenizer-fit diagnostic of a training
+    pipeline: induce the top-N corpus vocabulary (count desc, token asc
+    — a deterministic total order), then measure each language's
+    out-of-vocabulary token-occurrence rate. Plan: one explode into
+    (lang, token) counts (pre-aggregated map-side), a token re-agg for
+    the global top-N (TakeOrderedAndProject — N rows to the driver
+    side of a broadcast, never a global sort), then a broadcast left
+    join back onto the already-aggregated (lang, token) rows. The
+    corpus is exploded exactly once; every shuffle carries counts."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = (
+        occ.groupBy("token")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_VOCAB_N)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    joined = occ.join(F.broadcast(vocab), "token", "left")
+    oov_n = F.sum(F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(F.lit(0)))
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            oov_n.alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 _CHUNK_W = 32  # tokens per chunk
 _CHUNK_S = 24  # stride (8-token overlap)
 
@@ -5702,6 +5769,7 @@ _RECHECK_FIRST = [
     "multimodal_decode",
     "ingest_with_cost_accounting",
     "chunk_documents",
+    "vocab_oov_rate",
 ]
 
 

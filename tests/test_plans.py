@@ -299,3 +299,37 @@ def test_scd2_single_user_partitioning(spark, sf_dir):
     hash exchange on user_id."""
     p = plan_of(spark, sf_dir, "events_scd2_intervals")
     assert p.count("Exchange hashpartitioning") <= 2  # user / (user,type) windows
+
+
+def test_chunk_documents_is_narrow(spark, sf_dir):
+    """Sliding-window chunking: tokenize + explode + slice is one
+    narrow pass — zero exchanges of any kind."""
+    p = plan_of(spark, sf_dir, "chunk_documents")
+    assert "Exchange" not in p
+
+
+def test_stratified_sample_is_map_side(spark, sf_dir):
+    """The deterministic hash gate filters at the scan — no shuffle,
+    no rate-table join, no state."""
+    p = plan_of(spark, sf_dir, "stratified_sample")
+    assert "Exchange" not in p
+
+
+def test_srp_dedup_rescore_joins_not_cartesian(spark, sf_dir):
+    """The SRP near-dup plan: candidate generation is the grouped
+    Python stage; the exact re-score must be equi-joins (never a
+    cartesian/nested-loop pairing), and the block shuffle is the
+    hash exchange on (tbl, bkt)."""
+    p = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" in p
+
+
+def test_cms_estimate_no_collect_shape(spark, sf_dir):
+    """Relational CMS: the sketch is a counter-table aggregate and the
+    estimate is a join + min — the whole plan is joins/aggregates, no
+    Python boundary, no cartesian."""
+    p = plan_of(spark, sf_dir, "heavy_hitters_cms")
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

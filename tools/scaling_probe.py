@@ -67,6 +67,16 @@ PROBE_QUERIES = [
     "events_window_frames",
     # global-prefix-sum decomposition
     "pack_sequences",
+    # round 2 additions (linear-output shapes)
+    "search_vector",
+    "upsert_latest_wins",
+    "q13_order_distribution",
+    "pivot_user_event_counts",
+    "events_cum_distinct_users",
+    "salted_agg_events",
+    "events_ewma",
+    "hashed_tfidf_knn",
+    "chunk_documents",
 ]
 
 SHIFT_KEYS = {
