@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "kmeans_relational_step",
     "chunk_documents",
     "vocab_oov_rate",
+    "quality_filter_funnel",
 ]
 
 

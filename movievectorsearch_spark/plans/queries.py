@@ -4181,6 +4181,101 @@ def inverted_index(spark, sf_dir):
     )
 
 
+_FUNNEL_LANGS = ("en", "es", "de", "fr")
+_FUNNEL_Q_MIN = 0.67
+_FUNNEL_MIN_TOK = 15
+_FUNNEL_MAX_TOK = 10_000
+_FUNNEL_FP_PREFIX = 8  # boilerplate-prefix dedup: first-k-token fingerprint
+
+
+def _funnel_sql() -> str:
+    stop_list = ", ".join(repr(s) for s in TA.STOPWORDS)
+    quality = f"""round(
+      0.4 * (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END)
+      + 0.3 * least(len(list_filter(toks, t -> t IN ({stop_list})))
+              / greatest(len(toks)::DOUBLE, 1.0) * 5.0, 1.0)
+      + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+              / greatest(length(text)::DOUBLE, 1.0)), 6)"""
+    langs = ", ".join(repr(lang) for lang in _FUNNEL_LANGS)
+    fp = poly_hash_sql(
+        f"array_to_string(toks[1:{_FUNNEL_FP_PREFIX}], ' ')"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, lang, text, {tokens_sql('text')} AS toks
+               FROM documents),
+    base AS (SELECT doc_id, lang, text, toks, {fp} AS fp FROM t),
+    flag AS (
+      SELECT doc_id,
+        CASE
+          WHEN NOT (len(toks) BETWEEN {_FUNNEL_MIN_TOK} AND {_FUNNEL_MAX_TOK})
+            THEN 'length'
+          WHEN lang NOT IN ({langs}) THEN 'lang'
+          WHEN {quality} < {_FUNNEL_Q_MIN} THEN 'quality'
+          WHEN doc_id > min(doc_id) OVER (PARTITION BY fp) THEN 'duplicate'
+          ELSE 'kept' END AS verdict
+      FROM base
+    )
+    SELECT verdict, count(*)::BIGINT AS n_docs,
+           round(count(*) / (SELECT count(*) FROM documents)::DOUBLE, 6) AS pct
+    FROM flag GROUP BY verdict ORDER BY verdict
+    """
+
+
+@q("quality_filter_funnel", _funnel_sql())
+def quality_filter_funnel(spark, sf_dir):
+    """The corpus-cleaning funnel of a pretraining pipeline (C4/
+    RefinedWeb shape): each doc is classified by the FIRST failing
+    stage — length band → language allow-list → composite quality
+    threshold → exact-fingerprint dedup (earliest doc_id is canonical)
+    — and the query reports per-stage attrition. The fingerprint is the
+    FIRST-8-TOKEN prefix hash (boilerplate-prefix dedup — catches docs
+    that share an opening template, the common near-dup mode in crawled
+    corpora). One scan computes all stage predicates as column
+    expressions; the only shuffles are the fingerprint window
+    (hash-partitioned by fp) and the 5-row verdict aggregate; the
+    corpus total joins back as a broadcast 1-row agg. At 100 TB every
+    stage stays map-side except the dedup window, which partitions by
+    fingerprint exactly like dedup_exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    prefix_fp = poly_hash(
+        F.array_join(F.slice(toks, 1, _FUNNEL_FP_PREFIX), " ")
+    )
+    base = d.select(
+        "doc_id", "lang", "text",
+        n_tok.alias("n_tok"),
+        TA.quality_score(F.col("text")).alias("q"),
+        prefix_fp.alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    in_band = (F.col("n_tok") >= _FUNNEL_MIN_TOK) & (
+        F.col("n_tok") <= _FUNNEL_MAX_TOK
+    )
+    verdict = (
+        F.when(~in_band, F.lit("length"))
+        .when(~F.col("lang").isin(*_FUNNEL_LANGS), F.lit("lang"))
+        .when(F.col("q") < _FUNNEL_Q_MIN, F.lit("quality"))
+        .when(F.col("doc_id") > F.min("doc_id").over(w), F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    total = d.agg(F.count("*").alias("total"))
+    return (
+        base.select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "verdict",
+            "n_docs",
+            F.round(
+                F.col("n_docs") / F.col("total").cast("double"), 6
+            ).alias("pct"),
+        )
+        .orderBy("verdict")
+    )
+
+
 _VOCAB_N = 1000
 
 _VOCAB_OOV_SQL = f"""
@@ -5770,6 +5865,7 @@ _RECHECK_FIRST = [
     "ingest_with_cost_accounting",
     "chunk_documents",
     "vocab_oov_rate",
+    "quality_filter_funnel",
 ]
 
 
