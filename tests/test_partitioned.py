@@ -47,3 +47,23 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     ).collect()[0]
     # 1/accuracy relative-rank error; generous absolute bound on cents
     assert abs(both.exact - both.approx) <= max(0.01 * both.exact, 100)
+
+
+def test_dynamic_partition_pruning_via_dim_join(spark, sf_dir, tmp_path):
+    """DPP: a join against a FILTERED dim on the partition column must
+    inject a dynamicpruning subquery into the fact scan's
+    PartitionFilters — at 100 TB this is 'which day-directories to read'
+    decided at runtime from the dim filter, not a full scan."""
+    path = str(tmp_path / "events_dpp")
+    e = load_table(spark, sf_dir, "events")
+    write_partitioned(e, path, ["event_type"])
+    fact = read_partitioned(spark, path)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("signup", 0), ("click", 0), ("view", 0),
+         ("error", 0)],
+        "event_type STRING, flag INT",
+    )
+    j = fact.join(dim, "event_type").filter(F.col("flag") == 1)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert j.count() == e.filter(F.col("event_type") == "purchase").count()
