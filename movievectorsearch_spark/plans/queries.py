@@ -5823,7 +5823,35 @@ def mmr_rerank_topk(spark, sf_dir):
 # query has a green row on record.
 # ---------------------------------------------------------------------------
 
+def _driver_green_from_files() -> set[str]:
+    """Union of hash-proven names across every CORRECTNESS_r*.json the
+    driver has dropped in the repo — the rotation maintains itself each
+    round instead of needing a hand-updated set."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green.add(name)
+    return green
+
+
 # driver-green in round 1 (keys of CORRECTNESS_r01.json, all hash_match=true)
+# — kept as a literal fallback; _driver_green_from_files() supersedes it as
+# new CORRECTNESS_r{N}.json files appear
 _DRIVER_GREEN_R1 = {
     "scan_filter_limit", "point_lookup", "count_scan", "distinct_keys",
     "projection_coalesce", "year_patch_clamp", "slug_derive",
@@ -5871,19 +5899,22 @@ _RECHECK_FIRST = [
 
 def _rotated() -> list[str]:
     names = list(QUERIES)
+    proven = _driver_green_from_files() | _DRIVER_GREEN_R1
+    # queries whose implementation changed this round re-prove even if
+    # previously green
     front = [n for n in _RECHECK_FIRST if n in QUERIES]
     fset = set(front)
     with_oracle = [
         n for n in names
-        if n not in fset and n not in _DRIVER_GREEN_R1
+        if n not in fset and n not in proven
         and QUERIES[n]["sql"] is not None
     ]
     rows_only = [
         n for n in names
-        if n not in fset and n not in _DRIVER_GREEN_R1
+        if n not in fset and n not in proven
         and QUERIES[n]["sql"] is None
     ]
-    green = [n for n in names if n not in fset and n in _DRIVER_GREEN_R1]
+    green = [n for n in names if n not in fset and n in proven]
     return front + with_oracle + rows_only + green
 
 
