@@ -124,6 +124,16 @@ BENCH_QUERIES = [
     "chunk_documents",
     "vocab_oov_rate",
     "quality_filter_funnel",
+    # round 2 batch 3: sub-document dedup, domain caps, histogram sketch,
+    # decayed scores, end-to-end attrition
+    "paragraph_dedup",
+    "domain_cap_sample",
+    "dedup_prefix_containment",
+    "histogram_quantile_sketch",
+    "decayed_popularity",
+    # dedup_end_to_end intentionally not benched: like dedup_clusters, the
+    # iterative CC rounds are fixed job-scheduling overhead on local[32]
+    # that would swamp the per-query timing without measuring data work
 ]
 
 

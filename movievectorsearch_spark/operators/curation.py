@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from movievectorsearch_spark.functions.hashing import (
     P,
@@ -363,4 +364,47 @@ def kmeans_step(
                 F.col("sum_scaled") / (F.col("n_members") * F.lit(1e6)), 6
             ).alias("mean_r6"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-domain document cap
+# ---------------------------------------------------------------------------
+
+def domain_cap(
+    docs: DataFrame,
+    id_col: str,
+    domain_col: str,
+    cap: int,
+) -> DataFrame:
+    """Cap documents per domain/source at ``cap``, keeping a deterministic
+    uniform sample: rank within each domain by a portable affine hash of
+    the id (h = (id*2654435761 + 40503) mod 1000003 — pure int64
+    arithmetic, identical in any engine) and keep rank <= cap. This is
+    the per-domain cap every web-crawl pipeline applies so that a few
+    giant hosts don't dominate the mixture (C4/RefinedWeb-style).
+
+    Plan shape: ONE shuffle — the window partitions by domain; the hash
+    rank is computed map-side. The hash (not insertion order) decides
+    survivors, so the sample is stable under corpus re-partitioning and
+    incremental re-runs. Skew note: a single hot domain serializes its
+    own window partition; at extreme skew swap the row_number for the
+    two-level rank (per-salt top-cap, then re-rank the cap*n_salt
+    survivors) — same survivors, bounded partitions.
+
+    Returns kept rows: ``id, domain, rk`` (rank within domain).
+    """
+    h = (F.col(id_col).cast("bigint") * F.lit(2654435761) + F.lit(40503)) % F.lit(
+        1000003
+    )
+    w = Window.partitionBy("domain").orderBy("h", "id")
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(domain_col).alias("domain"),
+            h.alias("h"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select("id", "domain", "rk")
     )

@@ -40,7 +40,11 @@ from movievectorsearch_spark.functions.hashing import (
     minhash_permute,
     poly_hash,
 )
-from movievectorsearch_spark.functions.text import normalize_key, word_shingles
+from movievectorsearch_spark.functions.text import (
+    normalize_key,
+    tokens,
+    word_shingles,
+)
 from movievectorsearch_spark.functions.vector import cosine_similarity
 
 
@@ -557,4 +561,138 @@ def embedding_neardup_pairs_srp(
         .withColumn("cos", dot(F.col("a_nv"), F.col("b_nv")))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# segment-level (line/paragraph) dedup — C4-style
+# ---------------------------------------------------------------------------
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """C4-style segment-level dedup with document reassembly: split every
+    document into consecutive ``seg_tokens``-token segments, keep only the
+    FIRST corpus-wide occurrence of each normalized segment (first =
+    smallest (doc_id, seg_idx)), and rebuild each document's text from its
+    surviving segments in original order.
+
+    This is the line-level dedup pass of a web-corpus pipeline (C4 drops
+    repeated 3-sentence spans; Dolma/RefinedWeb drop repeated lines) —
+    boilerplate that full-document dedup can't catch. The reference only
+    ever dedupes whole titles (movie_generator.py:83-94); this is the
+    sub-document generalization a 100 TB corpus needs.
+
+    Plan shape (two linear shuffles, nothing quadratic):
+      1. tokenize + slice → one exploded (segment, doc, idx) row per
+         segment; the explode is narrow.
+      2. window ``row_number() over (partition by segment order by
+         doc_id, seg_idx)`` — shuffle keyed by segment text; each
+         partition holds one segment's occurrence list (bounded by that
+         segment's duplication factor, never the corpus).
+      3. re-group by doc — second linear shuffle — reassembling kept
+         segments with an ordered fold, so output text is deterministic.
+
+    Returns one row per document: ``id, n_segs, n_dup_segs, clean_text``.
+    """
+    toks = tokens(F.col(text_col))
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            toks.alias("toks"),
+            n_seg.alias("n_seg"),
+        )
+        .withColumn("seg_idx", F.explode(F.sequence(F.lit(0), F.col("n_seg") - 1)))
+        .select(
+            "id",
+            "seg_idx",
+            F.array_join(
+                F.slice(F.col("toks"), F.col("seg_idx") * seg_tokens + 1, seg_tokens),
+                " ",
+            ).alias("seg"),
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    kept = ranked.withColumn("is_dup", F.col("rn") > 1)
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_segs"),
+            F.sum(F.col("is_dup").cast("int")).cast("int").alias("n_dup_segs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_dup"),
+                                F.struct("seg_idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# prefix-containment dedup (truncation duplicates)
+# ---------------------------------------------------------------------------
+
+def prefix_containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_tokens: int = 8,
+) -> DataFrame:
+    """Pairs (a, b) where document a's full normalized text is a PREFIX of
+    document b's (a <= b in token length; ties broken a.id < b.id) —
+    truncation duplicates, the failure mode of re-crawled/clipped pages
+    that exact-hash dedup misses and shingle-Jaccard only soft-scores.
+
+    Blocking: both sides key on the polynomial hash of their first
+    ``prefix_tokens`` tokens, so the join is a hash equi-join whose
+    candidate set is the prefix-collision count (~duplicate density),
+    never the n² cross product; ``startswith`` verifies exactly. A
+    contained doc shares the container's first-k tokens by definition
+    (docs shorter than ``prefix_tokens`` are skipped — their whole text
+    IS the prefix and exact dedup already covers them), so blocking
+    loses no true pair: recall is exact, not approximate.
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        normalize_key(F.col(text_col)).alias("norm"),
+        F.size(toks).alias("n_tok"),
+        poly_hash(F.array_join(F.slice(toks, 1, prefix_tokens), " ")).alias("fp"),
+    ).filter(F.col("n_tok") >= prefix_tokens)
+    a = base.select(
+        F.col("id").alias("a_id"),
+        F.col("norm").alias("a_norm"),
+        F.col("n_tok").alias("a_tok"),
+        "fp",
+    )
+    b = base.select(
+        F.col("id").alias("b_id"),
+        F.col("norm").alias("b_norm"),
+        F.col("n_tok").alias("b_tok"),
+        "fp",
+    )
+    return (
+        a.join(b, "fp")
+        .filter(
+            (
+                (F.col("a_tok") < F.col("b_tok"))
+                | ((F.col("a_tok") == F.col("b_tok")) & (F.col("a_id") < F.col("b_id")))
+            )
+            & F.col("b_norm").startswith(F.col("a_norm"))
+        )
+        .select("a_id", "b_id", "a_tok", "b_tok")
     )

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "hll_rollup",
@@ -35,6 +36,8 @@ __all__ = [
     "cms_estimate",
     "cms_table",
     "cms_estimate_join",
+    "histogram_sketch",
+    "histogram_quantiles",
 ]
 
 
@@ -180,4 +183,101 @@ def cms_estimate_join(
         probed.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram quantile sketch (mergeable, engine-portable)
+# ---------------------------------------------------------------------------
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Equi-width histogram of ``value_col`` as a (bin, cnt) TABLE — the
+    simplest mergeable quantile sketch: per-shard histograms merge by
+    summing counts (tested in tests/test_sketch.py), so a 100 TB scan
+    keeps only n_bins integers per partition-grain and never sorts.
+
+    The domain [min, max] comes from a 1-row aggregate broadcast back
+    onto the scan (the same tiny-crossJoin pattern as percent-of-total).
+    Binning is ``floor((v - min) * n_bins / (max - min))`` clamped to
+    n_bins-1 — written in that exact operation order so DuckDB's doubles
+    bin identically (IEEE ops are deterministic given the order).
+
+    Unlike t-digest/KLL the bin boundaries are data-independent given
+    the domain, which is what makes counts integers and the whole
+    sketch hash-comparable across engines.
+    """
+    stats = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("vmin"),
+        F.max(F.col(value_col).cast("double")).alias("vmax"),
+    )
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.floor((v - F.col("vmin")) * n_bins / (F.col("vmax") - F.col("vmin"))),
+    ).cast("int")
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(bin_.alias("bin"), "vmin", "vmax")
+        .groupBy("bin", "vmin", "vmax")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    pcts: list[int],
+    n_bins: int = 128,
+) -> DataFrame:
+    """Interpolated quantile estimates from a :func:`histogram_sketch`
+    table. For each percentile p: target rank = ceil(p*N/100) (integer —
+    the bin search has no float boundary), find the first bin whose
+    cumulative count reaches it, then linear-interpolate inside the bin:
+
+        est = vmin + bin*width + width * (target - cum_before) / cnt
+
+    computed in that exact order in both engines. The histogram is tiny
+    (≤ n_bins rows) so the cumulative window and the per-percentile
+    probe cost nothing; all heavy lifting happened in the one
+    sketch-building scan.
+    """
+    w = (
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "bin",
+        "vmin",
+        "vmax",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+    )
+    total = hist.agg(F.sum("cnt").alias("n_total"))
+    pdf = hist.sparkSession.createDataFrame(
+        [(p,) for p in pcts], "pct int"
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    target = F.ceil(F.col("pct") * F.col("n_total") / F.lit(100)).cast("bigint")
+    cand = (
+        pdf.crossJoin(F.broadcast(total))
+        .crossJoin(cum)
+        .filter(F.col("cum") >= target)
+    )
+    pick = Window.partitionBy("pct").orderBy("bin")
+    first_bin = cand.withColumn("rn", F.row_number().over(pick)).filter(
+        F.col("rn") == 1
+    )
+    est = (
+        F.col("vmin")
+        + F.col("bin") * width
+        + width
+        * (target - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+    )
+    return first_bin.select(
+        "pct",
+        F.col("bin").alias("qbin"),
+        F.round(est, 6).alias("est"),
     )

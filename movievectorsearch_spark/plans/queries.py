@@ -5809,6 +5809,289 @@ def mmr_rerank_topk(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-2 batch 3: segment dedup, domain caps, containment dedup,
+# histogram quantile sketch, time-decayed scores, end-to-end attrition
+# ===========================================================================
+
+_SEG_W = 8  # tokens per segment (the "line" unit of C4-style dedup)
+
+_PARAGRAPH_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+s AS (
+  SELECT doc_id, i::INTEGER AS seg_idx,
+         array_to_string(toks[i*{_SEG_W} + 1 : i*{_SEG_W} + {_SEG_W}], ' ') AS seg
+  FROM t, LATERAL (SELECT unnest(range(0,
+         CAST(ceil(len(toks) / {_SEG_W}) AS INTEGER))) AS i) u
+),
+r AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM s
+)
+SELECT doc_id AS id, count(*)::INTEGER AS n_segs,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::INTEGER AS n_dup_segs,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx),
+                '') AS clean_text
+FROM r GROUP BY doc_id
+"""
+
+
+@q("paragraph_dedup", _PARAGRAPH_DEDUP_SQL)
+def paragraph_dedup(spark, sf_dir):
+    """C4-style segment-level dedup with reassembly: drop every repeated
+    8-token segment except its first corpus-wide occurrence, rebuild each
+    doc from the survivors (operators/dedup.py:segment_dedup). Catches
+    boilerplate that whole-doc dedup misses; the reference only ever
+    dedupes whole titles (movie_generator.py:83-94). Two linear shuffles:
+    window keyed by segment text, then re-group by doc with an ordered
+    fold — deterministic output text, no quadratic stage."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.segment_dedup(d, "doc_id", "text", _SEG_W)
+
+
+_DOMAIN_CAP = 15
+
+_DOMAIN_CAP_SQL = f"""
+WITH h AS (
+  SELECT doc_id AS id, source AS domain,
+         (doc_id * 2654435761 + 40503) % 1000003 AS h
+  FROM documents
+),
+r AS (
+  SELECT id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY h, id) AS rk
+  FROM h
+)
+SELECT id, domain, rk::INTEGER AS rk FROM r WHERE rk <= {_DOMAIN_CAP}
+"""
+
+
+@q("domain_cap_sample", _DOMAIN_CAP_SQL)
+def domain_cap_sample(spark, sf_dir):
+    """Per-domain document cap (operators/curation.py:domain_cap): keep at
+    most N docs per source, chosen by a portable affine hash of the id —
+    the anti-host-domination cap of web-corpus pipelines (C4/RefinedWeb
+    keep caps per registered domain). Hash-ranked, so the surviving set
+    is stable under re-partitioning and incremental re-runs; one
+    window shuffle, rank computed map-side."""
+    from movievectorsearch_spark.operators.curation import domain_cap
+
+    d = load_table(spark, sf_dir, "documents")
+    return domain_cap(d, "doc_id", "source", _DOMAIN_CAP)
+
+
+_PREFIX_TOK = 8
+
+_PREFIX_CONTAIN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lower(trim(text)) AS norm, {tokens_sql('text')} AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, norm, len(toks)::INTEGER AS n_tok,
+         {poly_hash_sql(f"array_to_string(toks[1:{_PREFIX_TOK}], ' ')")} AS fp
+  FROM t WHERE len(toks) >= {_PREFIX_TOK}
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       a.n_tok AS a_tok, b.n_tok AS b_tok
+FROM base a JOIN base b ON a.fp = b.fp
+WHERE (a.n_tok < b.n_tok OR (a.n_tok = b.n_tok AND a.doc_id < b.doc_id))
+  AND starts_with(b.norm, a.norm)
+"""
+
+
+@q("dedup_prefix_containment", _PREFIX_CONTAIN_SQL)
+def dedup_prefix_containment(spark, sf_dir):
+    """Truncation-duplicate pairs: doc a's full normalized text is a
+    prefix of doc b's (operators/dedup.py:prefix_containment_pairs).
+    The re-crawl/clip failure mode exact-hash dedup misses. Blocked on
+    the poly-hash of the first 8 tokens — an equi-join whose candidate
+    count tracks duplicate density, never n²; recall is exact because a
+    contained doc shares the container's prefix by definition."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.prefix_containment_pairs(d, "doc_id", "text", _PREFIX_TOK)
+
+
+_HIST_BINS = 128
+
+_HIST_QUANTILE_SQL = f"""
+WITH stats AS (
+  SELECT min(value::DOUBLE) AS vmin, max(value::DOUBLE) AS vmax
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT LEAST({_HIST_BINS - 1},
+               CAST(floor((value::DOUBLE - vmin) * {_HIST_BINS}
+                          / (vmax - vmin)) AS BIGINT))::INTEGER AS bin,
+         vmin, vmax
+  FROM events, stats WHERE value IS NOT NULL
+),
+hist AS (SELECT bin, vmin, vmax, count(*) AS cnt FROM b GROUP BY bin, vmin, vmax),
+cum AS (
+  SELECT bin, vmin, vmax, cnt,
+         sum(cnt) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+tot AS (SELECT sum(cnt) AS n_total FROM hist),
+p AS (SELECT unnest([50, 95, 99]) AS pct),
+cand AS (
+  SELECT p.pct, c.bin, c.vmin, c.vmax, c.cnt, c.cum,
+         CAST(ceil(p.pct * t.n_total / 100) AS BIGINT) AS target,
+         row_number() OVER (PARTITION BY p.pct ORDER BY c.bin) AS rn
+  FROM p, tot t, cum c
+  WHERE c.cum >= CAST(ceil(p.pct * t.n_total / 100) AS BIGINT)
+)
+SELECT pct, bin AS qbin,
+       round(vmin + bin * ((vmax - vmin) / {_HIST_BINS}.0)
+             + ((vmax - vmin) / {_HIST_BINS}.0)
+               * (target - (cum - cnt)) / cnt, 6) AS est
+FROM cand WHERE rn = 1
+"""
+
+
+@q("histogram_quantile_sketch", _HIST_QUANTILE_SQL)
+def histogram_quantile_sketch(spark, sf_dir):
+    """Quantiles from a mergeable fixed-bin histogram
+    (operators/sketch.py:histogram_sketch/histogram_quantiles): one scan
+    builds 128 integer bin counts (map-side combined; per-shard
+    histograms merge by summing — tests/test_sketch.py), then p50/p95/p99
+    are interpolated from the tiny cumulative table. The 100 TB
+    alternative to sorting for percentile_cont; unlike t-digest/KLL the
+    bins are data-independent given the domain, so the whole sketch is
+    integer and hash-matches the oracle."""
+    from movievectorsearch_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hist = histogram_sketch(ev, "value", _HIST_BINS)
+    return histogram_quantiles(hist, [50, 95, 99], _HIST_BINS)
+
+
+_DECAYED_SQL = f"""
+WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+w AS (
+  SELECT event_type,
+         1000 // (1 + date_diff('day', ts::DATE, ref_ts::DATE)) AS w_pm,
+         {CENTS.format(col='value')} AS cents
+  FROM events, ref
+)
+SELECT event_type, count(*) AS n_events,
+       sum(w_pm)::BIGINT AS decayed_count_pm,
+       sum(w_pm * cents)::BIGINT AS decayed_value_cents_pm
+FROM w GROUP BY event_type
+"""
+
+
+@q("decayed_popularity", _DECAYED_SQL)
+def decayed_popularity(spark, sf_dir):
+    """Time-decayed popularity: hyperbolic decay weight 1000/(1+age_days)
+    in pure int64 arithmetic (integer div — no float pow, so the score is
+    bit-identical in any engine and safe from ulp boundaries; age is
+    calendar-day boundary crossings, identical in Spark datediff and
+    DuckDB date_diff). The freshness-weighted counterpart of
+    agg_counts_by_type: one broadcast 1-row max(ts) + one groupBy;
+    weights and cents are exact integers, so partial aggregation is
+    lossless at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    w_pm = F.expr(
+        "1000 div (1 + datediff(CAST(ref_ts AS DATE), CAST(ts AS DATE)))"
+    )
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .select(
+            "event_type",
+            w_pm.alias("w_pm"),
+            _cents("value").alias("cents"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("w_pm").alias("decayed_count_pm"),
+            F.sum(F.col("w_pm") * F.col("cents")).alias("decayed_value_cents_pm"),
+        )
+    )
+
+
+_DEDUP_E2E_SQL = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+pairs AS ({_NGRAM_SELECT}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+tok AS (SELECT doc_id, len({tokens_sql('text')})::BIGINT AS n_tok FROM documents),
+dropped AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+SELECT count(*)::BIGINT AS n_docs_before,
+       (count(*) - (SELECT count(*) FROM dropped))::BIGINT AS n_docs_after,
+       (SELECT count(DISTINCT cluster_id) FROM cc)::BIGINT AS n_clusters,
+       sum(n_tok)::BIGINT AS tokens_before,
+       (sum(n_tok) - (SELECT coalesce(sum(t.n_tok), 0) FROM dropped d
+                      JOIN tok t USING (doc_id)))::BIGINT AS tokens_after
+FROM tok
+"""
+
+
+@q("dedup_end_to_end", _DEDUP_E2E_SQL)
+def dedup_end_to_end(spark, sf_dir):
+    """Corpus attrition report for the full near-dup pipeline: shingle
+    Jaccard pairs → connected components → keep the canonical (min id)
+    per cluster → docs/tokens before vs after. The number a data-curation
+    run actually reports ("dedup removed X% of tokens"). Composes
+    operators/dedup.py:ngram_jaccard_pairs + operators/cluster.py:
+    connected_components; the final stats are three tiny aggregates
+    broadcast together — nothing row-sized leaves the executors."""
+    from movievectorsearch_spark.operators.cluster import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", _SHINGLE_N, _NGRAM_THRESHOLD, ["lang"]
+    )
+    cc = connected_components(pairs, "a_id", "b_id")
+    dropped = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("is_dropped")
+    )
+    tok = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    n_clusters = cc.agg(
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters")
+    )
+    return (
+        tok.join(F.broadcast(dropped), "doc_id", "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs_before"),
+            (F.count("*") - F.coalesce(F.sum("is_dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_docs_after"),
+            F.sum("n_tok").cast("bigint").alias("tokens_before"),
+            (
+                F.sum("n_tok")
+                - F.coalesce(
+                    F.sum(F.when(F.col("is_dropped") == 1, F.col("n_tok"))),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("tokens_after"),
+        )
+        .crossJoin(F.broadcast(n_clusters))
+        .select(
+            "n_docs_before", "n_docs_after", "n_clusters",
+            "tokens_before", "tokens_after",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -5894,6 +6177,13 @@ _RECHECK_FIRST = [
     "chunk_documents",
     "vocab_oov_rate",
     "quality_filter_funnel",
+    # new in round-2 batch 3
+    "paragraph_dedup",
+    "domain_cap_sample",
+    "dedup_prefix_containment",
+    "histogram_quantile_sketch",
+    "decayed_popularity",
+    "dedup_end_to_end",
 ]
 
 

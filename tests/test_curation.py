@@ -131,3 +131,24 @@ def test_scd2_intervals_chain(spark, sf_dir):
         for i in range(len(g) - 1):
             assert g.valid_to[i] == g.valid_from[i + 1]
         assert g.valid_to.iloc[-1] is None or pd.isna(g.valid_to.iloc[-1])
+
+
+def test_domain_cap_respects_cap_and_is_repartition_stable(spark, sf_dir):
+    from movievectorsearch_spark.operators.curation import domain_cap
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = domain_cap(d, "doc_id", "source", 3)
+    per = {r.domain: r.n for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    totals = {
+        r.source: r.n
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for dom, n in per.items():
+        assert n == min(3, totals[dom])
+    # survivors depend on the hash, not on physical layout
+    a = {(r.id, r.domain) for r in kept.collect()}
+    b = {
+        (r.id, r.domain)
+        for r in domain_cap(d.repartition(13), "doc_id", "source", 3).collect()
+    }
+    assert a == b

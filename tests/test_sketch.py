@@ -135,3 +135,67 @@ def test_relational_cms_mergeable(spark, sf_dir):
     a = {(r.row, r.bucket): r.n for r in s_all.collect()}
     b = {(r.row, r.bucket): r.n for r in merged.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def test_histogram_sketch_is_mergeable(spark, sf_dir):
+    """Per-shard histograms merged by summing counts == whole-corpus
+    histogram — the property that lets a 100 TB scan keep only n_bins
+    integers per grain."""
+    from movievectorsearch_spark.operators.sketch import histogram_sketch
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    whole = {
+        r.bin: r.cnt for r in histogram_sketch(e, "value", 64).collect()
+    }
+    # shard by event_id parity, bin against the SAME global domain
+    stats = e.agg(
+        F.min(F.col("value").cast("double")).alias("vmin"),
+        F.max(F.col("value").cast("double")).alias("vmax"),
+    )
+    merged: dict = {}
+    for parity in (0, 1):
+        shard = e.filter(F.col("event_id") % 2 == parity).crossJoin(
+            F.broadcast(stats)
+        )
+        bin_ = F.least(
+            F.lit(63),
+            F.floor(
+                (F.col("value").cast("double") - F.col("vmin"))
+                * 64
+                / (F.col("vmax") - F.col("vmin"))
+            ),
+        ).cast("int")
+        for r in (
+            shard.select(bin_.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        ):
+            merged[r.bin] = merged.get(r.bin, 0) + r.cnt
+    assert merged == whole
+
+
+def test_histogram_quantiles_close_to_exact(spark, sf_dir):
+    """Interpolated estimates sit within one bin width of the exact
+    percentile (the sketch's worst-case error bound)."""
+    from movievectorsearch_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hist = histogram_sketch(e, "value", 128)
+    est = {r.pct: r.est for r in histogram_quantiles(hist, [50, 95, 99]).collect()}
+    lo, hi = e.agg(
+        F.min(F.col("value").cast("double")), F.max(F.col("value").cast("double"))
+    ).first()
+    width = (hi - lo) / 128.0
+    exact = e.selectExpr(
+        "percentile(CAST(value AS DOUBLE), array(0.5, 0.95, 0.99)) AS p"
+    ).first()["p"]
+    for pct, ex in zip((50, 95, 99), exact):
+        assert abs(est[pct] - ex) <= width + 1e-9, (pct, est[pct], ex, width)
