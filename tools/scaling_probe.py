@@ -77,6 +77,13 @@ PROBE_QUERIES = [
     "events_ewma",
     "hashed_tfidf_knn",
     "chunk_documents",
+    # round 2 batch 3 (linear shapes; dedup_prefix_containment excluded —
+    # replication multiplies identical prefixes, growing true pairs
+    # quadratically like the other near-dup joins)
+    "paragraph_dedup",
+    "domain_cap_sample",
+    "histogram_quantile_sketch",
+    "decayed_popularity",
 ]
 
 SHIFT_KEYS = {
