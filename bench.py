@@ -131,6 +131,12 @@ BENCH_QUERIES = [
     "dedup_prefix_containment",
     "histogram_quantile_sketch",
     "decayed_popularity",
+    # round 2 batch 4: hybrid retrieval + graph rank + rolling distinct
+    "keyword_bm25_topk",
+    "hybrid_rrf_fusion",
+    "colbert_maxsim_topk",
+    "pagerank_step_suppliers",
+    "rolling_wau_stickiness",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

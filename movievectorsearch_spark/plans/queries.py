@@ -6092,6 +6092,272 @@ def dedup_end_to_end(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-2 batch 4: hybrid retrieval (BM25 keyword, RRF fusion, maxsim),
+# graph rank step, rolling distinct
+# ===========================================================================
+
+_BM25_TERMS = ["spark", "window", "hash"]
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+# shared CTE block: per-doc BM25-family score in ppm fixed point
+# (rational idf (N-df)/N instead of the log form — ordering-preserving
+# and engine-exact; see operators/retrieval.py module docstring)
+_BM25_CTES = f"""base AS (
+  SELECT doc_id AS id, {tokens_sql('text')} AS toks,
+         (len({tokens_sql('text')}) * 100)::BIGINT AS dl_c
+  FROM documents
+),
+corpus AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl_c) // count(*) AS avgdl_c
+  FROM base
+),
+tf AS (
+  SELECT id, dl_c, u.term, count(*)::BIGINT AS tf
+  FROM base, LATERAL (SELECT unnest(toks) AS term) u
+  WHERE u.term IN ({_BM25_TERMS_SQL})
+  GROUP BY id, dl_c, u.term
+),
+docfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+bm25 AS (
+  SELECT id,
+         sum(((1000000 * (n_docs - df)) // n_docs)
+             * ((1000000 * 44 * avgdl_c * tf)
+                // (20 * avgdl_c * tf + 6 * avgdl_c + 18 * dl_c))
+             // 1000000)::BIGINT AS bm25_ppm
+  FROM tf JOIN docfreq USING (term), corpus
+  GROUP BY id
+)"""
+
+_BM25_SQL = f"""
+WITH {_BM25_CTES}
+SELECT id, bm25_ppm FROM bm25 ORDER BY bm25_ppm DESC, id LIMIT 15
+"""
+
+
+@q("keyword_bm25_topk", _BM25_SQL)
+def keyword_bm25_topk(spark, sf_dir):
+    """Keyword retrieval: BM25-family scoring (k1=6/5, b=3/4) in ppm
+    integer arithmetic (operators/retrieval.py:bm25_scores_ppm) — the
+    lexical half of hybrid search that the reference's text path ranks
+    only by insertion order (routes.py:43-75). One explode into (doc,
+    term) tf counts, df/avgdl as broadcast scalars, top-15 via
+    TakeOrderedAndProject. The idf is the rational (N-df)/N: log is the
+    only non-rational piece of BM25 and would pin scores to libm ulp
+    behavior; the rational form keeps rarer-term-weighs-more exactly."""
+    from movievectorsearch_spark.operators.retrieval import bm25_scores_ppm
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores_ppm(d, "doc_id", "text", _BM25_TERMS)
+        .orderBy(F.desc("bm25_ppm"), F.asc("id"))
+        .limit(15)
+    )
+
+
+_RRF_SQL = f"""
+WITH {_BM25_CTES},
+vtop AS (
+  SELECT vec_id AS id,
+         round({cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), 'embedding')}, 6) AS c
+  FROM embeddings
+  ORDER BY c DESC, id LIMIT 50
+),
+vrank AS (
+  SELECT id, row_number() OVER (ORDER BY c DESC, id)::INTEGER AS rank_a FROM vtop
+),
+ktop AS (SELECT id, bm25_ppm FROM bm25 ORDER BY bm25_ppm DESC, id LIMIT 50),
+krank AS (
+  SELECT id, row_number() OVER (ORDER BY bm25_ppm DESC, id)::INTEGER AS rank_b
+  FROM ktop
+),
+fused AS (
+  SELECT coalesce(v.id, k.id) AS id, rank_a, rank_b,
+         (coalesce(1000000 // (60 + rank_a), 0)
+          + coalesce(1000000 // (60 + rank_b), 0))::BIGINT AS rrf_ppm
+  FROM vrank v FULL OUTER JOIN krank k ON v.id = k.id
+)
+SELECT id, rank_a, rank_b, rrf_ppm
+FROM fused ORDER BY rrf_ppm DESC, id LIMIT 15
+"""
+
+
+@q("hybrid_rrf_fusion", _RRF_SQL)
+def hybrid_rrf_fusion(spark, sf_dir):
+    """Hybrid search: reciprocal-rank fusion of the vector top-50 and
+    the BM25 keyword top-50 (operators/retrieval.py:rrf_fuse) — the
+    modern replacement for the reference's ranked++unranked union
+    (ai_service.py:117-119) when both sides carry a ranking. Each side
+    is a TakeOrderedAndProject (per-partition heaps); the rank windows
+    and the fusion join run over 50-row inputs, so the only
+    corpus-sized work is the two scans. RRF score 1e6//(60+rank) is
+    integer — ties and order are engine-exact."""
+    from movievectorsearch_spark.operators.retrieval import (
+        bm25_scores_ppm,
+        rank_topn,
+        rrf_fuse,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vec_scored = e.select(
+        F.col("vec_id").alias("id"),
+        F.round(cosine_to_query(QUERY_VEC, F.col("embedding")), 6).alias("c"),
+    )
+    vrank = rank_topn(vec_scored, "id", "c", 50)
+    d = load_table(spark, sf_dir, "documents")
+    krank = rank_topn(
+        bm25_scores_ppm(d, "doc_id", "text", _BM25_TERMS), "id", "bm25_ppm", 50
+    )
+    fused = rrf_fuse(vrank, krank, k=60, top=15)
+    return fused.select(
+        "id", "rank_a", "rank_b", F.col("rrf_ppm").cast("bigint").alias("rrf_ppm")
+    )
+
+
+_MAXSIM_SQL = f"""
+WITH per AS (
+  SELECT label AS grp,
+         {', '.join(f"{cosine_to_query_sql(v, vec_sql(v), 'embedding')} AS q{i}" for i, v in enumerate(QVECS))}
+  FROM embeddings
+),
+m AS (
+  SELECT grp, max(q0) AS mq0, max(q1) AS mq1, max(q2) AS mq2
+  FROM per GROUP BY grp
+)
+SELECT grp, round(mq0, 6) AS max_q0, round(mq1, 6) AS max_q1,
+       round(mq2, 6) AS max_q2, round(mq0 + mq1 + mq2, 6) AS maxsim
+FROM m
+"""
+
+
+@q("colbert_maxsim_topk", _MAXSIM_SQL)
+def colbert_maxsim_topk(spark, sf_dir):
+    """ColBERT-style late interaction: each label group is a BAG of
+    vectors; score = Σ over the 3 query vectors of the max cosine to any
+    group member (operators/retrieval.py:maxsim_scores). One scan
+    computes |Q| cosine fold-expressions per row; the groupBy takes |Q|
+    maxes (order-independent) and sums them in fixed column order — a
+    single map-side-combining aggregate, bit-stable doubles, no
+    quadratic stage. The multi-vector upgrade of knn_topk's
+    single-vector scoring."""
+    from movievectorsearch_spark.operators.retrieval import maxsim_scores
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return maxsim_scores(e, "label", "embedding", QVECS)
+
+
+_PAGERANK_SQL = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT c, count(*)::BIGINT AS deg FROM edges GROUP BY c),
+contrib AS (
+  SELECT e.s, 1000000 // d.deg AS w
+  FROM edges e JOIN deg d ON e.c = d.c
+),
+inflow AS (
+  SELECT s AS suppkey, count(*)::BIGINT AS n_in, sum(w)::BIGINT AS inflow_ppm
+  FROM contrib GROUP BY s
+)
+SELECT suppkey, n_in,
+       (150000 + (17 * inflow_ppm) // 20)::BIGINT AS rank_ppm
+FROM inflow ORDER BY rank_ppm DESC, suppkey LIMIT 20
+"""
+
+
+@q("pagerank_step_suppliers", _PAGERANK_SQL)
+def pagerank_step_suppliers(spark, sf_dir):
+    """One PageRank iteration (damping 0.85) over the customer→supplier
+    bipartite graph derived from orders⋈lineitem — the relational form
+    of a graph-rank sweep, like kmeans_relational_step is for
+    clustering. All fixed-point int64: per-customer outdegree shares are
+    1e6//deg, damping is the exact rational 17/20, so partials combine
+    losslessly. Plan: one fact-fact join (the only big shuffle) →
+    distinct edges → two bounded aggs; iterating = re-running with
+    ranks joined back, same shapes every round."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = edges.groupBy("c").agg(F.count("*").cast("bigint").alias("deg"))
+    contrib = edges.join(deg, "c").withColumn("w", F.expr("1000000 div deg"))
+    inflow = contrib.groupBy("s").agg(
+        F.count("*").cast("bigint").alias("n_in"),
+        F.sum("w").cast("bigint").alias("inflow_ppm"),
+    )
+    return (
+        inflow.select(
+            F.col("s").alias("suppkey"),
+            "n_in",
+            F.expr("CAST(150000 + (17 * inflow_ppm) div 20 AS BIGINT)").alias(
+                "rank_ppm"
+            ),
+        )
+        .orderBy(F.desc("rank_ppm"), F.asc("suppkey"))
+        .limit(20)
+    )
+
+
+_WAU_SQL = """
+WITH ud AS (SELECT DISTINCT ts::DATE AS d, user_id FROM events),
+mx AS (SELECT max(d) AS max_d FROM ud),
+e AS (
+  SELECT d + CAST(i AS INTEGER) AS bucket, user_id, i
+  FROM ud, LATERAL (SELECT unnest(range(0, 7)) AS i) u, mx
+  WHERE d + CAST(i AS INTEGER) <= max_d
+)
+SELECT strftime(bucket, '%Y-%m-%d') AS day,
+       count(DISTINCT CASE WHEN i = 0 THEN user_id END)::BIGINT AS dau,
+       count(DISTINCT user_id)::BIGINT AS wau,
+       round(count(DISTINCT CASE WHEN i = 0 THEN user_id END)
+             / count(DISTINCT user_id)::DOUBLE, 6) AS stickiness
+FROM e GROUP BY bucket ORDER BY bucket
+"""
+
+
+@q("rolling_wau_stickiness", _WAU_SQL)
+def rolling_wau_stickiness(spark, sf_dir):
+    """Trailing-7-day distinct users (WAU) + same-day distinct (DAU) +
+    DAU/WAU stickiness per day. Spark has no COUNT(DISTINCT) OVER
+    RANGE; the scalable decomposition explodes each (user, active-day)
+    pair into the ≤7 window buckets it serves — bounded ×7 blow-up of
+    the already-distinct activity table, then ONE distinct-count
+    aggregate per bucket. Partial-future buckets past max(day) are
+    trimmed via a 1-row broadcast. Same first-occurrence philosophy as
+    events_cum_distinct_users, applied to a sliding window."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    mx = ud.agg(F.max("d").alias("max_d"))
+    expanded = (
+        ud.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn("bucket", F.date_add(F.col("d"), F.col("i")))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("bucket") <= F.col("max_d"))
+    )
+    return (
+        expanded.groupBy("bucket")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("i") == 0, F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -6184,6 +6450,12 @@ _RECHECK_FIRST = [
     "histogram_quantile_sketch",
     "decayed_popularity",
     "dedup_end_to_end",
+    # new in round-2 batch 4 (hybrid retrieval + graph + rolling distinct)
+    "keyword_bm25_topk",
+    "hybrid_rrf_fusion",
+    "colbert_maxsim_topk",
+    "pagerank_step_suppliers",
+    "rolling_wau_stickiness",
 ]
 
 

@@ -84,6 +84,11 @@ PROBE_QUERIES = [
     "domain_cap_sample",
     "histogram_quantile_sketch",
     "decayed_popularity",
+    # round 2 batch 4 (linear shapes; rrf is bm25+vector re-run, skipped)
+    "keyword_bm25_topk",
+    "colbert_maxsim_topk",
+    "pagerank_step_suppliers",
+    "rolling_wau_stickiness",
 ]
 
 SHIFT_KEYS = {
