@@ -73,7 +73,11 @@ def bm25_scores_ppm(
         .groupBy("id", "dl_c", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    # df as a window over tf — NOT a groupBy+join back, which would
+    # duplicate the whole tokenize/explode subtree in the plan (Spark
+    # does not share unreferenced common subplans); tf is already
+    # bounded by docs-containing-query-terms, so the window is cheap
+    df_win = Window.partitionBy("term")
     sat_ppm = F.expr(
         f"({PPM} * 44 * avgdl_c * tf) div "
         "(20 * avgdl_c * tf + 6 * avgdl_c + 18 * dl_c)"
@@ -81,7 +85,7 @@ def bm25_scores_ppm(
     idf_ppm = F.expr(f"({PPM} * (n_docs - df)) div n_docs")
     term_score = F.expr(f"(idf_ppm * sat_ppm) div {PPM}")
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.withColumn("df", F.count("*").over(df_win).cast("bigint"))
         .crossJoin(F.broadcast(corpus))
         .withColumn("sat_ppm", sat_ppm)
         .withColumn("idf_ppm", idf_ppm)

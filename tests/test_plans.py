@@ -333,3 +333,83 @@ def test_cms_estimate_no_collect_shape(spark, sf_dir):
     p = plan_of(spark, sf_dir, "heavy_hitters_cms")
     assert "CartesianProduct" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_paragraph_dedup_no_cartesian_two_exchanges(spark, sf_dir):
+    """Segment dedup: window keyed by segment + re-group by doc — hash
+    exchanges only, never a pairwise join stage."""
+    p = plan_of(spark, sf_dir, "paragraph_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_domain_cap_single_window_shuffle(spark, sf_dir):
+    """Per-domain cap: the hash rank is map-side; the only exchange is
+    the window's partitioning by domain — and Spark's WindowGroupLimit
+    must apply (partial top-cap per partition BEFORE the shuffle, so
+    only ≤cap rows per (partition, domain) ever cross the wire)."""
+    p = plan_of(spark, sf_dir, "domain_cap_sample")
+    assert p.count("hashpartitioning(") == 1
+    assert "WindowGroupLimit" in p
+
+
+def test_prefix_containment_is_equi_join(spark, sf_dir):
+    """Containment pairs must join on the prefix-hash key — the
+    startswith check is a residual filter, never a nested-loop
+    pairing."""
+    p = plan_of(spark, sf_dir, "dedup_prefix_containment")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_histogram_sketch_single_corpus_agg(spark, sf_dir):
+    """The only corpus-sized stage is the binning aggregate; everything
+    after operates on ≤ n_bins rows. No Python anywhere."""
+    p = plan_of(spark, sf_dir, "histogram_quantile_sketch")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_bm25_single_explode_no_python(spark, sf_dir):
+    """BM25: one generate (explode) of the corpus; df/avgdl ride
+    broadcasts; the top-k is heap-bounded."""
+    p = plan_of(spark, sf_dir, "keyword_bm25_topk")
+    assert p.count(") Generate") == 1  # one explode node in the plan
+    assert "TakeOrderedAndProject" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_rrf_fusion_heap_bounded_sides(spark, sf_dir):
+    """Both retriever sides end in TakeOrderedAndProject; the fusion
+    join never degenerates to a nested loop."""
+    p = plan_of(spark, sf_dir, "hybrid_rrf_fusion")
+    assert p.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in p
+    # (the only nested-loop node is the 1-row corpus-stats broadcast
+    # crossJoin inside bm25 — the accepted percent-of-total pattern)
+
+
+def test_maxsim_is_one_aggregate_no_window(spark, sf_dir):
+    """Maxsim: a single map-side-combining aggregate over the scan —
+    no window, no join, no Python."""
+    p = plan_of(spark, sf_dir, "colbert_maxsim_topk")
+    assert "Window" not in p
+    assert "Join" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_pagerank_step_single_fact_join(spark, sf_dir):
+    """One lineitem⋈orders exchange pair feeds the whole iteration; the
+    degree share joins stay hash/broadcast."""
+    p = plan_of(spark, sf_dir, "pagerank_step_suppliers")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rolling_wau_no_window_function(spark, sf_dir):
+    """The sliding distinct is explode + ONE aggregate — asserting the
+    decomposition never regresses to a per-day window/self-join."""
+    p = plan_of(spark, sf_dir, "rolling_wau_stickiness")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
