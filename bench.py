@@ -137,6 +137,12 @@ BENCH_QUERIES = [
     "colbert_maxsim_topk",
     "pagerank_step_suppliers",
     "rolling_wau_stickiness",
+    # round 2 batch 5: pipe SQL, grouped-agg pandas UDF, incremental
+    # dedup store, text-lines roundtrip
+    "sql_pipe_aggregate",
+    "pandas_mad_by_type",
+    "incremental_dedup_store",
+    "text_roundtrip_agg",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

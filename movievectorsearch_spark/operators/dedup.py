@@ -696,3 +696,45 @@ def prefix_containment_pairs(
         )
         .select("a_id", "b_id", "a_tok", "b_tok")
     )
+
+
+def minhash_lsh_pairs_between(
+    sig_new: DataFrame,
+    sig_store: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding across TWO signature tables: (new_id, store_id)
+    candidate pairs where any band collides — the incremental form of
+    :func:`minhash_lsh_pairs`. This is how a growing corpus dedupes at
+    scale: the store's signatures are computed ONCE and persisted
+    (kilobytes per doc); each arriving batch computes only its own
+    signatures and probes the store with a band equi-join. Nothing is
+    ever recomputed over the historical corpus, and the join input is
+    ~linear in batch size + store size."""
+    rows_per_band = num_hashes // bands
+
+    def banded(sig: DataFrame, out_id: str) -> DataFrame:
+        band_cols = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"mh{bi * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("key"),
+                )
+                for bi in range(bands)
+            ]
+        )
+        return sig.select(
+            F.col(id_col).alias(out_id), F.explode(band_cols).alias("bk")
+        ).select(out_id, F.col("bk.band").alias("band"), F.col("bk.key").alias("bkey"))
+
+    a = banded(sig_new, "new_id")
+    b = banded(sig_store, "store_id")
+    return a.join(b, ["band", "bkey"]).select("new_id", "store_id").distinct()

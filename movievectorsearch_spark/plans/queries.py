@@ -6358,6 +6358,202 @@ def rolling_wau_stickiness(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-2 batch 5: pipe-syntax SQL, grouped-agg pandas UDF, incremental
+# dedup against a persisted signature store, text-lines source roundtrip
+# ===========================================================================
+
+_PIPE_AGG_SQL = f"""
+SELECT event_type, count(*) AS n_events,
+       sum({CENTS.format(col='value')})::BIGINT AS value_cents
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@q("sql_pipe_aggregate", _PIPE_AGG_SQL)
+def sql_pipe_aggregate(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0 `|>` operators): the same logical plan
+    as a classic GROUP BY, written as a linear dataflow — the S4
+    aggregation-pipeline passthrough in the syntax that actually mirrors
+    the reference's Mongo pipeline stages (database.py:63-68: match →
+    group → sort maps 1:1 onto |> WHERE |> AGGREGATE |> ORDER BY).
+    Catalyst compiles it identically to the classic form, so every scan
+    /pushdown/partial-agg contract holds unchanged."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_pipe_v")
+    return spark.sql(
+        """
+        FROM events_pipe_v
+        |> WHERE value IS NOT NULL
+        |> AGGREGATE count(*) AS n_events,
+                     CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+           GROUP BY event_type
+        |> ORDER BY event_type
+        """
+    )
+
+
+_MAD_SQL = """
+WITH m AS (
+  SELECT event_type, quantile_cont(value::DOUBLE, 0.5) AS md
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n_events,
+       round(quantile_cont(abs(e.value::DOUBLE - m.md), 0.5), 6) AS mad
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+@q("pandas_mad_by_type", _MAD_SQL)
+def pandas_mad_by_type(spark, sf_dir):
+    """Median absolute deviation per event type via a GROUPED_AGG pandas
+    UDF — the §2.11 surface member the other UDF queries don't cover
+    (scalar pandas_udf, mapInPandas, applyInPandas, UDTF all exist
+    elsewhere). MAD is the robust-statistics counterpart of
+    events_outliers' z-scores; it is order-statistic-based, so the UDF's
+    NumPy result is deterministic and the DuckDB quantile_cont oracle
+    reproduces it exactly (both interpolate at (n-1)/2). Arrow ships
+    each group's values once; at 100 TB per-group cardinality bounds
+    task memory — groups here are event types (5), and the robust
+    alternative for huge groups is the histogram sketch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def mad(v: pd.Series) -> float:
+        a = np.sort(v.to_numpy(dtype=np.float64))
+
+        def qcont(arr, q):
+            # DuckDB quantile_cont parity: lower + frac * (upper - lower)
+            h = (len(arr) - 1) * q
+            lo = int(np.floor(h))
+            hi = int(np.ceil(h))
+            return float(arr[lo] + (h - lo) * (arr[hi] - arr[lo]))
+
+        med = qcont(a, 0.5)
+        dev = np.sort(np.abs(a - med))
+        return qcont(dev, 0.5)
+
+    ev = load_table(spark, sf_dir, "events")
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg; the count rides a separate tiny agg joined
+    # on the 5-row result
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    mads = ev.groupBy("event_type").agg(F.round(mad("value"), 6).alias("mad"))
+    return counts.join(mads, "event_type").select(
+        "event_type", "n_events", "mad"
+    ).orderBy("event_type")
+
+
+_INCR_DEDUP_SQL = f"""
+WITH {_MINHASH_SIG_SQL_BODY},
+bands AS ({_BAND_SQL}),
+newb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+storeb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+matches AS (
+  SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+  FROM newb n JOIN storeb s ON n.band = s.band AND n.bkey = s.bkey
+),
+per AS (SELECT new_id, count(*)::BIGINT AS n_store_matches
+        FROM matches GROUP BY new_id)
+SELECT d.doc_id, coalesce(p.n_store_matches, 0)::BIGINT AS n_store_matches,
+       coalesce(p.n_store_matches, 0) = 0 AS is_new
+FROM documents d LEFT JOIN per p ON d.doc_id = p.new_id
+WHERE d.doc_id % 5 = 0
+ORDER BY d.doc_id
+"""
+
+_DEDUP_STORE_CACHE: dict[str, str] = {}
+
+
+@q("incremental_dedup_store", _INCR_DEDUP_SQL)
+def incremental_dedup_store(spark, sf_dir):
+    """Incremental dedup against a PERSISTED signature store — the
+    production pattern for a growing corpus: historical docs' MinHash
+    signatures are computed once and written as a kilobytes-per-doc
+    parquet store; each arriving batch (doc_id % 5 == 0 stands in for
+    the new partition) computes only its own signatures and probes the
+    store with a cross-table LSH band join
+    (operators/dedup.py:minhash_lsh_pairs_between). Nothing historical
+    is ever re-read as text, and the probe is an equi-join ~linear in
+    batch + store. The store build is cached per sf_dir so repeated
+    invocations measure the serve path, like the persisted ANN index."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    store_docs = d.filter(F.col("doc_id") % 5 != 0)
+    batch_docs = d.filter(F.col("doc_id") % 5 == 0)
+    if sf_dir not in _DEDUP_STORE_CACHE:
+        path = tempfile.mkdtemp(prefix="spark_graft_sigstore_") + "/sig"
+        D.minhash_signature(
+            store_docs, "doc_id", "text", _MH_N, _SHINGLE_N
+        ).write.parquet(path)
+        _DEDUP_STORE_CACHE[sf_dir] = path
+    store_sig = spark.read.parquet(_DEDUP_STORE_CACHE[sf_dir])
+    batch_sig = D.minhash_signature(batch_docs, "doc_id", "text", _MH_N, _SHINGLE_N)
+    matches = D.minhash_lsh_pairs_between(
+        batch_sig, store_sig, "doc_id", _MH_N, _BANDS
+    )
+    per = matches.groupBy("new_id").agg(
+        F.count("*").cast("bigint").alias("n_matches")
+    )
+    return (
+        batch_docs.select("doc_id")
+        .join(per, batch_docs["doc_id"] == per["new_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias(
+                "n_store_matches"
+            ),
+            (F.coalesce("n_matches", F.lit(0)) == 0).alias("is_new"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TEXT_ROUNDTRIP_SQL = f"""
+SELECT lang, source AS doc_source, count(*) AS n_docs,
+       sum(len({tokens_sql('text')}))::BIGINT AS total_tokens
+FROM documents GROUP BY lang, source ORDER BY lang, doc_source
+"""
+
+
+@q("text_roundtrip_agg", _TEXT_ROUNDTRIP_SQL)
+def text_roundtrip_agg(spark, sf_dir):
+    """Plain-text-lines sink + source (sources/textio.py): documents are
+    serialized one TSV line each, read back with spark.read.text and
+    re-parsed with a bounded split — the land-raw-text → parse-once
+    path that starts every web-corpus build (WET files, log shards).
+    The oracle runs on the original parquet, so a PASS proves the line
+    round trip preserves every doc, key field, and token count (tabs in
+    payloads fold to spaces, which whitespace tokenization is invariant
+    to)."""
+    import tempfile
+
+    from movievectorsearch_spark.sources.textio import (
+        read_doc_lines,
+        write_doc_lines,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="spark_graft_text_") + "/docs"
+    write_doc_lines(d, path)
+    back = read_doc_lines(spark, path)
+    return (
+        back.groupBy("lang", F.col("source").alias("doc_source"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias(
+                "total_tokens"
+            ),
+        )
+        .orderBy("lang", "doc_source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -6456,6 +6652,11 @@ _RECHECK_FIRST = [
     "colbert_maxsim_topk",
     "pagerank_step_suppliers",
     "rolling_wau_stickiness",
+    # new in round-2 batch 5
+    "sql_pipe_aggregate",
+    "pandas_mad_by_type",
+    "incremental_dedup_store",
+    "text_roundtrip_agg",
 ]
 
 

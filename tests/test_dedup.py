@@ -306,3 +306,44 @@ def test_prefix_containment_finds_truncations(spark):
         for r in prefix_containment_pairs(df, "doc_id", "text", 8).collect()
     }
     assert got == {(2, 1), (4, 5)}
+
+
+def test_incremental_lsh_between_flags_known_dup(spark):
+    """A new-batch doc that duplicates a store doc must collide in all
+    bands; an unrelated doc must stay is_new."""
+    from movievectorsearch_spark.operators.dedup import (
+        minhash_lsh_pairs_between,
+        minhash_signature,
+    )
+
+    store = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+         (11, "completely different words nothing shared at all")],
+        "doc_id long, text string",
+    )
+    s_sig = minhash_signature(store, "doc_id", "text", 16, 3)
+    b_sig = minhash_signature(batch, "doc_id", "text", 16, 3)
+    got = {
+        (r.new_id, r.store_id)
+        for r in minhash_lsh_pairs_between(b_sig, s_sig, "doc_id", 16, 4).collect()
+    }
+    assert (10, 1) in got
+    assert not any(n == 11 for n, _ in got)
+
+
+def test_incremental_store_is_persisted_and_reused(spark, sf_dir):
+    """Second invocation serves from the parquet signature store (cache
+    hit) and returns identical rows."""
+    from movievectorsearch_spark.plans import queries as Q
+
+    first = Q.QUERIES["incremental_dedup_store"]["spark"](spark, sf_dir).collect()
+    path = Q._DEDUP_STORE_CACHE[sf_dir]
+    second = Q.QUERIES["incremental_dedup_store"]["spark"](spark, sf_dir).collect()
+    assert Q._DEDUP_STORE_CACHE[sf_dir] == path  # no rebuild
+    assert first == second
+    assert all(r.is_new == (r.n_store_matches == 0) for r in first)

@@ -60,3 +60,28 @@ def test_document_profile_columns(spark, sf_dir):
         assert 0.0 <= r["quality"] <= 1.0
         assert r["fingerprint"] is not None
         assert r["lang_guess"] in {"en", "es", "de", "fr", "zh", "und"}
+
+
+# ---------------------------------------------------------------------------
+# text-lines source/sink (sources/textio.py)
+# ---------------------------------------------------------------------------
+
+def test_text_roundtrip_preserves_fields_and_folds_tabs(spark, tmp_path):
+    from movievectorsearch_spark.sources.textio import (
+        read_doc_lines,
+        write_doc_lines,
+    )
+
+    rows = [
+        (1, "en", "srcA", "plain text body"),
+        (2, "de", "srcB", "tab\there and\tthere"),
+        (3, "en", "srcA", "trailing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    path = str(tmp_path / "docs")
+    write_doc_lines(df, path)
+    back = {r.doc_id: r for r in read_doc_lines(spark, path).collect()}
+    assert back[1].text == "plain text body"
+    assert back[2].text == "tab here and there"  # tabs folded to spaces
+    assert back[2].lang == "de" and back[2].source == "srcB"
+    assert len(back) == 3

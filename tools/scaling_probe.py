@@ -89,6 +89,10 @@ PROBE_QUERIES = [
     "colbert_maxsim_topk",
     "pagerank_step_suppliers",
     "rolling_wau_stickiness",
+    # round 2 batch 5 (linear shapes)
+    "sql_pipe_aggregate",
+    "pandas_mad_by_type",
+    "text_roundtrip_agg",
 ]
 
 SHIFT_KEYS = {
