@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "pandas_mad_by_type",
     "incremental_dedup_store",
     "text_roundtrip_agg",
+    # round 2 batch 6: recursive CTE, diversity score, grouped sketch
+    "rcte_hierarchy_rollup",
+    "token_simpson_diversity",
+    "histogram_quantiles_by_group",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -38,6 +38,8 @@ __all__ = [
     "cms_estimate_join",
     "histogram_sketch",
     "histogram_quantiles",
+    "histogram_sketch_grouped",
+    "histogram_quantiles_grouped",
 ]
 
 
@@ -280,4 +282,74 @@ def histogram_quantiles(
         "pct",
         F.col("bin").alias("qbin"),
         F.round(est, 6).alias("est"),
+    )
+
+
+def histogram_sketch_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Per-group equi-width histogram: one (group, bin, cnt) table —
+    the grain-level form of :func:`histogram_sketch`. Each group gets
+    its own [min, max] domain (a tiny per-group agg broadcast back onto
+    the scan), so the sketch answers per-grain quantiles after ONE pass
+    and still merges by summing counts within (group, bin)."""
+    stats = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.min(F.col(value_col).cast("double")).alias("vmin"),
+        F.max(F.col(value_col).cast("double")).alias("vmax"),
+    )
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.floor((v - F.col("vmin")) * n_bins / (F.col("vmax") - F.col("vmin"))),
+    ).cast("int")
+    return (
+        df.join(
+            F.broadcast(stats), df[group_col] == stats["grp"], "inner"
+        )
+        .select(F.col("grp"), bin_.alias("bin"), "vmin", "vmax")
+        .groupBy("grp", "bin", "vmin", "vmax")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles_grouped(
+    hist: DataFrame,
+    pcts: list[int],
+    n_bins: int = 128,
+) -> DataFrame:
+    """Per-group interpolated quantiles from a grouped histogram —
+    identical arithmetic to :func:`histogram_quantiles`, windowed by
+    group. The histogram is ≤ n_bins rows per group, so every stage
+    after the sketch-building scan is negligible."""
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "grp", "bin", "vmin", "vmax", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    totals = hist.groupBy("grp").agg(F.sum("cnt").alias("n_total"))
+    pdf = hist.sparkSession.createDataFrame([(p,) for p in pcts], "pct int")
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    target = F.ceil(F.col("pct") * F.col("n_total") / F.lit(100)).cast("bigint")
+    cand = (
+        cum.join(F.broadcast(totals), "grp")
+        .crossJoin(F.broadcast(pdf))
+        .filter(F.col("cum") >= target)
+    )
+    pick = Window.partitionBy("grp", "pct").orderBy("bin")
+    first_bin = cand.withColumn("rn", F.row_number().over(pick)).filter(
+        F.col("rn") == 1
+    )
+    est = (
+        F.col("vmin")
+        + F.col("bin") * width
+        + width * (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    )
+    return first_bin.select(
+        "grp", "pct", F.col("bin").alias("qbin"), F.round(est, 6).alias("est")
     )

@@ -6554,6 +6554,160 @@ def text_roundtrip_agg(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-2 batch 6: recursive CTE hierarchy rollup, Simpson diversity,
+# grouped histogram quantiles
+# ===========================================================================
+
+_RCTE_ROLLUP_SPARK = """
+WITH RECURSIVE anc(node, anc_key) AS (
+  SELECT c_custkey, c_custkey FROM customer_rcte_v WHERE c_custkey <= 1000
+  UNION ALL
+  SELECT node, anc_key DIV 2 FROM anc WHERE anc_key >= 2
+)
+SELECT a.anc_key AS ancestor,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS subtree_cents
+FROM anc a JOIN customer_rcte_v c ON a.node = c.c_custkey
+WHERE a.anc_key <= 31
+GROUP BY a.anc_key
+ORDER BY a.anc_key
+"""
+
+_RCTE_ROLLUP_SQL = """
+WITH RECURSIVE anc(node, anc_key) AS (
+  SELECT c_custkey, c_custkey FROM customer WHERE c_custkey <= 1000
+  UNION ALL
+  SELECT node, anc_key // 2 FROM anc WHERE anc_key >= 2
+)
+SELECT a.anc_key AS ancestor,
+       count(*)::BIGINT AS n_members,
+       sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT))::BIGINT AS subtree_cents
+FROM anc a JOIN customer c ON a.node = c.c_custkey
+WHERE a.anc_key <= 31
+GROUP BY a.anc_key
+ORDER BY a.anc_key
+"""
+
+
+@q("rcte_hierarchy_rollup", _RCTE_ROLLUP_SQL)
+def rcte_hierarchy_rollup(spark, sf_dir):
+    """Hierarchical subtree rollup via Spark 4.1's native WITH RECURSIVE
+    — the org-chart/BOM aggregation shape: every member walks its
+    ancestor chain (here the binary-tree parent key DIV 2 — each node
+    has ONE parent, so UNION ALL paths are unique and the recursion
+    terminates in log-depth without the not-yet-supported UNION
+    fixpoint), then balances roll up to every ancestor in one grouped
+    aggregate. Each recursion step is one join — at scale, O(log n)
+    rounds of linear work, the same shape the iterative
+    connected-components driver loop (operators/cluster.py) hand-rolls
+    for the cyclic-graph case the rCTE can't express yet."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_rcte_v"
+    )
+    return spark.sql(_RCTE_ROLLUP_SPARK)
+
+
+_SIMPSON_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents
+),
+cnt AS (SELECT doc_id, token, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, token)
+SELECT doc_id,
+       sum(c)::BIGINT AS n_tok,
+       count(*)::BIGINT AS n_distinct,
+       round(1.0 - sum(c * c) / (sum(c) * sum(c))::DOUBLE, 6) AS simpson
+FROM cnt GROUP BY doc_id
+"""
+
+
+@q("token_simpson_diversity", _SIMPSON_SQL)
+def token_simpson_diversity(spark, sf_dir):
+    """Simpson diversity index per document: 1 - Σ(c_t/n)² over token
+    counts — the Herfindahl-style concentration complement to
+    repetition_signals' top-token mass (entropy's rational cousin: no
+    log, so the score is a ratio of exact int64 sums and hash-matches
+    any engine). Low diversity = repetitive/boilerplate doc — a
+    standard Gopher-family quality gate. One explode → (doc, token)
+    counts → one re-agg per doc; both shuffles carry pre-aggregated
+    rows."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c"))
+            / (F.sum("c") * F.sum("c")).cast("double"),
+            6,
+        ).alias("simpson"),
+    )
+
+
+_HIST_GROUP_SQL = f"""
+WITH stats AS (
+  SELECT event_type AS grp, min(value::DOUBLE) AS vmin, max(value::DOUBLE) AS vmax
+  FROM events GROUP BY event_type
+),
+b AS (
+  SELECT e.event_type AS grp,
+         LEAST({_HIST_BINS - 1},
+               CAST(floor((e.value::DOUBLE - s.vmin) * {_HIST_BINS}
+                          / (s.vmax - s.vmin)) AS BIGINT))::INTEGER AS bin,
+         s.vmin, s.vmax
+  FROM events e JOIN stats s ON e.event_type = s.grp
+),
+hist AS (SELECT grp, bin, vmin, vmax, count(*) AS cnt
+         FROM b GROUP BY grp, bin, vmin, vmax),
+cum AS (
+  SELECT grp, bin, vmin, vmax, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+tot AS (SELECT grp, sum(cnt) AS n_total FROM hist GROUP BY grp),
+p AS (SELECT unnest([50, 95, 99]) AS pct),
+cand AS (
+  SELECT c.grp, p.pct, c.bin, c.vmin, c.vmax, c.cnt, c.cum,
+         CAST(ceil(p.pct * t.n_total / 100) AS BIGINT) AS target,
+         row_number() OVER (PARTITION BY c.grp, p.pct ORDER BY c.bin) AS rn
+  FROM p, cum c JOIN tot t ON c.grp = t.grp
+  WHERE c.cum >= CAST(ceil(p.pct * t.n_total / 100) AS BIGINT)
+)
+SELECT grp, pct, bin AS qbin,
+       round(vmin + bin * ((vmax - vmin) / {_HIST_BINS}.0)
+             + ((vmax - vmin) / {_HIST_BINS}.0)
+               * (target - (cum - cnt)) / cnt, 6) AS est
+FROM cand WHERE rn = 1
+"""
+
+
+@q("histogram_quantiles_by_group", _HIST_GROUP_SQL)
+def histogram_quantiles_by_group(spark, sf_dir):
+    """Per-group quantiles from per-group histogram sketches
+    (operators/sketch.py:histogram_sketch_grouped) — the grain-level
+    upgrade of histogram_quantile_sketch: one scan builds ≤128 integer
+    counters PER event_type (per-group domains from a tiny broadcast
+    agg), and p50/p95/p99 per group interpolate from the counter table.
+    Sketches still merge by summing within (group, bin), so daily/shard
+    grains roll up without rescanning — the quantile analog of
+    hll_rollup."""
+    from movievectorsearch_spark.operators.sketch import (
+        histogram_quantiles_grouped,
+        histogram_sketch_grouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = histogram_sketch_grouped(ev, "event_type", "value", _HIST_BINS)
+    return histogram_quantiles_grouped(hist, [50, 95, 99], _HIST_BINS)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -6657,6 +6811,10 @@ _RECHECK_FIRST = [
     "pandas_mad_by_type",
     "incremental_dedup_store",
     "text_roundtrip_agg",
+    # new in round-2 batch 6
+    "rcte_hierarchy_rollup",
+    "token_simpson_diversity",
+    "histogram_quantiles_by_group",
 ]
 
 

@@ -152,3 +152,31 @@ def test_domain_cap_respects_cap_and_is_repartition_stable(spark, sf_dir):
         for r in domain_cap(d.repartition(13), "doc_id", "source", 3).collect()
     }
     assert a == b
+
+
+def test_simpson_diversity_bounds_and_extremes(spark):
+    from movievectorsearch_spark.plans.queries import QUERIES  # noqa: F401
+    from movievectorsearch_spark.plans import queries as Q
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_simpson_docs")
+    cnt = (
+        df.select("doc_id", SF.explode(SF.split(SF.lower("text"), " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(SF.count("*").alias("c"))
+    )
+    got = {
+        r.doc_id: round(
+            1.0 - r.s2 / float(r.n * r.n), 6
+        )
+        for r in cnt.groupBy("doc_id")
+        .agg(SF.sum(SF.col("c") * SF.col("c")).alias("s2"), SF.sum("c").alias("n"))
+        .collect()
+    }
+    assert got[1] == 0.0          # all same token → zero diversity
+    assert got[2] == 0.75          # uniform over 4 → 1 - 4/16
+    assert got[3] == 0.5           # two tokens × 2 → 1 - 8/16

@@ -199,3 +199,85 @@ def test_histogram_quantiles_close_to_exact(spark, sf_dir):
     ).first()["p"]
     for pct, ex in zip((50, 95, 99), exact):
         assert abs(est[pct] - ex) <= width + 1e-9, (pct, est[pct], ex, width)
+
+
+def test_grouped_histogram_quantiles_close_to_exact(spark, sf_dir):
+    """Per-group estimates sit within one group-bin-width of the exact
+    per-group percentile."""
+    from movievectorsearch_spark.operators.sketch import (
+        histogram_quantiles_grouped,
+        histogram_sketch_grouped,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hist = histogram_sketch_grouped(e, "event_type", "value", 128)
+    est = {
+        (r.grp, r.pct): r.est
+        for r in histogram_quantiles_grouped(hist, [50, 95, 99]).collect()
+    }
+    stats = {
+        r.event_type: (r.lo, r.hi)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.min(F.col("value").cast("double")).alias("lo"),
+            F.max(F.col("value").cast("double")).alias("hi"),
+        )
+        .collect()
+    }
+    # the sketch's guarantee is against the ORDER STATISTIC at the
+    # target rank (ceil(p·n/100)): the estimate lies inside that row's
+    # bin. (The interpolated percentile can sit further away when
+    # adjacent order stats span several bins in a sparse tail.)
+    import math
+
+    vals: dict = {}
+    for r in e.select("event_type", F.col("value").cast("double")).collect():
+        vals.setdefault(r.event_type, []).append(r[1])
+    for grp, (lo, hi) in stats.items():
+        width = (hi - lo) / 128.0
+        v = sorted(vals[grp])
+        for pct in (50, 95, 99):
+            rank = math.ceil(pct * len(v) / 100)
+            v_r = v[rank - 1]
+            assert abs(est[(grp, pct)] - v_r) <= width + 1e-9, (
+                grp, pct, est[(grp, pct)], v_r, width,
+            )
+
+
+def test_grouped_histogram_merges_within_group_bin(spark, sf_dir):
+    """Sharded per-group histograms merged by summing (grp, bin) counts
+    equal the whole-corpus grouped histogram."""
+    from movievectorsearch_spark.operators.sketch import histogram_sketch_grouped
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    whole = {
+        (r.grp, r.bin): r.cnt
+        for r in histogram_sketch_grouped(e, "event_type", "value", 64).collect()
+    }
+    merged: dict = {}
+    for parity in (0, 1):
+        shard = e.filter(F.col("event_id") % 2 == parity)
+        # same global per-group domains: derive from the FULL table
+        stats = e.groupBy(F.col("event_type").alias("grp")).agg(
+            F.min(F.col("value").cast("double")).alias("vmin"),
+            F.max(F.col("value").cast("double")).alias("vmax"),
+        )
+        joined = shard.join(
+            F.broadcast(stats), shard["event_type"] == stats["grp"]
+        )
+        bin_ = F.least(
+            F.lit(63),
+            F.floor(
+                (F.col("value").cast("double") - F.col("vmin"))
+                * 64
+                / (F.col("vmax") - F.col("vmin"))
+            ),
+        ).cast("int")
+        for r in (
+            joined.select("grp", bin_.alias("bin"))
+            .groupBy("grp", "bin")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        ):
+            merged[(r.grp, r.bin)] = merged.get((r.grp, r.bin), 0) + r.cnt
+    assert merged == whole

@@ -93,6 +93,9 @@ PROBE_QUERIES = [
     "sql_pipe_aggregate",
     "pandas_mad_by_type",
     "text_roundtrip_agg",
+    # round 2 batch 6 (linear shapes; rcte is customer-bounded)
+    "token_simpson_diversity",
+    "histogram_quantiles_by_group",
 ]
 
 SHIFT_KEYS = {
