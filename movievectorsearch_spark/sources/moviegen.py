@@ -150,8 +150,15 @@ class MovieGenStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = start["index"]
         hi = min(lo + self.rows_per_batch, self.count)
-        # a LIST, not a generator: Spark's prefetch cache copy.copy()s
-        # the returned iterator, and generators don't pickle
+        if hi == lo:
+            # drained: end == start, and Spark's prefetch cache probes
+            # THIS value with next(it) to verify emptiness — it must be
+            # an actual iterator, not a list (TypeError otherwise, which
+            # kills the query on the first poll after the corpus
+            # completes)
+            return iter(()), {"index": hi}
+        # a non-empty batch is cached as-is and iterated later, so a
+        # plain (picklable) list is fine here
         return [gen_row(i) for i in range(lo, hi)], {"index": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
