@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "rcte_hierarchy_rollup",
     "token_simpson_diversity",
     "histogram_quantiles_by_group",
+    # round 2 batch 7: migration-audit checksums, relational power iteration
+    "table_checksum_audit",
+    "power_iteration_matvec",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

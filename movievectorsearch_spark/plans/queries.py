@@ -6708,6 +6708,136 @@ def histogram_quantiles_by_group(spark, sf_dir):
     return histogram_quantiles_grouped(hist, [50, 95, 99], _HIST_BINS)
 
 
+# ===========================================================================
+# Round-2 batch 7: migration-audit checksums, relational power iteration
+# ===========================================================================
+
+_CHECKSUM_SQL = f"""
+WITH o AS (
+  SELECT {poly_hash_sql("o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' "
+                        "|| o_orderstatus || '|' || CAST(round(o_totalprice * 100, 0) AS BIGINT)::VARCHAR")} AS h
+  FROM orders
+),
+l AS (
+  SELECT {poly_hash_sql("l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|' "
+                        "|| l_returnflag || '|' || CAST(round(l_extendedprice * 100, 0) AS BIGINT)::VARCHAR")} AS h
+  FROM lineitem
+)
+SELECT 'orders' AS tbl, count(*)::BIGINT AS n_rows,
+       bit_xor(h)::BIGINT AS xor_hash, sum(h)::BIGINT AS sum_hash
+FROM o
+UNION ALL
+SELECT 'lineitem', count(*)::BIGINT, bit_xor(h)::BIGINT, sum(h)::BIGINT FROM l
+ORDER BY tbl
+"""
+
+
+@q("table_checksum_audit", _CHECKSUM_SQL)
+def table_checksum_audit(spark, sf_dir):
+    """Order-independent table checksums — the migration/replication
+    validation primitive: a canonical per-row string (keys + exact
+    cents) through the portable polynomial hash, folded with bit_xor
+    (overflow-free at any row count) and a sum (catches the xor blind
+    spot of even-multiplicity corruption; int64 headroom to ~4e9 rows —
+    shard the sum per partition-grain beyond that). Any engine holding
+    the same rows produces the same two numbers, making
+    source-vs-destination comparison one tiny agg per side — no sort,
+    no row shipping."""
+    def hashed(df, cols_expr):
+        return df.select(poly_hash(cols_expr).alias("h")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("bigint").alias("xor_hash"),
+            F.sum("h").cast("bigint").alias("sum_hash"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    o_row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        _cents("o_totalprice").cast("string"),
+    )
+    l_row = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        _cents("l_extendedprice").cast("string"),
+    )
+    return (
+        hashed(o, o_row).select(F.lit("orders").alias("tbl"), "*")
+        .unionByName(hashed(l, l_row).select(F.lit("lineitem").alias("tbl"), "*"))
+        .orderBy("tbl")
+    )
+
+
+_PI_SCALE = 1000
+_PI_VQ = [int(round(x * _PI_SCALE)) for x in QUERY_VEC]
+_PI_VQ_SQL = "[" + ", ".join(str(x) for x in _PI_VQ) + "]"
+
+_POWER_ITER_SQL = f"""
+WITH xq AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {_PI_SCALE}, 0) AS BIGINT)) AS q
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+scored AS (
+  SELECT vec_id, q,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, len(q) + 1),
+                          i -> q[i] * ({_PI_VQ_SQL})[i])),
+           (a, b) -> a + b) AS s
+  FROM xq
+),
+contrib AS (
+  SELECT generate_subscripts(q, 1) - 1 AS dim, unnest(q) * s AS c
+  FROM scored
+)
+SELECT dim::INTEGER AS dim, count(*)::BIGINT AS n_rows, sum(c)::BIGINT AS v_raw
+FROM contrib GROUP BY dim ORDER BY dim
+"""
+
+
+@q("power_iteration_matvec", _POWER_ITER_SQL)
+def power_iteration_matvec(spark, sf_dir):
+    """One power-iteration step v' = XᵀX·v over the embedding matrix —
+    the dominant-eigenvector building block (PCA's first component),
+    executed relationally like kmeans_relational_step and
+    pagerank_step_suppliers: per row ONE exact-int dot with the
+    broadcast direction (embeddings quantized to milli-units, so every
+    product is int64 and partials combine losslessly in any order),
+    then a 64-row explode-and-sum for the accumulation. Two linear
+    passes fused into one scan + one bounded groupBy; iterating =
+    renormalizing the 64 output ints on the driver and re-running."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    xq = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * _PI_SCALE, 0).cast("bigint"),
+    )
+    vq = F.array(*[F.lit(v).cast("bigint") for v in _PI_VQ])
+    s = F.aggregate(
+        F.zip_with(F.col("q"), vq, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = e.select(xq.alias("q")).withColumn("s", s)
+    return (
+        scored.select(F.posexplode("q").alias("dim", "x"), "s")
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("x") * F.col("s")).cast("bigint").alias("v_raw"),
+        )
+        .orderBy("dim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -6815,6 +6945,9 @@ _RECHECK_FIRST = [
     "rcte_hierarchy_rollup",
     "token_simpson_diversity",
     "histogram_quantiles_by_group",
+    # new in round-2 batch 7
+    "table_checksum_audit",
+    "power_iteration_matvec",
 ]
 
 

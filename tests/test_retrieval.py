@@ -156,3 +156,55 @@ def test_rolling_wau_matches_direct_window(spark, sf_dir):
             .count()
         )
         assert out[day] == (dau, wau), (day, out[day], (dau, wau))
+
+
+def test_power_iteration_matches_numpy_quantized(spark, sf_dir):
+    """v_raw must equal the exact integer XᵀXv over the quantized
+    embedding matrix."""
+    import numpy as np
+
+    from movievectorsearch_spark.plans import queries as Q
+
+    out = {r.dim: r.v_raw for r in Q.QUERIES["power_iteration_matvec"]["spark"](spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    X = np.array(
+        [
+            [int(round(float(x) * 1000)) for x in r.embedding]
+            for r in e.select("embedding").collect()
+        ],
+        dtype=np.int64,
+    )
+    vq = np.array(Q._PI_VQ, dtype=np.int64)
+    expect = X.T @ (X @ vq)
+    for d in range(X.shape[1]):
+        assert out[d] == expect[d], (d, out[d], int(expect[d]))
+
+
+def test_table_checksum_detects_single_row_corruption(spark, sf_dir):
+    """Flipping one row's value must change the checksum pair."""
+    from movievectorsearch_spark.functions.hashing import poly_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+    )
+
+    def sums(df):
+        return df.select(poly_hash(row).alias("h")).agg(
+            F.expr("bit_xor(h)").alias("x"), F.sum("h").alias("s")
+        ).first()
+
+    base = sums(o)
+    corrupted = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == o.select(F.min("o_orderkey")).first()[0],
+               F.col("o_totalprice") + 0.01).otherwise(F.col("o_totalprice")),
+    )
+    got = sums(corrupted)
+    assert (base.x, base.s) != (got.x, got.s)

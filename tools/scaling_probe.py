@@ -96,6 +96,9 @@ PROBE_QUERIES = [
     # round 2 batch 6 (linear shapes; rcte is customer-bounded)
     "token_simpson_diversity",
     "histogram_quantiles_by_group",
+    # round 2 batch 7 (linear shapes)
+    "table_checksum_audit",
+    "power_iteration_matvec",
 ]
 
 SHIFT_KEYS = {
