@@ -6951,12 +6951,45 @@ _RECHECK_FIRST = [
 ]
 
 
+def _driver_green_after_r1() -> set[str]:
+    """Hash-proven names from CORRECTNESS_r{N}.json with N >= 2 — used to
+    retire _RECHECK_FIRST entries: an entry stays at the front only until
+    a round-2+ file proves its (current) implementation, then it stops
+    occupying window slots and the window rotates to unproven queries."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) < 2:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green.add(name)
+    return green
+
+
 def _rotated() -> list[str]:
     names = list(QUERIES)
     proven = _driver_green_from_files() | _DRIVER_GREEN_R1
-    # queries whose implementation changed this round re-prove even if
-    # previously green
-    front = [n for n in _RECHECK_FIRST if n in QUERIES]
+    # queries whose implementation changed or were added this round
+    # re-prove even if previously green — but once a round-2+ file
+    # records them green, they retire from the front automatically
+    reproven = _driver_green_after_r1()
+    front = [n for n in _RECHECK_FIRST if n in QUERIES and n not in reproven]
     fset = set(front)
     with_oracle = [
         n for n in names
