@@ -150,6 +150,10 @@ BENCH_QUERIES = [
     # round 2 batch 7: migration-audit checksums, relational power iteration
     "table_checksum_audit",
     "power_iteration_matvec",
+    # round 2 batch 8: BPE merge step, winsorization, negative sampling
+    "bpe_merge_step",
+    "winsorize_by_sketch",
+    "negative_sampling_pairs",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

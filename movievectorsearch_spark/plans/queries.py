@@ -6838,6 +6838,270 @@ def power_iteration_matvec(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-2 batch 8: BPE merge step, sketch-based winsorization,
+# deterministic negative sampling
+# ===========================================================================
+
+_BPE_TOP = 10
+
+_BPE_MERGE_SQL = f"""
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+pairs AS (
+  SELECT u.pair
+  FROM t, LATERAL (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS pair
+  ) u
+),
+counts AS (SELECT pair, count(*)::BIGINT AS n_occurrences FROM pairs GROUP BY pair),
+ranked AS (
+  SELECT pair, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, pair)::INTEGER AS rank
+  FROM counts
+)
+SELECT rank, pair, n_occurrences FROM ranked
+WHERE rank <= {_BPE_TOP} ORDER BY rank
+"""
+
+
+@q("bpe_merge_step", _BPE_MERGE_SQL)
+def bpe_merge_step(spark, sf_dir):
+    """One BPE-training iteration's count phase: adjacent-token-pair
+    frequencies across the corpus, top candidates ranked — the inner
+    loop of byte-pair-encoding tokenizer training (count pairs → merge
+    the winner → repeat), executed as explode + one map-side-combining
+    aggregate + TakeOrderedAndProject. The same shape at every
+    iteration, so training a vocab is K linear passes; the merge-apply
+    phase is a narrow regexp/transform over the winner. Complements
+    vocab_oov_rate (unigram fit) and chunk_documents (the consumers of
+    the trained tokenizer)."""
+    toks = tokens(F.col("text"))
+    d = load_table(spark, sf_dir, "documents").select(toks.alias("toks"))
+    pairs = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(_BPE_TOP)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "pair", "n_occurrences"
+    )
+
+
+_WINSOR_SQL = f"""
+WITH stats AS (
+  SELECT event_type AS grp, min(value::DOUBLE) AS vmin, max(value::DOUBLE) AS vmax
+  FROM events GROUP BY event_type
+),
+b AS (
+  SELECT e.event_type AS grp,
+         LEAST({_HIST_BINS - 1},
+               CAST(floor((e.value::DOUBLE - s.vmin) * {_HIST_BINS}
+                          / (s.vmax - s.vmin)) AS BIGINT))::INTEGER AS bin,
+         s.vmin, s.vmax
+  FROM events e JOIN stats s ON e.event_type = s.grp
+),
+hist AS (SELECT grp, bin, vmin, vmax, count(*) AS cnt
+         FROM b GROUP BY grp, bin, vmin, vmax),
+cum AS (
+  SELECT grp, bin, vmin, vmax, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+tot AS (SELECT grp, sum(cnt) AS n_total FROM hist GROUP BY grp),
+p AS (SELECT unnest([1, 99]) AS pct),
+cand AS (
+  SELECT c.grp, p.pct, c.bin, c.vmin, c.vmax, c.cnt, c.cum,
+         CAST(ceil(p.pct * t.n_total / 100) AS BIGINT) AS target,
+         row_number() OVER (PARTITION BY c.grp, p.pct ORDER BY c.bin) AS rn
+  FROM p, cum c JOIN tot t ON c.grp = t.grp
+  WHERE c.cum >= CAST(ceil(p.pct * t.n_total / 100) AS BIGINT)
+),
+bounds AS (
+  SELECT grp,
+         min(CASE WHEN pct = 1 THEN
+             vmin + bin * ((vmax - vmin) / {_HIST_BINS}.0)
+             + ((vmax - vmin) / {_HIST_BINS}.0) * (target - (cum - cnt)) / cnt
+             END) AS lo,
+         min(CASE WHEN pct = 99 THEN
+             vmin + bin * ((vmax - vmin) / {_HIST_BINS}.0)
+             + ((vmax - vmin) / {_HIST_BINS}.0) * (target - (cum - cnt)) / cnt
+             END) AS hi
+  FROM cand WHERE rn = 1 GROUP BY grp
+),
+clipped AS (
+  SELECT e.event_type AS grp, bo.lo, bo.hi,
+         {CENTS.format(col='value')} AS cents,
+         {CENTS.format(col='LEAST(GREATEST(value::DOUBLE, bo.lo), bo.hi)')} AS w_cents,
+         CASE WHEN value::DOUBLE < bo.lo OR value::DOUBLE > bo.hi
+              THEN 1 ELSE 0 END AS is_clipped
+  FROM events e JOIN bounds bo ON e.event_type = bo.grp
+)
+SELECT grp AS event_type, count(*)::BIGINT AS n_events,
+       round(lo, 6) AS lo, round(hi, 6) AS hi,
+       sum(is_clipped)::BIGINT AS n_clipped,
+       sum(cents)::BIGINT AS cents_before,
+       sum(w_cents)::BIGINT AS cents_after
+FROM clipped GROUP BY grp, lo, hi ORDER BY grp
+"""
+
+
+@q("winsorize_by_sketch", _WINSOR_SQL)
+def winsorize_by_sketch(spark, sf_dir):
+    """Winsorization (outlier clipping at p1/p99) with the clip bounds
+    coming FROM the per-group histogram sketch — the production shape:
+    the quantile pass costs one counter-table scan, never a sort, and
+    the clip itself is a broadcast join + map expression. Reports
+    per-type clip counts and the exact-cents sum shift — the robust
+    alternative to z-score trimming (events_outliers) when tails are
+    heavy. Composes histogram_sketch_grouped + histogram_quantiles_
+    grouped end to end."""
+    from movievectorsearch_spark.operators.sketch import (
+        histogram_quantiles_grouped,
+        histogram_sketch_grouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = histogram_sketch_grouped(ev, "event_type", "value", _HIST_BINS)
+    qs = histogram_quantiles_grouped(hist, [1, 99], _HIST_BINS)
+    bounds = qs.groupBy("grp").agg(
+        F.min(F.when(F.col("pct") == 1, F.col("est"))).alias("lo6"),
+        F.min(F.when(F.col("pct") == 99, F.col("est"))).alias("hi6"),
+    )
+    # the SQL mirror clips with UNROUNDED bound doubles; re-derive them
+    # the same way here by using the est values before rounding is not
+    # possible post-operator — so the operator output (rounded to 6) is
+    # NOT used for clipping; instead recompute the exact bounds inline
+    # with the identical expression the oracle uses
+    cum_w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "grp", "bin", "vmin", "vmax", "cnt", F.sum("cnt").over(cum_w).alias("cum")
+    )
+    totals = hist.groupBy("grp").agg(F.sum("cnt").alias("n_total"))
+    pdf = spark.createDataFrame([(1,), (99,)], "pct int")
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(_HIST_BINS))
+    target = F.ceil(F.col("pct") * F.col("n_total") / F.lit(100)).cast("bigint")
+    cand = (
+        cum.join(F.broadcast(totals), "grp")
+        .crossJoin(F.broadcast(pdf))
+        .filter(F.col("cum") >= target)
+    )
+    pick = Window.partitionBy("grp", "pct").orderBy("bin")
+    est = (
+        F.col("vmin")
+        + F.col("bin") * width
+        + width * (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    )
+    exact_bounds = (
+        cand.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("grp", "pct", est.alias("est"))
+        .groupBy("grp")
+        .agg(
+            F.min(F.when(F.col("pct") == 1, F.col("est"))).alias("lo"),
+            F.min(F.when(F.col("pct") == 99, F.col("est"))).alias("hi"),
+        )
+    )
+    v = F.col("value").cast("double")
+    clipped = ev.join(
+        F.broadcast(exact_bounds), ev["event_type"] == exact_bounds["grp"]
+    ).select(
+        "grp",
+        "lo",
+        "hi",
+        _cents("value").alias("cents"),
+        F.round(
+            F.least(F.greatest(v, F.col("lo")), F.col("hi")) * 100, 0
+        ).cast("bigint").alias("w_cents"),
+        F.when((v < F.col("lo")) | (v > F.col("hi")), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_clipped"),
+    )
+    return (
+        clipped.groupBy("grp", "lo", "hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("is_clipped").cast("bigint").alias("n_clipped"),
+            F.sum("cents").cast("bigint").alias("cents_before"),
+            F.sum("w_cents").cast("bigint").alias("cents_after"),
+        )
+        .select(
+            F.col("grp").alias("event_type"),
+            "n_events",
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+            "n_clipped",
+            "cents_before",
+            "cents_after",
+        )
+        .orderBy("event_type")
+    )
+
+
+_NEG_K = 3
+_NEG_A = 2654435761
+_NEG_B = 40503
+
+_NEG_SAMPLE_SQL = f"""
+WITH ids AS (SELECT vec_id FROM embeddings),
+mx AS (SELECT max(vec_id) + 1 AS n FROM ids),
+cand AS (
+  SELECT i.vec_id AS anchor_id,
+         j.j::INTEGER AS j,
+         (i.vec_id * {_NEG_A} + j.j * {_NEG_B}) % mx.n AS neg_id
+  FROM ids i, LATERAL (SELECT unnest(range(1, {_NEG_K} + 1)) AS j) j, mx
+)
+SELECT c.anchor_id, c.j, c.neg_id
+FROM cand c JOIN ids e ON c.neg_id = e.vec_id
+WHERE c.neg_id <> c.anchor_id
+"""
+
+
+@q("negative_sampling_pairs", _NEG_SAMPLE_SQL)
+def negative_sampling_pairs(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws k pseudo-random partner ids from an affine hash of
+    (anchor, draw-ordinal) — stable under re-partitioning and re-runs
+    (the property rand() negatives lack: a resumed job regenerates THE
+    SAME pairs). Candidates that don't exist in the corpus (sparse id
+    space) or hit the anchor itself drop via one semi-shaped equi-join;
+    ~k negatives per anchor survive. Map-side hash + one join — no
+    shuffle of the corpus, no RNG state."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    mx = e.agg((F.max("vec_id") + 1).alias("n"))
+    cand = (
+        e.select(F.col("vec_id").alias("anchor_id"))
+        .crossJoin(F.broadcast(mx))
+        .withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))))
+        .select(
+            "anchor_id",
+            F.col("j").cast("int").alias("j"),
+            ((F.col("anchor_id") * _NEG_A + F.col("j") * _NEG_B) % F.col("n")).alias(
+                "neg_id"
+            ),
+        )
+    )
+    ids = e.select(F.col("vec_id").alias("neg_id"))
+    return cand.join(ids, "neg_id").filter(
+        F.col("neg_id") != F.col("anchor_id")
+    ).select("anchor_id", "j", "neg_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -6948,6 +7212,10 @@ _RECHECK_FIRST = [
     # new in round-2 batch 7
     "table_checksum_audit",
     "power_iteration_matvec",
+    # new in round-2 batch 8
+    "bpe_merge_step",
+    "winsorize_by_sketch",
+    "negative_sampling_pairs",
 ]
 
 

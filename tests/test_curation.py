@@ -180,3 +180,29 @@ def test_simpson_diversity_bounds_and_extremes(spark):
     assert got[1] == 0.0          # all same token → zero diversity
     assert got[2] == 0.75          # uniform over 4 → 1 - 4/16
     assert got[3] == 0.5           # two tokens × 2 → 1 - 8/16
+
+
+def test_negative_sampling_deterministic_and_bounded(spark, sf_dir):
+    from movievectorsearch_spark.plans import queries as Q
+
+    fn = Q.QUERIES["negative_sampling_pairs"]["spark"]
+    a = {(r.anchor_id, r.j, r.neg_id) for r in fn(spark, sf_dir).collect()}
+    b = {(r.anchor_id, r.j, r.neg_id) for r in fn(spark, sf_dir).collect()}
+    assert a == b
+    per = {}
+    for anchor, j, neg in a:
+        per.setdefault(anchor, set()).add(j)
+        assert neg != anchor
+    assert all(len(js) <= 3 for js in per.values())
+
+
+def test_winsorize_clips_toward_bounds(spark, sf_dir):
+    from movievectorsearch_spark.plans import queries as Q
+
+    rows = Q.QUERIES["winsorize_by_sketch"]["spark"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.lo <= r.hi
+        assert 0 <= r.n_clipped <= r.n_events
+        # clipping both tails at p1/p99 keeps ~98% of mass: never clips
+        # more than ~4% (generous: interpolation + discrete ranks)
+        assert r.n_clipped <= max(4, 0.04 * r.n_events)

@@ -99,6 +99,10 @@ PROBE_QUERIES = [
     # round 2 batch 7 (linear shapes)
     "table_checksum_audit",
     "power_iteration_matvec",
+    # round 2 batch 8 (linear shapes)
+    "bpe_merge_step",
+    "winsorize_by_sketch",
+    "negative_sampling_pairs",
 ]
 
 SHIFT_KEYS = {
