@@ -6968,22 +6968,15 @@ def winsorize_by_sketch(spark, sf_dir):
     heavy. Composes histogram_sketch_grouped + histogram_quantiles_
     grouped end to end."""
     from movievectorsearch_spark.operators.sketch import (
-        histogram_quantiles_grouped,
         histogram_sketch_grouped,
     )
 
     ev = load_table(spark, sf_dir, "events")
     hist = histogram_sketch_grouped(ev, "event_type", "value", _HIST_BINS)
-    qs = histogram_quantiles_grouped(hist, [1, 99], _HIST_BINS)
-    bounds = qs.groupBy("grp").agg(
-        F.min(F.when(F.col("pct") == 1, F.col("est"))).alias("lo6"),
-        F.min(F.when(F.col("pct") == 99, F.col("est"))).alias("hi6"),
-    )
-    # the SQL mirror clips with UNROUNDED bound doubles; re-derive them
-    # the same way here by using the est values before rounding is not
-    # possible post-operator — so the operator output (rounded to 6) is
-    # NOT used for clipping; instead recompute the exact bounds inline
-    # with the identical expression the oracle uses
+    # clip with UNROUNDED bound doubles (histogram_quantiles_grouped
+    # rounds its est output to 6 decimals for display) — the bounds are
+    # re-derived inline with the identical interpolation expression the
+    # oracle uses, so clipping decisions are bit-equal across engines
     cum_w = (
         Window.partitionBy("grp")
         .orderBy("bin")
