@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "bpe_merge_step",
     "winsorize_by_sketch",
     "negative_sampling_pairs",
+    # round 2 batch 9
+    "parameterized_sql_filter",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -7095,6 +7095,41 @@ def negative_sampling_pairs(spark, sf_dir):
     ).select("anchor_id", "j", "neg_id")
 
 
+# ===========================================================================
+# Round-2 batch 9: parameterized SQL (named-parameter API)
+# ===========================================================================
+
+_PARAM_SQL_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS cents
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 50000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@q("parameterized_sql_filter", _PARAM_SQL_ORACLE)
+def parameterized_sql_filter(spark, sf_dir):
+    """Named-parameter SQL (spark.sql(..., args={...}), Spark 3.4+/4):
+    the injection-safe form of the reference's string-built Mongo
+    filters (database.py:49-54 interpolates user input into find()
+    filters). Parameters bind as literals in the analyzed plan, so
+    predicate pushdown sees constants — same physical plan as the
+    hand-inlined query, proven by the oracle hash."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_param_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders_param_v
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_price
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"status": "F", "min_price": 50000},
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -7209,6 +7244,8 @@ _RECHECK_FIRST = [
     "bpe_merge_step",
     "winsorize_by_sketch",
     "negative_sampling_pairs",
+    # new in round-2 batch 9
+    "parameterized_sql_filter",
 ]
 
 

@@ -184,3 +184,18 @@ def run_to_sink(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def enrich_with_dimension(
+    stream: DataFrame, dim: DataFrame, on: list[str]
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a broadcast
+    dimension table — the canonical lookup-enrichment shape (stream of
+    facts ⋈ slowly-changing reference data). The static side is
+    re-resolved per micro-batch, so an updated dimension table is
+    picked up without restarting the query; no streaming state is
+    created (unlike stream-stream joins, nothing must be buffered for
+    late matches). At scale the dimension broadcasts once per batch —
+    for dimensions past broadcast size, pre-bucket both sides on the
+    key (sources/bucketing.py) for a shuffle-free sort-merge."""
+    return stream.join(F.broadcast(dim), on, "left")

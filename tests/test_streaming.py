@@ -147,3 +147,48 @@ def test_dedup_within_watermark_drops_in_horizon_duplicates(spark, stream_src, t
     assert got.select("event_id").distinct().count() == base.count()
     # batch fallback produces the same set
     assert SE.dedup_stream_within_watermark(spark.read.parquet(src_dir)).count() == base.count()
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join: the streamed, dimension-enriched
+    aggregate equals the batch computation over the same data."""
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.streaming.events import enrich_with_dimension
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("click", "browse"), ("purchase", "convert"),
+         ("signup", "convert"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    enriched = enrich_with_dimension(stream, dim, ["event_type"])
+    agg = enriched.groupBy("category").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.category: (r.n, r.cents)
+        for r in spark.table("enrich_t").collect()
+    }
+    expect = {
+        r.category: (r.n, r.cents)
+        for r in enrich_with_dimension(ev, dim, ["event_type"])
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == expect and len(got) >= 2
