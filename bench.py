@@ -156,6 +156,9 @@ BENCH_QUERIES = [
     "negative_sampling_pairs",
     # round 2 batch 9
     "parameterized_sql_filter",
+    # round 2 batch 10: vector-compression diagnostics
+    "matryoshka_knn_recall",
+    "int8_knn_recall",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

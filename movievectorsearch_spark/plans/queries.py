@@ -7130,6 +7130,183 @@ def parameterized_sql_filter(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-2 batch 10: vector-compression quality diagnostics
+# ===========================================================================
+
+_MAT_DIM = 16
+_MAT_K = 20
+_MAT_QV16 = QUERY_VEC[:_MAT_DIM]
+
+_MATRYOSHKA_SQL = f"""
+WITH full_top AS (
+  SELECT vec_id
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+  ORDER BY {cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), 'embedding')} DESC, vec_id
+  LIMIT {_MAT_K}
+),
+trunc_top AS (
+  SELECT vec_id
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+  ORDER BY {cosine_to_query_sql(_MAT_QV16, vec_sql(_MAT_QV16), f'(embedding[1:{_MAT_DIM}])')} DESC, vec_id
+  LIMIT {_MAT_K}
+)
+SELECT {_MAT_K} AS k, {_MAT_DIM} AS trunc_dim,
+       count(*)::BIGINT AS n_overlap,
+       round(count(*) / {_MAT_K}.0, 6) AS recall
+FROM full_top JOIN trunc_top USING (vec_id)
+"""
+
+
+@q("matryoshka_knn_recall", _MATRYOSHKA_SQL)
+def matryoshka_knn_recall(spark, sf_dir):
+    """Matryoshka-style dimension-truncation diagnostic: recall@k of
+    the KNN ranking using only the first 16 of 64 embedding dims vs the
+    full-dimension ranking — the measurement that decides whether a
+    cheaper prefix index (or MRL-truncated storage tier) is safe. Two
+    heap-bounded top-k scans (TakeOrderedAndProject each) + a 20-row
+    join; both rankings are exact fold-expressions, so the overlap
+    count hash-matches the oracle."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    full_top = (
+        e.select("vec_id", cosine_to_query(QUERY_VEC, F.col("embedding")).alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(_MAT_K)
+        .select("vec_id")
+    )
+    trunc_top = (
+        e.select(
+            "vec_id",
+            cosine_to_query(
+                _MAT_QV16, F.slice(F.col("embedding"), 1, _MAT_DIM)
+            ).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(_MAT_K)
+        .select("vec_id")
+    )
+    return full_top.join(trunc_top, "vec_id").agg(
+        F.lit(_MAT_K).alias("k"),
+        F.lit(_MAT_DIM).alias("trunc_dim"),
+        F.count("*").cast("bigint").alias("n_overlap"),
+        F.round(F.count("*") / F.lit(float(_MAT_K)), 6).alias("recall"),
+    )
+
+
+def _int8_codes_py(v: list[float]) -> tuple[list[int], float]:
+    s = max(abs(x) for x in v)
+    if s == 0:
+        return [0] * len(v), 0.0
+    return [
+        int(max(-127.0, min(127.0, round(x * 127.0 / s)))) for x in v
+    ], s
+
+
+_I8_QCODES, _I8_QSCALE = _int8_codes_py(QUERY_VEC)
+_I8_QCODES_SQL = "[" + ", ".join(str(c) for c in _I8_QCODES) + "]"
+
+_INT8_RECALL_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x,
+         list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS s
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+coded AS (
+  SELECT vec_id, s,
+         list_transform(x, v -> CASE WHEN s = 0 THEN 0
+           ELSE CAST(GREATEST(-127.0, LEAST(127.0, round(v * 127.0 / s, 0))) AS BIGINT)
+           END) AS q,
+         sqrt(list_reduce(list_transform(x, v -> v*v), (a,b) -> a+b)) AS nrm
+  FROM base
+),
+approx AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, len(q) + 1), i -> q[i] * ({_I8_QCODES_SQL})[i])),
+           (a, b) -> a + b)
+         * s * {_I8_QSCALE!r} / (127.0 * 127.0 * nrm * {py_l2_norm(QUERY_VEC)!r})
+           AS ac
+  FROM coded WHERE nrm <> 0
+),
+int8_top AS (SELECT vec_id FROM approx ORDER BY ac DESC, vec_id LIMIT {_MAT_K}),
+full_top AS (
+  SELECT vec_id
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+  ORDER BY {cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), 'embedding')} DESC, vec_id
+  LIMIT {_MAT_K}
+)
+SELECT {_MAT_K} AS k, count(*)::BIGINT AS n_overlap,
+       round(count(*) / {_MAT_K}.0, 6) AS recall
+FROM full_top JOIN int8_top USING (vec_id)
+"""
+
+
+@q("int8_knn_recall", _INT8_RECALL_SQL)
+def int8_knn_recall(spark, sf_dir):
+    """Quantized-index quality: recall@k of KNN ranked by the int8
+    approximate cosine (per-vector absmax codes — the storage format
+    embedding_quantize_int8 ships; approx cos = exact int64 code dot ×
+    scale factors) against the float ranking. The int dot is exact
+    integer arithmetic and the scale multiplications follow one fixed
+    order, so the approximate RANKING is bit-stable and the overlap
+    hash-matches the oracle. Same two-heap + tiny-join shape as
+    matryoshka_knn_recall."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    x = F.col("embedding").cast("array<double>")
+    s = F.array_max(F.transform(x, F.abs))
+    qcodes = F.transform(
+        x,
+        lambda v: F.when(s == 0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(-127.0), F.least(F.lit(127.0), F.round(v * 127.0 / s, 0))
+            ).cast("bigint")
+        ),
+    )
+    qlit = F.array(*[F.lit(c).cast("bigint") for c in _I8_QCODES])
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), qlit, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    coded = e.select(
+        "vec_id", s.alias("s"), qcodes.alias("q"), l2_norm(x).alias("nrm")
+    ).filter(F.col("nrm") != 0)
+    approx = coded.select(
+        "vec_id",
+        (
+            idot
+            * F.col("s")
+            * F.lit(_I8_QSCALE)
+            / (F.lit(127.0 * 127.0) * F.col("nrm") * F.lit(py_l2_norm(QUERY_VEC)))
+        ).alias("ac"),
+    )
+    int8_top = (
+        approx.orderBy(F.desc("ac"), F.asc("vec_id"))
+        .limit(_MAT_K)
+        .select("vec_id")
+    )
+    full_top = (
+        e.select("vec_id", cosine_to_query(QUERY_VEC, F.col("embedding")).alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(_MAT_K)
+        .select("vec_id")
+    )
+    return full_top.join(int8_top, "vec_id").agg(
+        F.lit(_MAT_K).alias("k"),
+        F.count("*").cast("bigint").alias("n_overlap"),
+        F.round(F.count("*") / F.lit(float(_MAT_K)), 6).alias("recall"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -7246,6 +7423,9 @@ _RECHECK_FIRST = [
     "negative_sampling_pairs",
     # new in round-2 batch 9
     "parameterized_sql_filter",
+    # new in round-2 batch 10
+    "matryoshka_knn_recall",
+    "int8_knn_recall",
 ]
 
 

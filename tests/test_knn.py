@@ -80,3 +80,24 @@ def test_knn_batch_literal_matches_join_form(spark, sf_dir):
         by_q.setdefault(r["qid"], []).append(r["vec_id"])
     for i, q in enumerate(QVECS):
         assert by_q[i + 1] == _numpy_topk(ids, mat, q, 7), f"query {i}"
+
+
+def test_int8_knn_recall_is_high(spark, sf_dir):
+    """absmax int8 quantization preserves cosine ranking almost exactly
+    — recall@20 must be near-perfect (the diagnostic would flag a
+    broken quantizer)."""
+    from movievectorsearch_spark.plans import queries as Q
+
+    r = Q.QUERIES["int8_knn_recall"]["spark"](spark, sf_dir).first()
+    assert r.k == 20
+    assert r.n_overlap >= 16, r.n_overlap  # ≥80% with 8-bit codes
+
+
+def test_matryoshka_recall_bounded_and_deterministic(spark, sf_dir):
+    from movievectorsearch_spark.plans import queries as Q
+
+    fn = Q.QUERIES["matryoshka_knn_recall"]["spark"]
+    a = fn(spark, sf_dir).first()
+    b = fn(spark, sf_dir).first()
+    assert a == b
+    assert 0 <= a.n_overlap <= a.k
