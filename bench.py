@@ -159,6 +159,10 @@ BENCH_QUERIES = [
     # round 2 batch 10: vector-compression diagnostics
     "matryoshka_knn_recall",
     "int8_knn_recall",
+    # round 2 batch 11: co-visitation, classifier eval, source similarity
+    "covisitation_pairs",
+    "langid_confusion",
+    "source_token_cosine",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -7307,6 +7307,190 @@ def int8_knn_recall(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-2 batch 11: co-visitation recommendations, classifier evaluation,
+# source-similarity matrix
+# ===========================================================================
+
+_COVIS_CAP = 30
+_COVIS_TOP = 20
+_K_EXTRACT = """CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)"""
+
+_COVIS_SQL = f"""
+WITH ui AS (
+  SELECT user_id, {_K_EXTRACT} AS item, count(*)::BIGINT AS cnt
+  FROM events GROUP BY user_id, item
+),
+capped AS (
+  SELECT user_id, item
+  FROM (SELECT user_id, item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, item) AS rn
+        FROM ui)
+  WHERE rn <= {_COVIS_CAP}
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_users
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT item_a, item_b, n_users,
+       row_number() OVER (ORDER BY n_users DESC, item_a, item_b)::INTEGER AS rank
+FROM pairs ORDER BY n_users DESC, item_a, item_b LIMIT {_COVIS_TOP}
+"""
+
+
+@q("covisitation_pairs", _COVIS_SQL)
+def covisitation_pairs(spark, sf_dir):
+    """Item co-visitation counts — the classic co-occurrence
+    recommender signal ("users who touched A also touched B") the
+    reference's UI would need next. The quadratic-per-user pair stage
+    is BOUNDED by construction: each user keeps only their top-30 items
+    (by interaction count, deterministic tie-break) before pairing —
+    the cap every production co-visitation job applies so a crawler
+    account can't emit 10⁶² pairs. One groupBy, one capped window, one
+    self-equi-join on user, one pair count, top-20 heap."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = (
+        ev.select(
+            "user_id",
+            F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint").alias(
+                "item"
+            ),
+        )
+        .groupBy("user_id", "item")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("item"))
+    capped = (
+        ui.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _COVIS_CAP)
+        .select("user_id", "item")
+    )
+    a = capped.select(F.col("user_id"), F.col("item").alias("item_a"))
+    b = capped.select(F.col("user_id"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+    top = pairs.orderBy(
+        F.desc("n_users"), F.asc("item_a"), F.asc("item_b")
+    ).limit(_COVIS_TOP)
+    rw = Window.orderBy(F.desc("n_users"), F.asc("item_a"), F.asc("item_b"))
+    return top.withColumn("rank", F.row_number().over(rw))
+
+
+_LANGID_CONFUSION_SQL = f"""
+WITH g AS ({_LANG_SQL})
+SELECT lang AS actual, lang_guess AS predicted, count(*) AS n,
+       round(count(*) / sum(count(*)) OVER (PARTITION BY lang)::DOUBLE, 6)
+         AS frac_of_actual
+FROM g GROUP BY lang, lang_guess
+ORDER BY actual, predicted
+"""
+
+
+@q("langid_confusion", _LANGID_CONFUSION_SQL)
+def langid_confusion(spark, sf_dir):
+    """Confusion matrix of the language-ID operator against the corpus
+    ground-truth lang column — operator EVALUATION as a first-class
+    query (the QA step a pipeline runs before trusting a classifier
+    gate): per (actual, predicted) counts and each cell's share of its
+    actual class. The matrix is ≤ |langs|² rows, so the window over the
+    grouped result costs nothing; the only corpus-sized work is
+    lang_detect's marker scan."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        F.col("lang").alias("actual"),
+        TA.detect_lang(F.col("text")).alias("predicted"),
+    )
+    counts = g.groupBy("actual", "predicted").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("actual")
+    return (
+        counts.withColumn(
+            "frac_of_actual",
+            F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+_SOURCE_COSINE_SQL = f"""
+WITH tc AS (
+  SELECT source, u.token, count(*)::BIGINT AS cnt
+  FROM documents, LATERAL (SELECT unnest({tokens_sql('text')}) AS token) u
+  GROUP BY source, u.token
+),
+norms AS (SELECT source, sum(cnt * cnt)::BIGINT AS n2 FROM tc GROUP BY source),
+dots AS (
+  SELECT a.source AS src_a, b.source AS src_b, sum(a.cnt * b.cnt)::BIGINT AS dot
+  FROM tc a JOIN tc b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT d.src_a, d.src_b, d.dot,
+       round(d.dot / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cosine
+FROM dots d JOIN norms na ON d.src_a = na.source
+            JOIN norms nb ON d.src_b = nb.source
+ORDER BY src_a, src_b
+"""
+
+
+@q("source_token_cosine", _SOURCE_COSINE_SQL)
+def source_token_cosine(spark, sf_dir):
+    """Pairwise source similarity: cosine between per-source token-count
+    vectors — the corpus-linguistics diagnostic behind mixture design
+    (two near-identical sources → merge or reweight; an outlier source →
+    inspect). The "vectors" never materialize: the dot is a join on
+    token carrying integer counts (pairs per token bounded by
+    #sources²), norms are exact int64 sums, and only the final division
+    is floating point — in one fixed order, so the matrix hash-matches
+    the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    norms = tc.groupBy("source").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("n2")
+    )
+    a = tc.select(
+        F.col("token"), F.col("source").alias("src_a"), F.col("cnt").alias("ca")
+    )
+    b = tc.select(
+        F.col("token"), F.col("source").alias("src_b"), F.col("cnt").alias("cb")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("src_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("source").alias("src_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "dot",
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -7426,6 +7610,10 @@ _RECHECK_FIRST = [
     # new in round-2 batch 10
     "matryoshka_knn_recall",
     "int8_knn_recall",
+    # new in round-2 batch 11
+    "covisitation_pairs",
+    "langid_confusion",
+    "source_token_cosine",
 ]
 
 

@@ -206,3 +206,15 @@ def test_winsorize_clips_toward_bounds(spark, sf_dir):
         # clipping both tails at p1/p99 keeps ~98% of mass: never clips
         # more than ~4% (generous: interpolation + discrete ranks)
         assert r.n_clipped <= max(4, 0.04 * r.n_events)
+
+
+def test_covisitation_cap_bounds_pair_blowup(spark, sf_dir):
+    """No user may contribute more than C(cap,2) pairs; the registered
+    top pairs must be symmetric-free (a < b) and correctly ranked."""
+    from movievectorsearch_spark.plans import queries as Q
+
+    rows = Q.QUERIES["covisitation_pairs"]["spark"](spark, sf_dir).collect()
+    assert all(r.item_a < r.item_b for r in rows)
+    ns = [r.n_users for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))

@@ -103,6 +103,12 @@ PROBE_QUERIES = [
     "bpe_merge_step",
     "winsorize_by_sketch",
     "negative_sampling_pairs",
+    # round 2 batches 10-11 (linear / capped shapes)
+    "matryoshka_knn_recall",
+    "int8_knn_recall",
+    "covisitation_pairs",
+    "langid_confusion",
+    "source_token_cosine",
 ]
 
 SHIFT_KEYS = {
