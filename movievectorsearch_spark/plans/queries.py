@@ -6812,7 +6812,14 @@ def power_iteration_matvec(spark, sf_dir):
     product is int64 and partials combine losslessly in any order),
     then a 64-row explode-and-sum for the accumulation. Two linear
     passes fused into one scan + one bounded groupBy; iterating =
-    renormalizing the 64 output ints on the driver and re-running."""
+    renormalizing the 64 output ints on the driver and re-running.
+
+    Accumulation headroom: per-row terms are ≤ dim·scale²·scale ≈
+    6.4e10, so int64 holds exact sums to ~1.4e8 rows per dimension.
+    Beyond that (a 100 TB embedding corpus), sum per partition-grain
+    and fold grain subtotals as DECIMAL(38,0) — same two-pass shape,
+    documented rather than defaulted because the decimal column would
+    leave the int64 fast path on every engine for every corpus size."""
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & (F.size("embedding") > 0)
     )
@@ -7418,16 +7425,24 @@ def langid_confusion(spark, sf_dir):
     )
 
 
+_CPM_SCALE = 100_000  # counts → per-100k proportions before dotting
+
 _SOURCE_COSINE_SQL = f"""
 WITH tc AS (
   SELECT source, u.token, count(*)::BIGINT AS cnt
   FROM documents, LATERAL (SELECT unnest({tokens_sql('text')}) AS token) u
   GROUP BY source, u.token
 ),
-norms AS (SELECT source, sum(cnt * cnt)::BIGINT AS n2 FROM tc GROUP BY source),
+tot AS (SELECT source, sum(cnt)::BIGINT AS total FROM tc GROUP BY source),
+prop AS (
+  SELECT tc.source, tc.token, ({_CPM_SCALE} * tc.cnt) // t.total AS p
+  FROM tc JOIN tot t ON tc.source = t.source
+  WHERE ({_CPM_SCALE} * tc.cnt) // t.total > 0
+),
+norms AS (SELECT source, sum(p * p)::BIGINT AS n2 FROM prop GROUP BY source),
 dots AS (
-  SELECT a.source AS src_a, b.source AS src_b, sum(a.cnt * b.cnt)::BIGINT AS dot
-  FROM tc a JOIN tc b ON a.token = b.token AND a.source < b.source
+  SELECT a.source AS src_a, b.source AS src_b, sum(a.p * b.p)::BIGINT AS dot
+  FROM prop a JOIN prop b ON a.token = b.token AND a.source < b.source
   GROUP BY a.source, b.source
 )
 SELECT d.src_a, d.src_b, d.dot,
@@ -7440,28 +7455,41 @@ ORDER BY src_a, src_b
 
 @q("source_token_cosine", _SOURCE_COSINE_SQL)
 def source_token_cosine(spark, sf_dir):
-    """Pairwise source similarity: cosine between per-source token-count
-    vectors — the corpus-linguistics diagnostic behind mixture design
-    (two near-identical sources → merge or reweight; an outlier source →
-    inspect). The "vectors" never materialize: the dot is a join on
-    token carrying integer counts (pairs per token bounded by
-    #sources²), norms are exact int64 sums, and only the final division
-    is floating point — in one fixed order, so the matrix hash-matches
-    the oracle."""
+    """Pairwise source similarity: cosine between per-source token
+    PROPORTION vectors (counts scaled to per-100k integer shares) — the
+    corpus-linguistics diagnostic behind mixture design (two
+    near-identical sources → merge or reweight; an outlier source →
+    inspect). Proportions rather than raw counts for two reasons: the
+    metric becomes source-size-invariant, and every product is bounded
+    by 1e10 regardless of corpus size, so the int64 sums can NEVER
+    overflow (raw-count squares would blow int64 once one token passes
+    ~3e9 occurrences in a source — the mixture_sample overflow class).
+    Tokens below 1/100k of a source's mass round to zero and drop — the
+    long tail doesn't move a cosine at this precision. The "vectors"
+    never materialize: the dot is a join on token (pairs per token ≤
+    #sources²); only the final division is floating point, in one fixed
+    order, so the matrix hash-matches the oracle."""
     d = load_table(spark, sf_dir, "documents")
     tc = (
         d.select("source", F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+    tot = tc.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("total"))
+    tc = (
+        tc.join(F.broadcast(tot), "source")
+        .withColumn("p", F.expr(f"({_CPM_SCALE} * cnt) div total"))
+        .filter(F.col("p") > 0)
+        .select("source", "token", "p")
+    )
     norms = tc.groupBy("source").agg(
-        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("n2")
+        F.sum(F.col("p") * F.col("p")).cast("bigint").alias("n2")
     )
     a = tc.select(
-        F.col("token"), F.col("source").alias("src_a"), F.col("cnt").alias("ca")
+        F.col("token"), F.col("source").alias("src_a"), F.col("p").alias("ca")
     )
     b = tc.select(
-        F.col("token"), F.col("source").alias("src_b"), F.col("cnt").alias("cb")
+        F.col("token"), F.col("source").alias("src_b"), F.col("p").alias("cb")
     )
     dots = (
         a.join(b, "token")
