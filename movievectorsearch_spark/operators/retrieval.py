@@ -36,8 +36,11 @@ PPM = 1_000_000
 # term tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) multiplies out (by
 # 20*avgdl, with dl and avgdl both in centitokens) to:
 #     44*avgdl*tf / (20*avgdl*tf + 6*avgdl + 18*dl)
-# — pure int64. Magnitudes: avgdl_c ~ 1e4, tf ≤ doc length, the ppm
-# numerator stays < 1e15 for docs up to ~1e5 tokens.
+# — pure int64. Headroom: the ppm numerator 44e6·avgdl_c·tf must stay
+# under 9.2e18, i.e. avgdl_c·tf < 2.1e11 — satisfied for any corpus
+# whose average doc is ≤ ~10k tokens with per-doc tf ≤ ~2e6; corpora of
+# book-length documents should divide the numerator by avgdl_c first
+# (integer-safe because the denominator carries the same factor).
 
 
 def bm25_scores_ppm(

@@ -5995,7 +5995,11 @@ def decayed_popularity(spark, sf_dir):
     DuckDB date_diff). The freshness-weighted counterpart of
     agg_counts_by_type: one broadcast 1-row max(ts) + one groupBy;
     weights and cents are exact integers, so partial aggregation is
-    lossless at any scale."""
+    lossless. Headroom: per-event terms are ≤ 1000·cents ≈ 1e8, so
+    int64 holds exact per-type sums to ~9e10 events; beyond that, sum
+    per day-grain and fold the grain subtotals (the hll_rollup
+    pattern) — the decay weight is constant within a day, so the
+    grain fold is exact."""
     ev = load_table(spark, sf_dir, "events")
     ref = ev.agg(F.max("ts").alias("ref_ts"))
     w_pm = F.expr(
