@@ -4316,6 +4316,10 @@ def vocab_oov_rate(spark, sf_dir):
         .groupBy("lang", "token")
         .agg(F.count("*").alias("n"))
     )
+    # the vocab branch and the OOV join both consume occ; persist so the
+    # tokenize/explode/agg runs once (the top-N vocab genuinely needs a
+    # re-aggregation, so the window trick doesn't apply here)
+    occ.persist()
     vocab = (
         occ.groupBy("token")
         .agg(F.sum("n").alias("cnt"))
@@ -4440,14 +4444,15 @@ def tfidf_top_terms(spark, sf_dir):
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = td.groupBy("token").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     score = F.round(
         F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
     return (
-        td.join(df_, "token")
+        # df as a window over td — a groupBy+join-back would re-run the
+        # tokenize/explode subtree (the bm25-df lesson)
+        td.withColumn("df", F.count("*").over(Window.partitionBy("token")).cast("long"))
         .crossJoin(F.broadcast(n))
         .withColumn("score", score)
         .withColumn("rk", F.row_number().over(w))
@@ -5193,10 +5198,11 @@ def hashed_tfidf_knn(spark, sf_dir):
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = td.groupBy("token").agg(F.count("*").alias("df"))
+    # df as a window over td, not groupBy+join-back (which would re-run
+    # the tokenize/explode subtree — the bm25-df lesson)
     n = d.agg(F.count("*").alias("n_docs"))
     contribs = (
-        td.join(df_, "token")
+        td.withColumn("df", F.count("*").over(Window.partitionBy("token")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -5223,6 +5229,10 @@ def hashed_tfidf_knn(spark, sf_dir):
         .cast("array<double>")
         .alias("emb")
     )
+    # both the query-vector branch and the scoring branch consume vecs;
+    # persist so the feature build runs once (same pattern as
+    # dedup_minhash_lsh's sig.persist())
+    vecs.persist()
     qv = vecs.orderBy("doc_id").limit(1).select(F.col("emb").alias("qemb"))
     score = cosine_similarity(F.col("emb"), F.col("qemb"))
     return (
@@ -6287,8 +6297,14 @@ def pagerank_step_suppliers(spark, sf_dir):
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    deg = edges.groupBy("c").agg(F.count("*").cast("bigint").alias("deg"))
-    contrib = edges.join(deg, "c").withColumn("w", F.expr("1000000 div deg"))
+    # outdegree as a window over edges, NOT a groupBy + join back — the
+    # join form would re-run the whole lineitem⋈orders+distinct subtree
+    # for the second branch (Spark doesn't share unreferenced common
+    # subplans; same fix as the bm25 df window)
+    deg_w = Window.partitionBy("c")
+    contrib = edges.withColumn(
+        "deg", F.count("*").over(deg_w).cast("bigint")
+    ).withColumn("w", F.expr("1000000 div deg"))
     inflow = contrib.groupBy("s").agg(
         F.count("*").cast("bigint").alias("n_in"),
         F.sum("w").cast("bigint").alias("inflow_ppm"),
