@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     "covisitation_pairs",
     "langid_confusion",
     "source_token_cosine",
+    # round 2 batch 12: containment dedup, ANN recall
+    "ngram_containment_pairs",
+    "ann_recall_at_k",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -7539,6 +7539,117 @@ def source_token_cosine(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-2 batch 12: containment-Jaccard dedup, ANN recall diagnostic
+# ===========================================================================
+
+_CONTAIN_THRESHOLD = 0.5
+
+_CONTAIN_SQL = f"""
+WITH {_NGRAM_CTES}
+SELECT i.a_id, i.b_id, i.inter, sa.nsh AS a_n, sb.nsh AS b_n,
+       round(i.inter / LEAST(sa.nsh, sb.nsh)::DOUBLE, 6) AS containment
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
+             JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE i.inter / LEAST(sa.nsh, sb.nsh)::DOUBLE >= {_CONTAIN_THRESHOLD}
+"""
+
+
+@q("ngram_containment_pairs", _CONTAIN_SQL)
+def ngram_containment_pairs(spark, sf_dir):
+    """Containment-Jaccard pairs: |A∩B| / min(|A|,|B|) ≥ 0.5 over
+    distinct word-shingle sets — the ASYMMETRIC near-dup measure that
+    catches quotes/excerpts/supersets which symmetric Jaccard dilutes
+    (a 100-shingle doc fully containing a 10-shingle doc scores
+    containment 1.0 but Jaccard 0.1). Same blocked explode+join shape
+    as dedup_ngram_jaccard; only the normalization differs, so the
+    candidate generation cost is identical and at 100 TB it composes
+    with MinHash banding the same way."""
+    from movievectorsearch_spark.functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("did"),
+        F.col("lang"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), _SHINGLE_N))
+        ).alias("shingle"),
+    )
+    sizes = base.groupBy("did").agg(F.count("*").alias("nsh"))
+    a = base.select(
+        F.col("did").alias("a_id"), F.col("lang").alias("a_lang"), "shingle"
+    )
+    b = base.select(
+        F.col("did").alias("b_id"), F.col("lang").alias("b_lang"), "shingle"
+    )
+    inter = (
+        a.join(b, (a["shingle"] == b["shingle"]) & (F.col("a_lang") == F.col("b_lang")))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("did").alias("a_id"), F.col("nsh").alias("a_n"))
+    sb = sizes.select(F.col("did").alias("b_id"), F.col("nsh").alias("b_n"))
+    containment = F.col("inter") / F.least(F.col("a_n"), F.col("b_n")).cast(
+        "double"
+    )
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(containment >= _CONTAIN_THRESHOLD)
+        .select(
+            "a_id", "b_id", "inter", "a_n", "b_n",
+            F.round(containment, 6).alias("containment"),
+        )
+    )
+
+
+_ANN_RECALL_SQL = f"""
+WITH ann AS ({{ann_select}}),
+exact AS (
+  SELECT vec_id FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+  ORDER BY {cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), 'embedding')} DESC, vec_id
+  LIMIT 10
+)
+SELECT 10 AS k, count(*)::BIGINT AS n_overlap,
+       round(count(*) / 10.0, 6) AS recall
+FROM exact JOIN ann USING (vec_id)
+"""
+
+
+@q("ann_recall_at_k")
+def ann_recall_at_k(spark, sf_dir):
+    """Recall@10 of the persisted SRP-LSH index against exact KNN — the
+    serving-quality number an ANN deployment is judged by, computed as
+    a query (completing the diagnostics family with matryoshka_ and
+    int8_knn_recall). Costs one pruned index probe + one exact top-10
+    heap + a 10-row join. Registered with its oracle at import time via
+    the same literal-hyperplane mirror as ann_srp_topk."""
+    ann = ann_srp_topk(spark, sf_dir).select("vec_id")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    exact = (
+        e.select("vec_id", cosine_to_query(QUERY_VEC, F.col("embedding")).alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact.join(ann, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count("*").cast("bigint").alias("n_overlap"),
+        F.round(F.count("*") / F.lit(10.0), 6).alias("recall"),
+    )
+
+
+# wire the ann_recall oracle from the same literal-hyperplane SQL the
+# SRP query uses (the builder isn't available until after its def above)
+QUERIES["ann_recall_at_k"]["sql"] = _ANN_RECALL_SQL.format(
+    ann_select=_ann_srp_sql().strip()
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -7662,6 +7773,9 @@ _RECHECK_FIRST = [
     "covisitation_pairs",
     "langid_confusion",
     "source_token_cosine",
+    # new in round-2 batch 12
+    "ngram_containment_pairs",
+    "ann_recall_at_k",
 ]
 
 
