@@ -149,3 +149,83 @@ def test_snapshot_diff_patch_reconstructs_new(spark, old_rows, new_rows):
     assert {r["change"] for r in snapshot_diff(new, new, ["k"], ["v"]).collect()} <= {
         "unchanged"
     }
+
+
+# ---------------------------------------------------------------------------
+# round-2 operators vs pure-Python models on arbitrary corpora
+# ---------------------------------------------------------------------------
+
+WORD = st.text(alphabet="abcdef", min_size=1, max_size=4)
+DOC = st.lists(WORD, min_size=1, max_size=24).map(" ".join)
+
+
+@FEW
+@given(st.lists(DOC, min_size=1, max_size=6))
+def test_segment_dedup_model_parity(spark, docs):
+    """segment_dedup agrees with a pure-Python first-occurrence model:
+    same dup counts and same reassembled text for every doc."""
+    from movievectorsearch_spark.operators.dedup import segment_dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in segment_dedup(df, "doc_id", "text", 4).collect()}
+
+    seen: set[str] = set()
+    for i, t in rows:
+        toks = t.split()
+        segs = [" ".join(toks[j:j + 4]) for j in range(0, len(toks), 4)]
+        kept, dups = [], 0
+        for s in segs:
+            if s in seen:
+                dups += 1
+            else:
+                seen.add(s)
+                kept.append(s)
+        assert got[i].n_segs == len(segs), (i, t)
+        assert got[i].n_dup_segs == dups, (i, t)
+        assert got[i].clean_text == " ".join(kept), (i, t)
+
+
+@FEW
+@given(st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=1, max_size=30, unique=True))
+def test_domain_cap_model_parity(spark, ids):
+    """domain_cap keeps exactly the hash-smallest ids per domain."""
+    from movievectorsearch_spark.operators.curation import domain_cap
+
+    df = spark.createDataFrame(
+        [(i, "d" + str(i % 2)) for i in ids], "doc_id long, source string"
+    )
+    got = {(r.domain, r.id) for r in domain_cap(df, "doc_id", "source", 3).collect()}
+    expect = set()
+    for dom in {"d" + str(i % 2) for i in ids}:
+        members = [i for i in ids if "d" + str(i % 2) == dom]
+        ranked = sorted(members, key=lambda i: ((i * 2654435761 + 40503) % 1000003, i))
+        expect |= {(dom, i) for i in ranked[:3]}
+    assert got == expect
+
+
+@FEW
+@given(st.lists(DOC, min_size=2, max_size=5))
+def test_prefix_containment_model_parity(spark, docs):
+    from movievectorsearch_spark.operators.dedup import prefix_containment_pairs
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id)
+        for r in prefix_containment_pairs(df, "doc_id", "text", 3).collect()
+    }
+    norm = {i: " ".join(t.lower().split()) for i, t in rows}
+    ntok = {i: len(t.split()) for i, t in rows}
+    expect = set()
+    for a, _ in rows:
+        if ntok[a] < 3:
+            continue
+        for b, _ in rows:
+            if a == b or ntok[b] < 3:
+                continue
+            shorter = ntok[a] < ntok[b] or (ntok[a] == ntok[b] and a < b)
+            if shorter and norm[b].startswith(norm[a]):
+                expect.add((a, b))
+    assert got == expect
