@@ -74,10 +74,7 @@ def start_incremental_dedup(
             return
         sess = batch.sparkSession
         sig = minhash_signature(batch, id_col, text_col, num_hashes, shingle_n)
-        # dedup WITHIN the batch too: keep the smallest id per band-match
-        # group is overkill here — exact-text within-batch dups collide in
-        # all bands against the store only after the store append, so
-        # handle them by a within-batch band self-probe
+        sig.persist()  # consumed by the store probe, self-probe, and append
         if _store_exists(sess, store_path):
             store_sig = sess.read.parquet(store_path)
             hits = minhash_lsh_pairs_between(
@@ -86,6 +83,17 @@ def start_incremental_dedup(
             novel_ids = sig.select(id_col).join(hits, id_col, "left_anti")
         else:
             novel_ids = sig.select(id_col)
+        # WITHIN-batch dedup: two dups arriving in the same micro-batch
+        # both miss the store (their signatures aren't appended yet) —
+        # a band self-probe keeps only the smallest id of each match
+        # group, so a batch is deduped against itself the same way it's
+        # deduped against history
+        from movievectorsearch_spark.operators.dedup import minhash_lsh_pairs
+
+        within = minhash_lsh_pairs(sig, id_col, num_hashes, bands).select(
+            F.col("b_id").alias(id_col)
+        ).distinct()
+        novel_ids = novel_ids.join(within, id_col, "left_anti")
         novel_sig = sig.join(novel_ids, id_col)
         novel_docs = batch.join(novel_ids, id_col)
         novel_docs.write.mode("append").parquet(out_path)

@@ -91,3 +91,30 @@ def test_incremental_dedup_stream_is_restart_safe(spark, tmp_path):
     _wait(q)
     rows = spark.read.parquet(out).collect()
     assert [r.doc_id for r in rows] == [5]  # replay emitted nothing new
+
+
+def test_incremental_dedup_within_batch_dups_collapse(spark, tmp_path):
+    """Two duplicates arriving in the SAME micro-batch: only the
+    smaller id survives (the store can't catch them — they aren't
+    appended yet when the batch probes it)."""
+    from movievectorsearch_spark.streaming.incr_dedup import (
+        start_incremental_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [
+            (7, "gold silver bronze copper iron tin lead zinc"),
+            (9, "gold silver bronze copper iron tin lead zinc"),  # same batch dup
+            (8, "mercury venus earth mars jupiter saturn uranus neptune"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    q = start_incremental_dedup(
+        spark, spark.readStream.schema(schema).parquet(src),
+        str(tmp_path / "store"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    q.awaitTermination(60)
+    got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {7, 8}, got
