@@ -413,3 +413,53 @@ def test_rolling_wau_no_window_function(spark, sf_dir):
     p = plan_of(spark, sf_dir, "rolling_wau_stickiness")
     assert "Window" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bpe_merge_is_one_agg_plus_heap(spark, sf_dir):
+    """BPE pair counting: one Generate, map-side-combining agg, heap
+    top-k — no join, no Python."""
+    p = plan_of(spark, sf_dir, "bpe_merge_step")
+    assert p.count(") Generate") == 1
+    assert "TakeOrderedAndProject" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_winsorize_no_sort_no_python(spark, sf_dir):
+    """Clip bounds come from the counter table — a global sort of the
+    fact table must never appear."""
+    p = plan_of(spark, sf_dir, "winsorize_by_sketch")
+    assert "Exchange rangepartitioning" not in p  # no global sort
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_negative_sampling_is_map_plus_one_join(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "negative_sampling_pairs")
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_covisitation_caps_before_pairing(spark, sf_dir):
+    """WindowGroupLimit must apply (per-user partial top-cap before the
+    shuffle) and the pair stage must be an equi-join."""
+    p = plan_of(spark, sf_dir, "covisitation_pairs")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pagerank_degree_is_window_not_rejoin(spark, sf_dir):
+    """The degree must come from a window over edges: exactly ONE
+    lineitem scan and ONE orders scan in the plan (a groupBy+join-back
+    would show two of each)."""
+    p = plan_of(spark, sf_dir, "pagerank_step_suppliers")
+    assert p.count("lineitem.parquet") == 1
+    assert p.count("orders.parquet") == 1
+
+
+def test_hashed_tfidf_single_tokenize(spark, sf_dir):
+    """df window + persisted vectors: the documents scan appears at most
+    twice (corpus-size agg + the one tokenize), never four times."""
+    p = plan_of(spark, sf_dir, "hashed_tfidf_knn")
+    assert p.count("documents.parquet") + p.count("InMemoryTableScan") >= 1
+    assert p.count(") Generate") <= 1
