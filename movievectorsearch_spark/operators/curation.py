@@ -335,8 +335,14 @@ def kmeans_step(
             lambda c: F.struct(_dist(c).alias("dist"), c["cid"].alias("cid")),
         )
     )
-    assigned = emb.crossJoin(F.broadcast(cents_arr)).select(
-        "vec_id", best["cid"].alias("cluster_id"), "embedding"
+    assigned = (
+        emb.crossJoin(F.broadcast(cents_arr))
+        .select("vec_id", best["cid"].alias("cluster_id"), "embedding")
+        # if centroid_ids matched no rows, cents is the empty array and
+        # array_min yields NULL — drop those rows so the result is EMPTY
+        # (the pre-broadcast formulation's behavior) instead of one
+        # garbage centroid aggregated over the whole corpus
+        .filter(F.col("cluster_id").isNotNull())
     )
     by_dim = assigned.select(
         "cluster_id",
@@ -379,9 +385,14 @@ def domain_cap(
 ) -> DataFrame:
     """Cap documents per domain/source at ``cap``, keeping a deterministic
     uniform sample: rank within each domain by a portable affine hash of
-    the id (h = (id*2654435761 + 40503) mod 1000003 — pure int64
-    arithmetic, identical in any engine) and keep rank <= cap. This is
-    the per-domain cap every web-crawl pipeline applies so that a few
+    the id (h = ((id mod 1000003)*2654435761 + 40503) mod 1000003 — the
+    id reduces mod-M FIRST, so the product stays ≤ 1e6·2.7e9 ≈ 2.7e15
+    and never overflows int64 at ANY id magnitude; an unreduced product
+    would wrap negative in Spark but raise in DuckDB/ANSI once ids pass
+    ~3.5e9) and keep rank <= cap. Requires a NUMERIC id column (string
+    ids would cast to NULL and silently degrade the sample — rejected
+    loudly instead; hash slug ids with poly_hash first). This is the
+    per-domain cap every web-crawl pipeline applies so that a few
     giant hosts don't dominate the mixture (C4/RefinedWeb-style).
 
     Plan shape: ONE shuffle — the window partitions by domain; the hash
@@ -394,9 +405,18 @@ def domain_cap(
 
     Returns kept rows: ``id, domain, rk`` (rank within domain).
     """
-    h = (F.col(id_col).cast("bigint") * F.lit(2654435761) + F.lit(40503)) % F.lit(
-        1000003
-    )
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(docs.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"domain_cap requires a numeric id column; {id_col} is "
+            f"{docs.schema[id_col].dataType.simpleString()} — hash string "
+            "ids with functions.hashing.poly_hash first"
+        )
+    h = (
+        (F.col(id_col).cast("bigint") % F.lit(1000003)) * F.lit(2654435761)
+        + F.lit(40503)
+    ) % F.lit(1000003)
     w = Window.partitionBy("domain").orderBy("h", "id")
     return (
         docs.select(

@@ -606,7 +606,19 @@ def segment_dedup(
             toks.alias("toks"),
             n_seg.alias("n_seg"),
         )
-        .withColumn("seg_idx", F.explode(F.sequence(F.lit(0), F.col("n_seg") - 1)))
+        # guard n_seg == 0 (token-less doc): sequence(0, -1) in Spark is
+        # the DESCENDING [0, -1], which would fabricate two bogus
+        # segments; an empty array explodes to no rows, matching the
+        # oracle's range(0, 0)
+        .withColumn(
+            "seg_idx",
+            F.explode(
+                F.when(
+                    F.col("n_seg") > 0,
+                    F.sequence(F.lit(0), F.col("n_seg") - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
         .select(
             "id",
             "seg_idx",
@@ -652,24 +664,30 @@ def prefix_containment_pairs(
     text_col: str,
     prefix_tokens: int = 8,
 ) -> DataFrame:
-    """Pairs (a, b) where document a's full normalized text is a PREFIX of
-    document b's (a <= b in token length; ties broken a.id < b.id) —
-    truncation duplicates, the failure mode of re-crawled/clipped pages
-    that exact-hash dedup misses and shingle-Jaccard only soft-scores.
+    """Pairs (a, b) where document a's full token sequence is a
+    TOKEN-ALIGNED prefix of document b's (a <= b in token length; ties
+    broken a.id < b.id) — truncation duplicates, the failure mode of
+    re-crawled/clipped pages that exact-hash dedup misses and
+    shingle-Jaccard only soft-scores.
 
-    Blocking: both sides key on the polynomial hash of their first
-    ``prefix_tokens`` tokens, so the join is a hash equi-join whose
-    candidate set is the prefix-collision count (~duplicate density),
-    never the n² cross product; ``startswith`` verifies exactly. A
-    contained doc shares the container's first-k tokens by definition
-    (docs shorter than ``prefix_tokens`` are skipped — their whole text
-    IS the prefix and exact dedup already covers them), so blocking
-    loses no true pair: recall is exact, not approximate.
+    Semantics are token-aligned deliberately: 'a b c' is a prefix of
+    'a b c d' but NOT of 'a b cd' — a cut mid-token produces a
+    different final token, which is a different document, not a
+    truncation. This is also what makes the blocking exact: a
+    token-aligned containee shares the container's first-k TOKENS by
+    definition, so keying both sides on the polynomial hash of those
+    k tokens is a hash equi-join that loses no true pair (candidate
+    count ~ duplicate density, never n²); the startswith-plus-boundary
+    check verifies exactly. Docs shorter than ``prefix_tokens`` are
+    skipped — their whole text IS the prefix and exact dedup already
+    covers them.
     """
     toks = tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("id"),
-        normalize_key(F.col(text_col)).alias("norm"),
+        # canonical token-joined form (single spaces), so the prefix
+        # check is insensitive to the original whitespace layout
+        F.array_join(toks, " ").alias("norm"),
         F.size(toks).alias("n_tok"),
         poly_hash(F.array_join(F.slice(toks, 1, prefix_tokens), " ")).alias("fp"),
     ).filter(F.col("n_tok") >= prefix_tokens)
@@ -690,9 +708,13 @@ def prefix_containment_pairs(
         .filter(
             (
                 (F.col("a_tok") < F.col("b_tok"))
-                | ((F.col("a_tok") == F.col("b_tok")) & (F.col("a_id") < F.col("b_id")))
+                & F.col("b_norm").startswith(F.concat(F.col("a_norm"), F.lit(" ")))
             )
-            & F.col("b_norm").startswith(F.col("a_norm"))
+            | (
+                (F.col("a_tok") == F.col("b_tok"))
+                & (F.col("a_id") < F.col("b_id"))
+                & (F.col("a_norm") == F.col("b_norm"))
+            )
         )
         .select("a_id", "b_id", "a_tok", "b_tok")
     )

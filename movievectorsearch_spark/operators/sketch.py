@@ -212,6 +212,7 @@ def histogram_sketch(
     the domain, which is what makes counts integers and the whole
     sketch hash-comparable across engines.
     """
+    df = df.filter(F.col(value_col).isNotNull())  # see grouped variant
     stats = df.agg(
         F.min(F.col(value_col).cast("double")).alias("vmin"),
         F.max(F.col(value_col).cast("double")).alias("vmax"),
@@ -296,6 +297,11 @@ def histogram_sketch_grouped(
     its own [min, max] domain (a tiny per-group agg broadcast back onto
     the scan), so the sketch answers per-grain quantiles after ONE pass
     and still merges by summing counts within (group, bin)."""
+    # drop nulls HERE, not at call sites: a NULL value would bin as
+    # least(n_bins-1, NULL) = n_bins-1 (least skips nulls in both Spark
+    # and DuckDB), silently inflating the top bin and every upper
+    # quantile derived from it
+    df = df.filter(F.col(value_col).isNotNull())
     stats = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.min(F.col(value_col).cast("double")).alias("vmin"),
         F.max(F.col(value_col).cast("double")).alias("vmax"),

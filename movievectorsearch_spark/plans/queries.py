@@ -5865,7 +5865,7 @@ _DOMAIN_CAP = 15
 _DOMAIN_CAP_SQL = f"""
 WITH h AS (
   SELECT doc_id AS id, source AS domain,
-         (doc_id * 2654435761 + 40503) % 1000003 AS h
+         ((doc_id % 1000003) * 2654435761 + 40503) % 1000003 AS h
   FROM documents
 ),
 r AS (
@@ -5895,7 +5895,8 @@ _PREFIX_TOK = 8
 
 _PREFIX_CONTAIN_SQL = f"""
 WITH t AS (
-  SELECT doc_id, lower(trim(text)) AS norm, {tokens_sql('text')} AS toks
+  SELECT doc_id, array_to_string({tokens_sql('text')}, ' ') AS norm,
+         {tokens_sql('text')} AS toks
   FROM documents
 ),
 base AS (
@@ -5906,19 +5907,22 @@ base AS (
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        a.n_tok AS a_tok, b.n_tok AS b_tok
 FROM base a JOIN base b ON a.fp = b.fp
-WHERE (a.n_tok < b.n_tok OR (a.n_tok = b.n_tok AND a.doc_id < b.doc_id))
-  AND starts_with(b.norm, a.norm)
+WHERE (a.n_tok < b.n_tok AND starts_with(b.norm, a.norm || ' '))
+   OR (a.n_tok = b.n_tok AND a.doc_id < b.doc_id AND a.norm = b.norm)
 """
 
 
 @q("dedup_prefix_containment", _PREFIX_CONTAIN_SQL)
 def dedup_prefix_containment(spark, sf_dir):
-    """Truncation-duplicate pairs: doc a's full normalized text is a
-    prefix of doc b's (operators/dedup.py:prefix_containment_pairs).
-    The re-crawl/clip failure mode exact-hash dedup misses. Blocked on
-    the poly-hash of the first 8 tokens — an equi-join whose candidate
-    count tracks duplicate density, never n²; recall is exact because a
-    contained doc shares the container's prefix by definition."""
+    """Truncation-duplicate pairs: doc a's token sequence is a
+    TOKEN-ALIGNED prefix of doc b's
+    (operators/dedup.py:prefix_containment_pairs). The re-crawl/clip
+    failure mode exact-hash dedup misses. Blocked on the poly-hash of
+    the first 8 tokens — an equi-join whose candidate count tracks
+    duplicate density, never n²; recall is exact because a
+    token-aligned containee shares the container's first-8 tokens by
+    definition (a cut mid-token changes the final token → a different
+    document, deliberately not matched)."""
     d = load_table(spark, sf_dir, "documents")
     return D.prefix_containment_pairs(d, "doc_id", "text", _PREFIX_TOK)
 
@@ -6417,11 +6421,12 @@ def sql_pipe_aggregate(spark, sf_dir):
 _MAD_SQL = """
 WITH m AS (
   SELECT event_type, quantile_cont(value::DOUBLE, 0.5) AS md
-  FROM events GROUP BY event_type
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
 )
 SELECT e.event_type, count(*) AS n_events,
        round(quantile_cont(abs(e.value::DOUBLE - m.md), 0.5), 6) AS mad
 FROM events e JOIN m USING (event_type)
+WHERE e.value IS NOT NULL
 GROUP BY e.event_type ORDER BY e.event_type
 """
 
@@ -6457,7 +6462,9 @@ def pandas_mad_by_type(spark, sf_dir):
         dev = np.sort(np.abs(a - med))
         return qcont(dev, 0.5)
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
     # aggregates in one agg; the count rides a separate tiny agg joined
     # on the 5-row result
@@ -6673,7 +6680,7 @@ def token_simpson_diversity(spark, sf_dir):
 _HIST_GROUP_SQL = f"""
 WITH stats AS (
   SELECT event_type AS grp, min(value::DOUBLE) AS vmin, max(value::DOUBLE) AS vmax
-  FROM events GROUP BY event_type
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
 ),
 b AS (
   SELECT e.event_type AS grp,
@@ -6682,6 +6689,7 @@ b AS (
                           / (s.vmax - s.vmin)) AS BIGINT))::INTEGER AS bin,
          s.vmin, s.vmax
   FROM events e JOIN stats s ON e.event_type = s.grp
+  WHERE e.value IS NOT NULL
 ),
 hist AS (SELECT grp, bin, vmin, vmax, count(*) AS cnt
          FROM b GROUP BY grp, bin, vmin, vmax),
@@ -6928,7 +6936,7 @@ def bpe_merge_step(spark, sf_dir):
 _WINSOR_SQL = f"""
 WITH stats AS (
   SELECT event_type AS grp, min(value::DOUBLE) AS vmin, max(value::DOUBLE) AS vmax
-  FROM events GROUP BY event_type
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
 ),
 b AS (
   SELECT e.event_type AS grp,
@@ -6937,6 +6945,7 @@ b AS (
                           / (s.vmax - s.vmin)) AS BIGINT))::INTEGER AS bin,
          s.vmin, s.vmax
   FROM events e JOIN stats s ON e.event_type = s.grp
+  WHERE e.value IS NOT NULL
 ),
 hist AS (SELECT grp, bin, vmin, vmax, count(*) AS cnt
          FROM b GROUP BY grp, bin, vmin, vmax),
@@ -6974,6 +6983,7 @@ clipped AS (
          CASE WHEN value::DOUBLE < bo.lo OR value::DOUBLE > bo.hi
               THEN 1 ELSE 0 END AS is_clipped
   FROM events e JOIN bounds bo ON e.event_type = bo.grp
+  WHERE e.value IS NOT NULL
 )
 SELECT grp AS event_type, count(*)::BIGINT AS n_events,
        round(lo, 6) AS lo, round(hi, 6) AS hi,
@@ -6998,7 +7008,9 @@ def winsorize_by_sketch(spark, sf_dir):
         histogram_sketch_grouped,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     hist = histogram_sketch_grouped(ev, "event_type", "value", _HIST_BINS)
     # clip with UNROUNDED bound doubles (histogram_quantiles_grouped
     # rounds its est output to 6 decimals for display) — the bounds are
@@ -7083,7 +7095,7 @@ mx AS (SELECT max(vec_id) + 1 AS n FROM ids),
 cand AS (
   SELECT i.vec_id AS anchor_id,
          j.j::INTEGER AS j,
-         (i.vec_id * {_NEG_A} + j.j * {_NEG_B}) % mx.n AS neg_id
+         ((i.vec_id % 1000003) * {_NEG_A} + j.j * {_NEG_B}) % mx.n AS neg_id
   FROM ids i, LATERAL (SELECT unnest(range(1, {_NEG_K} + 1)) AS j) j, mx
 )
 SELECT c.anchor_id, c.j, c.neg_id
@@ -7111,9 +7123,12 @@ def negative_sampling_pairs(spark, sf_dir):
         .select(
             "anchor_id",
             F.col("j").cast("int").alias("j"),
-            ((F.col("anchor_id") * _NEG_A + F.col("j") * _NEG_B) % F.col("n")).alias(
-                "neg_id"
-            ),
+            # anchor reduces mod-M FIRST so the product never leaves
+            # int64 at any id magnitude (the domain_cap overflow class)
+            (
+                ((F.col("anchor_id") % 1000003) * _NEG_A + F.col("j") * _NEG_B)
+                % F.col("n")
+            ).alias("neg_id"),
         )
     )
     ids = e.select(F.col("vec_id").alias("neg_id"))
@@ -7664,19 +7679,23 @@ QUERIES["ann_recall_at_k"]["sql"] = _ANN_RECALL_SQL.format(
 # query has a green row on record.
 # ---------------------------------------------------------------------------
 
-def _driver_green_from_files() -> set[str]:
-    """Union of hash-proven names across every CORRECTNESS_r*.json the
-    driver has dropped in the repo — the rotation maintains itself each
-    round instead of needing a hand-updated set."""
+def _driver_green_from_files(min_round: int = 0) -> set[str]:
+    """Union of hash-proven names across the driver's
+    CORRECTNESS_r{N}.json files with N >= ``min_round`` — the rotation
+    maintains itself each round instead of needing a hand-updated set."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     green: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) < min_round:
+            continue
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -7780,34 +7799,11 @@ _RECHECK_FIRST = [
 
 
 def _driver_green_after_r1() -> set[str]:
-    """Hash-proven names from CORRECTNESS_r{N}.json with N >= 2 — used to
-    retire _RECHECK_FIRST entries: an entry stays at the front only until
-    a round-2+ file proves its (current) implementation, then it stops
+    """Hash-proven names from round-2+ files — used to retire
+    _RECHECK_FIRST entries: an entry stays at the front only until a
+    round-2+ file proves its (current) implementation, then it stops
     occupying window slots and the window rotates to unproven queries."""
-    import glob
-    import json
-    import os
-    import re
-
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    green: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m or int(m.group(1)) < 2:
-            continue
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except (OSError, ValueError):
-            continue
-        if not isinstance(data, dict):
-            continue
-        for name, row in data.items():
-            if isinstance(row, dict) and row.get("hash_match") is True:
-                green.add(name)
-    return green
+    return _driver_green_from_files(min_round=2)
 
 
 def _rotated() -> list[str]:

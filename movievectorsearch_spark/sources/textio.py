@@ -25,13 +25,20 @@ __all__ = ["write_doc_lines", "read_doc_lines"]
 
 
 def write_doc_lines(docs: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Serialize (doc_id, lang, source, text) docs as one TSV line each."""
+    """Serialize (doc_id, lang, source, text) docs as one TSV line each.
+
+    Field folding keeps the one-record-per-line invariant for ARBITRARY
+    input: tabs AND newlines in the payload fold to spaces (an embedded
+    newline would otherwise split one record into two physical lines),
+    and every field is null-coalesced to '' — concat_ws silently SKIPS
+    nulls, which would shift the remaining fields left one column on
+    read-back."""
     line = F.concat_ws(
         "\t",
-        F.col("doc_id").cast("string"),
-        F.col("lang"),
-        F.col("source"),
-        F.regexp_replace(F.col("text"), "\t", " "),
+        F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "[\t\r\n]", " "),
     )
     docs.select(line.alias("value")).write.mode(mode).text(path)
 

@@ -22,13 +22,16 @@ is an equi-join of (batch bands) against (store bands) — never a scan
 of historical text. Store growth is one small parquet file per batch;
 compaction is sources/maintenance.py's job.
 
-Restart note: if a batch is replayed after a crash BETWEEN the two
-appends, a doc's signature can be appended twice; the store probe is a
-DISTINCT band join, so duplicates in the store change nothing, and the
-doc-output append is guarded by checking the store first (a replayed
-doc now collides with its own stored signature and is dropped, not
-re-emitted). This gives exactly-once OUTPUT without transactional
-storage.
+Restart note: signatures append BEFORE docs. A replayed batch's docs
+collide with their own stored signatures and are dropped, so the output
+never contains duplicates; a crash exactly between the two appends
+loses that batch's doc emission (at-most-once for the crash window —
+the store keeps the signature, the doc never lands). Duplicated
+signatures from replays are harmless: the store probe is a DISTINCT
+band join. True exactly-once across the crash window needs a
+transactional table format (Delta/Iceberg) for the pair of appends;
+with plain parquet, no-duplicates is the invariant this module
+guarantees.
 """
 
 from __future__ import annotations
@@ -94,10 +97,28 @@ def start_incremental_dedup(
             F.col("b_id").alias(id_col)
         ).distinct()
         novel_ids = novel_ids.join(within, id_col, "left_anti")
-        novel_sig = sig.join(novel_ids, id_col)
-        novel_docs = batch.join(novel_ids, id_col)
-        novel_docs.write.mode("append").parquet(out_path)
-        novel_sig.write.mode("append").parquet(store_path)
+        # EAGER materialization, not lazy persist: the novel set is
+        # derived from an anti-join against the store READ, and the
+        # second write below re-executes any lazy plan — after the
+        # signature append, a lazy re-read would see the batch's own
+        # just-appended signatures and drop every novel doc as a
+        # "duplicate" of itself. localCheckpoint truncates the lineage
+        # so both writes consume the same pre-append snapshot.
+        novel_ids = novel_ids.localCheckpoint(eager=True)
+        try:
+            novel_sig = sig.join(novel_ids, id_col)
+            novel_docs = batch.join(novel_ids, id_col)
+            # ORDER MATTERS for the replay guard: signatures append
+            # FIRST. A crash between the two appends leaves the
+            # signature committed but the doc unemitted; on replay the
+            # doc collides with its own stored signature and is dropped
+            # — at-most-once for that crash window, never duplicated.
+            # (Doc-first would make the same window at-least-once: doc
+            # emitted, signature missing, replay re-emits.)
+            novel_sig.write.mode("append").parquet(store_path)
+            novel_docs.write.mode("append").parquet(out_path)
+        finally:
+            sig.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)

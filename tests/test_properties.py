@@ -200,7 +200,10 @@ def test_domain_cap_model_parity(spark, ids):
     expect = set()
     for dom in {"d" + str(i % 2) for i in ids}:
         members = [i for i in ids if "d" + str(i % 2) == dom]
-        ranked = sorted(members, key=lambda i: ((i * 2654435761 + 40503) % 1000003, i))
+        ranked = sorted(
+            members,
+            key=lambda i: (((i % 1000003) * 2654435761 + 40503) % 1000003, i),
+        )
         expect |= {(dom, i) for i in ranked[:3]}
     assert got == expect
 
@@ -225,7 +228,10 @@ def test_prefix_containment_model_parity(spark, docs):
         for b, _ in rows:
             if a == b or ntok[b] < 3:
                 continue
-            shorter = ntok[a] < ntok[b] or (ntok[a] == ntok[b] and a < b)
-            if shorter and norm[b].startswith(norm[a]):
+            # token-aligned prefix semantics: strictly shorter + a
+            # token-boundary match, or equal text with id tiebreak
+            if ntok[a] < ntok[b] and norm[b].startswith(norm[a] + " "):
+                expect.add((a, b))
+            elif ntok[a] == ntok[b] and a < b and norm[a] == norm[b]:
                 expect.add((a, b))
     assert got == expect
