@@ -760,3 +760,32 @@ def minhash_lsh_pairs_between(
     a = banded(sig_new, "new_id")
     b = banded(sig_store, "store_id")
     return a.join(b, ["band", "bkey"]).select("new_id", "store_id").distinct()
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Containment-Jaccard pairs: |A∩B| / min(|A|,|B|) >= threshold over
+    distinct word-shingle sets — the ASYMMETRIC near-dup measure that
+    catches quotes/excerpts/supersets which symmetric Jaccard dilutes.
+    Shares :func:`ngram_jaccard_pairs`'s candidate machinery verbatim
+    (same blocked explode+join, same scale composition with MinHash
+    banding); only the normalization differs."""
+    # reuse the symmetric operator's intersection/sizes at threshold 0:
+    # containment >= jaccard always, so no candidate is lost, and the
+    # final filter applies the containment normalization
+    cand = ngram_jaccard_pairs(
+        df, id_col, text_col, shingle_n, 0.0, block_cols
+    ).select("a_id", "b_id", "inter", "a_n", "b_n")
+    containment = F.col("inter") / F.least(F.col("a_n"), F.col("b_n")).cast(
+        "double"
+    )
+    return cand.filter(containment >= threshold).select(
+        "a_id", "b_id", "inter", "a_n", "b_n",
+        F.round(containment, 6).alias("containment"),
+    )

@@ -7579,43 +7579,12 @@ def ngram_containment_pairs(spark, sf_dir):
     containment 1.0 but Jaccard 0.1). Same blocked explode+join shape
     as dedup_ngram_jaccard; only the normalization differs, so the
     candidate generation cost is identical and at 100 TB it composes
-    with MinHash banding the same way."""
-    from movievectorsearch_spark.functions.text import word_shingles
-
+    with MinHash banding the same way. Delegates to
+    operators/dedup.py:ngram_containment_pairs, which reuses the
+    symmetric operator's candidate machinery verbatim."""
     d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        F.col("doc_id").alias("did"),
-        F.col("lang"),
-        F.explode(
-            F.array_distinct(word_shingles(F.col("text"), _SHINGLE_N))
-        ).alias("shingle"),
-    )
-    sizes = base.groupBy("did").agg(F.count("*").alias("nsh"))
-    a = base.select(
-        F.col("did").alias("a_id"), F.col("lang").alias("a_lang"), "shingle"
-    )
-    b = base.select(
-        F.col("did").alias("b_id"), F.col("lang").alias("b_lang"), "shingle"
-    )
-    inter = (
-        a.join(b, (a["shingle"] == b["shingle"]) & (F.col("a_lang") == F.col("b_lang")))
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("did").alias("a_id"), F.col("nsh").alias("a_n"))
-    sb = sizes.select(F.col("did").alias("b_id"), F.col("nsh").alias("b_n"))
-    containment = F.col("inter") / F.least(F.col("a_n"), F.col("b_n")).cast(
-        "double"
-    )
-    return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
-        .filter(containment >= _CONTAIN_THRESHOLD)
-        .select(
-            "a_id", "b_id", "inter", "a_n", "b_n",
-            F.round(containment, 6).alias("containment"),
-        )
+    return D.ngram_containment_pairs(
+        d, "doc_id", "text", _SHINGLE_N, _CONTAIN_THRESHOLD, ["lang"]
     )
 
 

@@ -33,12 +33,18 @@ def write_doc_lines(docs: DataFrame, path: str, mode: str = "overwrite") -> None
     and every field is null-coalesced to '' — concat_ws silently SKIPS
     nulls, which would shift the remaining fields left one column on
     read-back."""
+    def fold(c):
+        # EVERY field folds separator characters, not just the payload —
+        # a tab inside lang/source would shift columns, a newline inside
+        # any field would split one record into two physical lines
+        return F.regexp_replace(F.coalesce(c, F.lit("")), "[\t\r\n]", " ")
+
     line = F.concat_ws(
         "\t",
         F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
-        F.coalesce(F.col("lang"), F.lit("")),
-        F.coalesce(F.col("source"), F.lit("")),
-        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "[\t\r\n]", " "),
+        fold(F.col("lang")),
+        fold(F.col("source")),
+        fold(F.col("text")),
     )
     docs.select(line.alias("value")).write.mode(mode).text(path)
 

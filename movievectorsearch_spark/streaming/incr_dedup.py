@@ -5,17 +5,23 @@ documents arrive as a stream; each micro-batch computes MinHash
 signatures for ONLY the arriving docs, probes the parquet signature
 store with the cross-table LSH band join
 (operators/dedup.py:minhash_lsh_pairs_between), appends the surviving
-(novel) docs to the output, and appends their signatures to the store —
-so later batches dedup against everything seen so far, including
-earlier stream batches.
+(novel) docs to the output, and appends signatures to the store — so
+later batches dedup against everything seen so far, including earlier
+stream batches.
 
 Why foreachBatch and not a stateful operator: the dedup state here is
 the signature TABLE (kilobytes per doc, unbounded horizon, shared with
 batch jobs), which belongs in storage, not in per-query streaming state
 — the watermark-bounded/stateful variants for in-flight horizons live
-in streaming/events.py and streaming/stateful.py. The stream
-checkpoint's offset log makes each batch's append effectively-once on
-restart (re-run batches re-append — see the dedup-on-read note below).
+in streaming/events.py and streaming/stateful.py. Replay behavior is
+governed entirely by the append ORDER (Restart note below).
+
+Store coverage: the store receives signatures for every STORE-novel doc
+— including docs suppressed by the within-batch self-probe. LSH band
+collision is not transitive, so a later doc can collide with the
+suppressed duplicate's signature without colliding with the kept one;
+storing both keeps recall. Only the doc OUTPUT applies the within-batch
+keep-smallest rule.
 
 Scale shape per batch: signature build scans only the batch; the probe
 is an equi-join of (batch bands) against (store bands) — never a scan
@@ -36,12 +42,11 @@ guarantees.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movievectorsearch_spark.operators.dedup import (
+    minhash_lsh_pairs,
     minhash_lsh_pairs_between,
     minhash_signature,
 )
@@ -78,36 +83,35 @@ def start_incremental_dedup(
         sess = batch.sparkSession
         sig = minhash_signature(batch, id_col, text_col, num_hashes, shingle_n)
         sig.persist()  # consumed by the store probe, self-probe, and append
-        if _store_exists(sess, store_path):
-            store_sig = sess.read.parquet(store_path)
-            hits = minhash_lsh_pairs_between(
-                sig, store_sig, id_col, num_hashes, bands
-            ).select(F.col("new_id").alias(id_col)).distinct()
-            novel_ids = sig.select(id_col).join(hits, id_col, "left_anti")
-        else:
-            novel_ids = sig.select(id_col)
-        # WITHIN-batch dedup: two dups arriving in the same micro-batch
-        # both miss the store (their signatures aren't appended yet) —
-        # a band self-probe keeps only the smallest id of each match
-        # group, so a batch is deduped against itself the same way it's
-        # deduped against history
-        from movievectorsearch_spark.operators.dedup import minhash_lsh_pairs
-
-        within = minhash_lsh_pairs(sig, id_col, num_hashes, bands).select(
-            F.col("b_id").alias(id_col)
-        ).distinct()
-        novel_ids = novel_ids.join(within, id_col, "left_anti")
-        # EAGER materialization, not lazy persist: the novel set is
-        # derived from an anti-join against the store READ, and the
-        # second write below re-executes any lazy plan — after the
-        # signature append, a lazy re-read would see the batch's own
-        # just-appended signatures and drop every novel doc as a
-        # "duplicate" of itself. localCheckpoint truncates the lineage
-        # so both writes consume the same pre-append snapshot.
-        novel_ids = novel_ids.localCheckpoint(eager=True)
         try:
-            novel_sig = sig.join(novel_ids, id_col)
-            novel_docs = batch.join(novel_ids, id_col)
+            if _store_exists(sess, store_path):
+                store_sig = sess.read.parquet(store_path)
+                hits = minhash_lsh_pairs_between(
+                    sig, store_sig, id_col, num_hashes, bands
+                ).select(F.col("new_id").alias(id_col)).distinct()
+                store_novel = sig.select(id_col).join(hits, id_col, "left_anti")
+            else:
+                store_novel = sig.select(id_col)
+            # WITHIN-batch dedup for the OUTPUT only: two dups arriving
+            # in the same micro-batch both miss the store (their
+            # signatures aren't appended yet) — a band self-probe keeps
+            # the smallest id of each match group. Signatures still
+            # append for BOTH (see Store coverage in the module doc).
+            within = minhash_lsh_pairs(sig, id_col, num_hashes, bands).select(
+                F.col("b_id").alias(id_col)
+            ).distinct()
+            emit_ids = store_novel.join(within, id_col, "left_anti")
+            # EAGER materialization, not lazy persist: both id sets are
+            # derived from an anti-join against the store READ, and the
+            # second write below re-executes any lazy plan — after the
+            # signature append, a lazy re-read would see the batch's own
+            # just-appended signatures and drop every novel doc as a
+            # "duplicate" of itself. localCheckpoint truncates the
+            # lineage so the writes consume the pre-append snapshot.
+            store_novel = store_novel.localCheckpoint(eager=True)
+            emit_ids = emit_ids.localCheckpoint(eager=True)
+            novel_sig = sig.join(store_novel, id_col)
+            novel_docs = batch.join(emit_ids, id_col)
             # ORDER MATTERS for the replay guard: signatures append
             # FIRST. A crash between the two appends leaves the
             # signature committed but the doc unemitted; on replay the

@@ -118,3 +118,9 @@ def test_incremental_dedup_within_batch_dups_collapse(spark, tmp_path):
     q.awaitTermination(60)
     got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {7, 8}, got
+    # the suppressed duplicate's SIGNATURE is still stored — LSH band
+    # collision is not transitive, so later batches need it for recall
+    store_ids = {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "store")).collect()
+    }
+    assert store_ids == {7, 8, 9}, store_ids

@@ -465,5 +465,7 @@ def test_hashed_tfidf_single_tokenize(spark, sf_dir):
     cache warm-up order, so one Generate per vecs consumer is the
     ceiling — at runtime the persisted data is read once)."""
     p = plan_of(spark, sf_dir, "hashed_tfidf_knn")
-    assert p.count("documents.parquet") + p.count("InMemoryTableScan") >= 1
+    # upper bounds do the guarding (the old regression showed 4 scans /
+    # 4 Generates); a lower bound would be vacuous
+    assert p.count("documents.parquet") <= 2
     assert p.count(") Generate") <= 2
