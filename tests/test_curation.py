@@ -218,3 +218,25 @@ def test_covisitation_cap_bounds_pair_blowup(spark, sf_dir):
     ns = [r.n_users for r in rows]
     assert ns == sorted(ns, reverse=True)
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_domain_cap_rejects_string_ids(spark):
+    import pytest as _pytest
+
+    from movievectorsearch_spark.operators.curation import domain_cap
+
+    df = spark.createDataFrame(
+        [("slug-a", "d0"), ("slug-b", "d0")], "doc_id string, source string"
+    )
+    with _pytest.raises(TypeError, match="numeric id"):
+        domain_cap(df, "doc_id", "source", 3)
+
+
+def test_kmeans_step_unmatched_centroids_returns_empty(spark, sf_dir):
+    """Regression: centroid ids matching no rows must yield an EMPTY
+    result, not one garbage centroid aggregated over the whole corpus."""
+    from movievectorsearch_spark.operators.curation import kmeans_step
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_step(e, centroid_ids=[-1, -2])
+    assert out.count() == 0

@@ -347,3 +347,60 @@ def test_incremental_store_is_persisted_and_reused(spark, sf_dir):
     assert Q._DEDUP_STORE_CACHE[sf_dir] == path  # no rebuild
     assert first == second
     assert all(r.is_new == (r.n_store_matches == 0) for r in first)
+
+
+def test_segment_dedup_tokenless_doc_yields_no_segments(spark):
+    """Regression: Spark sequence(0,-1) is the DESCENDING [0,-1] — a
+    whitespace-only doc must contribute zero segments (and no row),
+    matching the oracle's empty range(0,0), not two bogus ones."""
+    from movievectorsearch_spark.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame(
+        [(1, "   "), (2, "a b c d e f g h")], "doc_id long, text string"
+    )
+    out = {r.id: r for r in segment_dedup(df, "doc_id", "text", 8).collect()}
+    assert 1 not in out          # token-less doc: no segments, no row
+    assert out[2].n_segs == 1 and out[2].n_dup_segs == 0
+
+
+def test_prefix_containment_is_token_aligned(spark):
+    """Regression: 'a b c' must NOT match 'a b cd' (mid-token cut ⇒
+    different final token ⇒ different document), while 'a b c' DOES
+    match 'a b c d'."""
+    from movievectorsearch_spark.operators.dedup import prefix_containment_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3"),
+            (2, "t1 t2 t3 t4"),     # token-aligned extension → pair
+            (3, "t1 t2 t3x t4"),    # mid-token divergence → no pair
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in prefix_containment_pairs(df, "doc_id", "text", 3).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_ngram_containment_operator_supersets_jaccard(spark, sf_dir):
+    """Containment ≥ Jaccard always, so the containment pair set at a
+    threshold must contain the Jaccard pair set at the same one."""
+    from movievectorsearch_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    jac = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.3, ["lang"]).collect()
+    }
+    con = {
+        (r.a_id, r.b_id)
+        for r in ngram_containment_pairs(
+            d, "doc_id", "text", 3, 0.3, ["lang"]
+        ).collect()
+    }
+    assert jac <= con

@@ -85,3 +85,28 @@ def test_text_roundtrip_preserves_fields_and_folds_tabs(spark, tmp_path):
     assert back[2].text == "tab here and there"  # tabs folded to spaces
     assert back[2].lang == "de" and back[2].source == "srcB"
     assert len(back) == 3
+
+
+def test_text_roundtrip_survives_newlines_and_nulls(spark, tmp_path):
+    """Regression: newlines in ANY field must not split records; null
+    key fields must not shift columns (concat_ws skips nulls)."""
+    from movievectorsearch_spark.sources.textio import (
+        read_doc_lines,
+        write_doc_lines,
+    )
+
+    rows = [
+        (1, "en", "web\nnews", "body one"),
+        (2, None, "srcB", "line1\nline2"),
+        (3, "de", None, "tab\tinside"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    path = str(tmp_path / "docs2")
+    write_doc_lines(df, path)
+    back = {r.doc_id: r for r in read_doc_lines(spark, path).collect()}
+    assert len(back) == 3                       # no record splitting
+    assert back[1].source == "web news"
+    assert back[2].lang == "" and back[2].text == "line1 line2"
+    assert back[3].source == "" and back[3].text == "tab inside"
