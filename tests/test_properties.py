@@ -235,3 +235,84 @@ def test_prefix_containment_model_parity(spark, docs):
             elif ntok[a] == ntok[b] and a < b and norm[a] == norm[b]:
                 expect.add((a, b))
     assert got == expect
+
+
+@FEW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4", "w5"]),
+                 min_size=1, max_size=12).map(" ".join),
+        min_size=1, max_size=6,
+    )
+)
+def test_bm25_model_parity_randomized(spark, docs):
+    """bm25_scores_ppm agrees with the pure-Python integer model on
+    arbitrary small corpora (the fixture test pins one corpus; this
+    samples the space — df/avgdl/tf interactions included)."""
+    from movievectorsearch_spark.operators.retrieval import bm25_scores_ppm
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: r.bm25_ppm
+        for r in bm25_scores_ppm(df, "doc_id", "text", ["w1", "w3"]).collect()
+    }
+    # reuse the module-level model from test_retrieval
+    from tests.test_retrieval import _bm25_model
+
+    assert got == _bm25_model(rows, ["w1", "w3"])
+
+
+@FEW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 4)),  # (user, item)
+        min_size=1, max_size=30,
+    )
+)
+def test_covisitation_model_parity(spark, events):
+    """covisitation pair counts agree with a brute-force model (cap=30
+    never binds at these sizes, so the model is the uncapped one)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window as W
+
+    rows = [(u, f'{{"k": {i}}}') for u, i in events]
+    df = spark.createDataFrame(rows, "user_id long, props string")
+    ui = (
+        df.select(
+            "user_id",
+            SF.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint").alias("item"),
+        )
+        .groupBy("user_id", "item")
+        .agg(SF.count("*").alias("cnt"))
+    )
+    capped = (
+        ui.withColumn(
+            "rn",
+            SF.row_number().over(
+                W.partitionBy("user_id").orderBy(SF.desc("cnt"), SF.asc("item"))
+            ),
+        )
+        .filter(SF.col("rn") <= 30)
+        .select("user_id", "item")
+    )
+    a = capped.select("user_id", SF.col("item").alias("ia"))
+    b = capped.select("user_id", SF.col("item").alias("ib"))
+    got = {
+        (r.ia, r.ib): r.n
+        for r in a.join(b, "user_id")
+        .filter(SF.col("ia") < SF.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(SF.count("*").alias("n"))
+        .collect()
+    }
+    per_user: dict[int, set[int]] = {}
+    for u, i in events:
+        per_user.setdefault(u, set()).add(i)
+    expect: dict[tuple[int, int], int] = {}
+    for items in per_user.values():
+        for x, y in combinations(sorted(items), 2):
+            expect[(x, y)] = expect.get((x, y), 0) + 1
+    assert got == expect
