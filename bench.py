@@ -168,6 +168,10 @@ BENCH_QUERIES = [
     # verify path; its candidate machinery is already timed via
     # dedup_minhash_lsh)
     "ann_recall_at_k",
+    # round 2 batch 13: burst detection, bigram novelty, attribution
+    "events_burst_detection",
+    "bigram_novelty_rate",
+    "first_touch_attribution",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -1627,7 +1627,7 @@ def events_window_frames(spark, sf_dir):
 @q(
     "events_range_frame",
     """
-    WITH e AS (SELECT user_id, event_id, epoch(ts)::BIGINT AS sec,
+    WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
                       CAST(round(value * 100, 0) AS BIGINT) AS cents
                FROM events)
     SELECT user_id, event_id,
@@ -7634,6 +7634,205 @@ QUERIES["ann_recall_at_k"]["sql"] = _ANN_RECALL_SQL.format(
 )
 
 
+# ===========================================================================
+# Round-2 batch 13: burst detection, bigram novelty, first-touch attribution
+# ===========================================================================
+
+_BURST_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+stats AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS s2
+  FROM hourly GROUP BY event_type
+),
+z AS (
+  SELECT h.event_type, h.h, h.c,
+         (h.c - st.s / st.n) / sqrt(st.s2 / st.n - (st.s / st.n) * (st.s / st.n))
+           AS zscore
+  FROM hourly h JOIN stats st ON h.event_type = st.event_type
+  WHERE st.s2 / st.n - (st.s / st.n) * (st.s / st.n) > 0
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, c,
+       round(zscore, 6) AS zscore
+FROM z WHERE zscore > 3
+ORDER BY event_type, hour
+"""
+
+
+@q("events_burst_detection", _BURST_SQL)
+def events_burst_detection(spark, sf_dir):
+    """Traffic-burst detection: hours whose event count sits more than
+    3σ above the type's hourly mean — the alerting primitive over the
+    hourly rollup. Follows events_outliers' exact-integer-statistics
+    recipe one grain up: (n, Σc, Σc²) are exact BIGINTs over the HOURLY
+    table (≤ types × hours rows), and mean/σ/z derive from them in one
+    fixed operation order, so the boundary decision z > 3 is bit-stable
+    in both engines. Two tiny aggregates after the one corpus-sized
+    hourly rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(var > 0)
+        .withColumn("zscore", z)
+        .filter(F.col("zscore") > 3)
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "c",
+            F.round("zscore", 6).alias("zscore"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+_BIGRAM_RARE_MAX = 2
+
+_BIGRAM_NOVELTY_SQL = f"""
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, u.pair, count(*)::BIGINT AS cnt
+  FROM t, LATERAL (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS pair
+  ) u
+  GROUP BY doc_id, u.pair
+),
+w AS (
+  SELECT doc_id, pair, cnt,
+         sum(cnt) OVER (PARTITION BY pair) AS corpus_cnt
+  FROM bg
+)
+SELECT doc_id,
+       sum(cnt)::BIGINT AS n_bigrams,
+       coalesce(sum(cnt) FILTER (WHERE corpus_cnt <= {_BIGRAM_RARE_MAX}), 0)::BIGINT
+         AS n_rare,
+       round(coalesce(sum(cnt) FILTER (WHERE corpus_cnt <= {_BIGRAM_RARE_MAX}), 0)
+             / sum(cnt)::DOUBLE, 6) AS novelty_rate
+FROM w GROUP BY doc_id
+"""
+
+
+@q("bigram_novelty_rate", _BIGRAM_NOVELTY_SQL)
+def bigram_novelty_rate(spark, sf_dir):
+    """Per-document bigram novelty: the share of a doc's adjacent-token
+    bigrams that are corpus-RARE (total count ≤ 2) — the log-free LM
+    perplexity proxy (a doc full of bigrams the corpus has never seen
+    reads as out-of-distribution; a doc of stock phrases scores near
+    zero). Extends vocab_oov_rate from unigram vocabulary fit to
+    bigram context fit, all integer ratios. Corpus counts come from a
+    window over the (doc, pair) aggregate — NOT a groupBy+join-back,
+    which would re-run the explode (the bm25-df lesson); both shuffles
+    carry pre-aggregated rows."""
+    toks = tokens(F.col("text"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks")
+    )
+    bg = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0))),
+                    lambda i: F.concat(
+                        F.element_at("toks", i),
+                        F.lit(" "),
+                        F.element_at("toks", i + 1),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("doc_id", "pair")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = bg.withColumn(
+        "corpus_cnt", F.sum("cnt").over(Window.partitionBy("pair"))
+    )
+    rare = F.sum(
+        F.when(F.col("corpus_cnt") <= _BIGRAM_RARE_MAX, F.col("cnt")).otherwise(
+            F.lit(0)
+        )
+    )
+    return w.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        rare.cast("bigint").alias("n_rare"),
+        F.round(rare / F.sum("cnt").cast("double"), 6).alias("novelty_rate"),
+    )
+
+
+_FIRST_TOUCH_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+ft AS (
+  SELECT event_id, user_id, event_type, sec,
+         min(struct_pack(sec := sec, event_id := event_id,
+                         event_type := event_type))
+           OVER (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS first
+  FROM e
+)
+SELECT event_id, user_id, sec AS purchase_sec,
+       first.event_id AS touch_event_id,
+       first.event_type AS touch_type,
+       first.sec AS touch_sec
+FROM ft WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+@q("first_touch_attribution", _FIRST_TOUCH_SQL)
+def first_touch_attribution(spark, sf_dir):
+    """First-touch attribution: for every purchase, the user's EARLIEST
+    event inside the preceding hour (inclusive — a purchase with no
+    prior activity attributes to itself, the 'direct' channel). The
+    classic marketing-analytics join expressed as ONE per-user RANGE
+    window taking a struct-min — no self-join, no pair-wise work; the
+    frame is defined on exact integer epoch seconds (the
+    events_range_frame recipe), and struct-min's lexicographic order
+    (sec, event_id, type) is engine-identical."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    first = F.min(F.struct("sec", "event_id", "event_type")).over(f)
+    return (
+        ev.withColumn("first", first)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("sec").alias("purchase_sec"),
+            F.col("first.event_id").alias("touch_event_id"),
+            F.col("first.event_type").alias("touch_type"),
+            F.col("first.sec").alias("touch_sec"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -7764,6 +7963,11 @@ _RECHECK_FIRST = [
     # new in round-2 batch 12
     "ngram_containment_pairs",
     "ann_recall_at_k",
+    # new in round-2 batch 13 (beyond the 50-entry window this round;
+    # the rotation queues them for round 3 automatically)
+    "events_burst_detection",
+    "bigram_novelty_rate",
+    "first_touch_attribution",
 ]
 
 

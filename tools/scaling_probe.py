@@ -109,6 +109,10 @@ PROBE_QUERIES = [
     "covisitation_pairs",
     "langid_confusion",
     "source_token_cosine",
+    # round 2 batch 13 (linear shapes)
+    "events_burst_detection",
+    "bigram_novelty_rate",
+    "first_touch_attribution",
 ]
 
 SHIFT_KEYS = {
