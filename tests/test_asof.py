@@ -86,3 +86,47 @@ def test_colliding_right_cols_rejected(spark, frames=None):
     right = spark.createDataFrame([(1, _ts(0), 2.0)], "k int, ts timestamp, price double")
     with pytest.raises(ValueError, match="duplicate column"):
         asof_join(left, right, on=["k"], ts="ts")
+
+
+def test_first_touch_attribution_semantics(spark):
+    """A purchase attributes to the user's earliest event within the
+    preceding hour; with no prior activity it attributes to itself."""
+    from movievectorsearch_spark.plans import queries as Q
+
+    rows = Q.QUERIES["first_touch_attribution"]["spark"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "expected purchases in the fixture"
+    for r in rows:
+        assert 0 <= r.purchase_sec - r.touch_sec <= 3600
+        # self-attribution only when the touch IS the purchase
+        if r.touch_event_id == r.event_id:
+            assert r.touch_type == "purchase"
+
+
+def test_burst_detection_zscores_match_model(spark):
+    """Every flagged hour's z-score re-derives from exact hourly counts."""
+    from pyspark.sql import functions as SF
+
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = Q.QUERIES["events_burst_detection"]["spark"](spark, sf).collect()
+    hourly = (
+        load_table(spark, sf, "events")
+        .groupBy("event_type", SF.date_trunc("hour", "ts").alias("h"))
+        .agg(SF.count("*").alias("c"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in hourly:
+        by_type.setdefault(r.event_type, []).append(r.c)
+    for r in got:
+        cs = by_type[r.event_type]
+        n = len(cs)
+        mean = sum(cs) / n
+        var = sum(c * c for c in cs) / n - mean * mean
+        z = (r.c - mean) / var**0.5
+        assert z > 3
+        assert abs(z - r.zscore) < 1e-6, (r, z)
