@@ -172,6 +172,18 @@ BENCH_QUERIES = [
     "events_burst_detection",
     "bigram_novelty_rate",
     "first_touch_attribution",
+    # round 2 batch 14: containment sketches, passage mining, Markov,
+    # autocorrelation, target encoding, interpolation gap fill. The two
+    # convergence loops (pagerank_converged, power_iteration_converged)
+    # are not benched for the dedup_end_to_end reason below — fixed
+    # multi-job scheduling overhead, their single sweeps ARE benched
+    # (pagerank_step_suppliers, power_iteration_matvec).
+    "containment_minhash_pairs",
+    "duplicate_passage_spans",
+    "next_event_markov",
+    "events_autocorr",
+    "target_encoding_smoothed",
+    "events_gap_fill_interp",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

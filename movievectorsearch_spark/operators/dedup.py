@@ -155,10 +155,15 @@ def minhash_signature(
     text_col: str,
     num_hashes: int = 16,
     shingle_n: int = 3,
+    include_size: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature: explode shingles, one groupBy with
     ``min((a_i*h + b_i) mod P)`` per permutation. All portable-hash
-    expressions → bit-identical in the DuckDB oracle."""
+    expressions → bit-identical in the DuckDB oracle.
+
+    ``include_size=True`` adds ``n_shingles`` (exact distinct shingle
+    count) in the SAME groupBy — the set cardinality the asymmetric
+    containment estimator needs, at zero extra passes."""
     coeffs = minhash_coeffs(num_hashes)
     sh = df.select(
         F.col(id_col),
@@ -168,6 +173,10 @@ def minhash_signature(
         F.min(minhash_permute(F.col("h"), a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
+    if include_size:
+        aggs.append(
+            F.countDistinct("shingle").cast("bigint").alias("n_shingles")
+        )
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -788,4 +797,98 @@ def ngram_containment_pairs(
     return cand.filter(containment >= threshold).select(
         "a_id", "b_id", "inter", "a_n", "b_n",
         F.round(containment, 6).alias("containment"),
+    )
+
+
+def minhash_containment_estimate(
+    sig: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """Approximate asymmetric containment at LSH scale — the sketch
+    path :func:`ngram_containment_pairs` (exact, explode-the-shingles
+    self-join) defers to for big corpora. From each candidate pair's
+    signatures: matching components ``m`` estimate Jaccard ``Ĵ = m/k``;
+    with the EXACT set sizes carried on the signature
+    (``minhash_signature(include_size=True)``) the inclusion–exclusion
+    identity ``|A∩B| = J·(|A|+|B|)/(1+J)`` gives
+
+        Ĉ_ppm = 1e6 · m · (|A|+|B|)  //  ((k+m) · min(|A|,|B|))
+
+    — all-integer, so Spark and the oracle agree bit-for-bit. Signatures
+    are kilobytes per doc and the candidate set comes from banding, so
+    unlike the exact operator nothing ever rebuilds the shingle sets:
+    per pair this reads 2·(k+1) ints. Exact to |A|+|B| ≤ ~5.7e11
+    shingles per pair (int64 budget of the 1e6·m product).
+
+    Ĉ can exceed 1 (estimator, not a ratio of the true sets); callers
+    treat it as a score. Pairs kept where ``Ĉ_ppm ≥ threshold_ppm``.
+    """
+    a_sig = sig.select(
+        F.col(id_col).alias("a_id"),
+        F.col("n_shingles").alias("a_n"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(num_hashes)],
+    )
+    b_sig = sig.select(
+        F.col(id_col).alias("b_id"),
+        F.col("n_shingles").alias("b_n"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(num_hashes)],
+    )
+    joined = pairs.join(a_sig, "a_id").join(b_sig, "b_id")
+    m = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ).cast("bigint")
+    est = joined.withColumn("m_match", m).withColumn(
+        "containment_ppm",
+        F.expr(
+            f"CAST((1000000 * m_match * (a_n + b_n)) div "
+            f"(({num_hashes} + m_match) * least(a_n, b_n)) AS BIGINT)"
+        ),
+    )
+    return est.filter(F.col("containment_ppm") >= threshold_ppm).select(
+        "a_id", "b_id", "a_n", "b_n", "m_match", "containment_ppm"
+    )
+
+
+def duplicate_passage_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_n: int = 8,
+    top: int = 20,
+) -> DataFrame:
+    """Exact repeated-passage mining: every ``span_n``-token sliding
+    window that appears in ≥ 2 DISTINCT documents, ranked by document
+    frequency — the scan-shaped cousin of suffix-array substring dedup
+    (what C4/Gopher-style pipelines use to strip boilerplate/licence
+    blocks that exact-doc and near-dup passes both miss).
+
+    Shape: one explode of ~n_tokens spans per doc (reuses the linear
+    slice/zip shingle builder), then ONE groupBy on the span's portable
+    hash — count(*), countDistinct(doc), min(span) as the
+    representative — and a TakeOrderedAndProject. Grouping on the int64
+    hash keeps the shuffle key fixed-width; the span string rides only
+    as the min() agg state. Docs shorter than ``span_n`` tokens are
+    filtered out (no fallback shingle — a whole short doc is not a
+    repeated passage)."""
+    from movievectorsearch_spark.functions.text import tokens
+
+    spans = df.filter(F.size(tokens(F.col(text_col))) >= span_n).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), span_n)).alias("span"),
+    )
+    hashed = spans.withColumn("h", poly_hash(F.col("span")))
+    agg = hashed.groupBy("h").agg(
+        F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.min("span").alias("span"),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("h"))
+        .limit(top)
+        .select("span", "n_docs", "n_occurrences", "h")
     )

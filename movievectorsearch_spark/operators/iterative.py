@@ -1,0 +1,207 @@
+"""Iterative driver-loop algorithms (PageRank / power iteration to
+convergence).
+
+The single-sweep building blocks exist as relational queries
+(``pagerank_step_suppliers``, ``power_iteration_matvec`` in
+plans/queries.py); this module adds the DRIVER LOOPS that iterate them
+to a fixed point — the ``dedup_clusters`` pattern (operators/cluster.py):
+each round is the same bounded-shuffle relational sweep, the new state
+is eagerly ``localCheckpoint``-ed to cut lineage, and the only data that
+ever reaches the driver is O(1) per round (a 1-row delta aggregate, or
+the 64-int direction vector that genuinely belongs on the driver).
+
+Determinism contract (what makes these oracle-checkable): every
+arithmetic step is exact int64 fixed-point, and the iteration count is a
+FIXED budget with an early exit taken only at an EXACT fixed point —
+once the state repeats bit-for-bit, every remaining iteration is the
+identity, so stopping early returns the same rows the full unrolled
+budget would. The DuckDB oracle simply unrolls the budget as chained
+CTEs and must agree hash-for-hash.
+
+Reference parity: the reference has no iterative graph/spectral tier at
+all (its "ranking" is Atlas's vector index, database.py:28-47); these
+are the operations a training-data pipeline adds on top — graph-based
+quality ranks for domains/sources and the leading principal component
+of an embedding corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank_bipartite", "power_iteration"]
+
+PPM = 1_000_000
+# damping 0.85 as the exact rational 17/20 — no float anywhere
+_DAMP_NUM, _DAMP_DEN = 17, 20
+_BASE_PPM = 150_000  # (1 - d) * 1e6
+
+
+def _half_step(
+    edges: DataFrame, ranks: DataFrame, deg: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """One side of the bipartite sweep: rank mass flows src → dst.
+
+    ``rank_dst = 150000 + (17 * Σ_src (rank_src div deg_src)) div 20``
+    — per-edge contributions are exact int64 shares, partials combine
+    associatively, so the groupBy is map-side combining. Shapes per
+    round: one edges⋈ranks⋈deg join (all keyed on ``src``, so AQE can
+    co-plan them) + one bounded aggregate keyed on ``dst``.
+    """
+    contrib = (
+        edges.join(ranks, src)
+        .join(deg, src)
+        .select(F.col(dst), F.expr("rank_ppm div deg").alias("w"))
+    )
+    inflow = contrib.groupBy(dst).agg(F.sum("w").cast("bigint").alias("inflow"))
+    return inflow.select(
+        F.col(dst),
+        F.expr(
+            f"CAST({_BASE_PPM} + ({_DAMP_NUM} * inflow) div {_DAMP_DEN} AS BIGINT)"
+        ).alias("rank_ppm"),
+    )
+
+
+def pagerank_bipartite(
+    edges: DataFrame,
+    src: str = "c",
+    dst: str = "s",
+    max_full_iter: int = 3,
+) -> tuple[DataFrame, DataFrame, int]:
+    """PageRank over a bipartite src↔dst edge set, iterated to the
+    fixed-iteration budget with an exact-fixpoint early exit.
+
+    Every node in ``edges`` has degree ≥ 1 on its side by construction
+    (nodes exist only via edges), so there are no dangling-mass terms:
+    each full iteration is two :func:`_half_step` sweeps (src→dst then
+    dst→src). State per round is one bigint per node; the driver sees
+    only the 1-row L1 delta used for the early exit, which fires only
+    when the src-side rank vector repeats EXACTLY — at that point every
+    further iteration is the identity, so the early exit is
+    result-equivalent to running the full budget (the property the
+    unrolled SQL oracle relies on).
+
+    Returns ``(dst_ranks, src_ranks, l1_delta_of_last_iteration)``.
+
+    Int64 headroom: total rank mass ≈ n_src · 1e6, so a single rank is
+    < 1e6·n_src and the damping product 17·inflow stays exact to
+    n_src ≈ 5e11 — beyond any plausible key cardinality at 100 TB.
+    """
+    edges = edges.select(src, dst).distinct().localCheckpoint(eager=True)
+    deg_src = edges.groupBy(src).agg(F.count("*").cast("bigint").alias("deg"))
+    deg_dst = edges.groupBy(dst).agg(F.count("*").cast("bigint").alias("deg"))
+    ranks_src = deg_src.select(
+        src, F.lit(PPM).cast("bigint").alias("rank_ppm")
+    ).localCheckpoint(eager=True)
+
+    ranks_dst = None
+    delta = 0
+    for _ in range(max_full_iter):
+        ranks_dst = _half_step(edges, ranks_src, deg_src, src, dst)
+        new_src = _half_step(edges, ranks_dst, deg_dst, dst, src).localCheckpoint(
+            eager=True
+        )
+        row = (
+            new_src.alias("n")
+            .join(ranks_src.alias("o"), src)
+            .agg(
+                F.sum(
+                    F.abs(F.col("n.rank_ppm") - F.col("o.rank_ppm"))
+                ).alias("l1")
+            )
+            .collect()[0]
+        )
+        delta = int(row["l1"] or 0)
+        ranks_src = new_src
+        if delta == 0:  # exact fixpoint: remaining iterations are identity
+            break
+    return ranks_dst, ranks_src, delta
+
+
+def _quantized(df: DataFrame, vec_col: str, scale: int) -> DataFrame:
+    """Embedding rows quantized to exact int64 ``scale``-units."""
+    return df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).select(
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * scale, 0).cast("bigint"),
+        ).alias("q")
+    )
+
+
+def _matvec(xq: DataFrame, v: list[int]) -> DataFrame:
+    """One exact-int sweep of v' = XᵀX·v: per row a fold dot-product
+    with the broadcast literal direction, then a dim-keyed sum."""
+    vq = F.array(*[F.lit(int(c)).cast("bigint") for c in v])
+    s = F.aggregate(
+        F.zip_with(F.col("q"), vq, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        xq.withColumn("s", s)
+        .select(F.posexplode("q").alias("dim", "x"), "s")
+        .groupBy("dim")
+        .agg(F.sum(F.col("x") * F.col("s")).cast("bigint").alias("v_raw"))
+    )
+
+
+def _linf_normalize(vals: list[int], scale: int) -> list[int]:
+    """Sign-symmetric L∞ normalization in exact ints: the largest
+    |component| maps to ``scale``. ``sign(v)·(|v|·scale // m)`` uses
+    only positive integer division, which Spark ``div``, DuckDB ``//``
+    and Python ``//`` all agree on (no floor-vs-truncate divergence)."""
+    m = max((abs(v) for v in vals), default=0) or 1
+    return [
+        (abs(v) * scale // m) * (1 if v >= 0 else -1) for v in vals
+    ]
+
+
+def power_iteration(
+    df: DataFrame,
+    vec_col: str,
+    v0: list[int],
+    n_iter: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """``n_iter`` power-iteration sweeps v ← normalize(XᵀX·v) toward the
+    leading eigenvector of the embedding Gram matrix (PCA component 1).
+
+    The driver holds exactly the data a cluster driver should: the
+    dim-sized direction vector (64 ints), re-broadcast each sweep as a
+    literal so the per-row dot product stays a codegen'd fold — each
+    iteration is one scan + one 64-row aggregate, no Python boundary.
+    Normalization is :func:`_linf_normalize` (exact ints), so every
+    sweep is bit-reproducible and the oracle can unroll the same budget
+    in SQL. Early exit on an exactly-repeated direction is
+    result-equivalent (identical v ⇒ identical sweep output).
+
+    Returns the final sweep's ``(dim, v_raw, v_norm)`` — raw int64
+    accumulator plus the normalized direction.
+
+    Int64 headroom (same budget as power_iteration_matvec): per-row
+    terms ≤ dim·scale³ ≈ 6.4e10 ⇒ exact to ~1.4e8 rows/dimension;
+    shard per partition-grain into DECIMAL(38,0) beyond that.
+    """
+    xq = _quantized(df, vec_col, scale).localCheckpoint(eager=True)
+    v = [int(c) for c in v0]
+    out = None
+    for _ in range(n_iter):
+        out = _matvec(xq, v)
+        rows = out.collect()  # dim-sized: 64 ints — bounded by design
+        raw = [0] * len(rows)
+        for r in rows:
+            raw[r["dim"]] = int(r["v_raw"])
+        new_v = _linf_normalize(raw, scale)
+        if new_v == v:  # exact fixpoint: further sweeps are identity
+            v = new_v
+            break
+        v = new_v
+    norm = F.array(*[F.lit(c).cast("bigint") for c in v])
+    return out.select(
+        "dim",
+        "v_raw",
+        F.element_at(norm, F.col("dim") + 1).alias("v_norm"),
+    ).orderBy("dim")

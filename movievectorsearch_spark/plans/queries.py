@@ -7833,6 +7833,561 @@ def first_touch_attribution(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-2 batch 14: iterative driver loops to convergence (PageRank, power
+# iteration), asymmetric containment at MinHash scale, repeated-passage
+# mining, Markov transitions, autocorrelation, smoothed target encoding,
+# linear-interpolation gap fill
+# ===========================================================================
+
+_PR_ITER = 3
+_PR_HALF = """
+{out} AS (
+  SELECT e.{dst}, CAST(150000 + (17 * sum({rin}.r // d.deg)) // 20 AS BIGINT) AS r
+  FROM edges e JOIN {rin} ON e.{src} = {rin}.{src}
+       JOIN deg{src} d ON e.{src} = d.{src}
+  GROUP BY e.{dst}
+)"""
+
+_PAGERANK_CONV_SQL = (
+    """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+degc AS (SELECT c, count(*)::BIGINT AS deg FROM edges GROUP BY c),
+degs AS (SELECT s, count(*)::BIGINT AS deg FROM edges GROUP BY s),
+c0 AS (SELECT c, 1000000::BIGINT AS r FROM degc),"""
+    + ",".join(
+        _PR_HALF.format(out=f"s{i + 1}", rin=f"c{i}", src="c", dst="s")
+        + ","
+        + _PR_HALF.format(out=f"c{i + 1}", rin=f"s{i + 1}", src="s", dst="c")
+        for i in range(_PR_ITER)
+    )
+    + f""",
+delta AS (
+  SELECT sum(abs(a.r - b.r))::BIGINT AS l1
+  FROM c{_PR_ITER} a JOIN c{_PR_ITER - 1} b ON a.c = b.c
+)
+SELECT s{_PR_ITER}.s AS suppkey, s{_PR_ITER}.r AS rank_ppm, delta.l1 AS src_l1_delta
+FROM s{_PR_ITER}, delta
+ORDER BY rank_ppm DESC, suppkey LIMIT 20
+"""
+)
+
+
+@q("pagerank_converged", _PAGERANK_CONV_SQL)
+def pagerank_converged(spark, sf_dir):
+    """PageRank iterated on the customer↔supplier bipartite graph — the
+    driver LOOP around pagerank_step_suppliers's single sweep
+    (operators/iterative.py:pagerank_bipartite, the dedup_clusters
+    pattern: localCheckpoint per round, O(1) driver traffic). Budget of
+    3 full iterations with an exact-fixpoint early exit, which is
+    result-equivalent to the full budget (identical state ⇒ identity
+    iterations), so the oracle simply unrolls 3 iterations as chained
+    CTEs. All exact int64 fixed-point (shares 1e6//deg, damping 17/20);
+    per-round shapes are the same two joins + two bounded aggs at any
+    scale. Emits the top-20 suppliers plus the final-iteration L1 delta
+    (the convergence measurement itself, proven against the oracle)."""
+    from movievectorsearch_spark.operators.iterative import pagerank_bipartite
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+    )
+    ranks_s, _ranks_c, delta = pagerank_bipartite(
+        edges, "c", "s", max_full_iter=_PR_ITER
+    )
+    return (
+        ranks_s.select(
+            F.col("s").alias("suppkey"),
+            F.col("rank_ppm"),
+            F.lit(delta).cast("bigint").alias("src_l1_delta"),
+        )
+        .orderBy(F.desc("rank_ppm"), F.asc("suppkey"))
+        .limit(20)
+    )
+
+
+_PI_MATVEC_SQL_BODY = """
+{out}raw AS (
+  SELECT dim::INTEGER AS dim, sum(cpart)::BIGINT AS v
+  FROM (
+    SELECT generate_subscripts(q, 1) - 1 AS dim, unnest(q) * s AS cpart
+    FROM (
+      SELECT q,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(1, len(q) + 1), i -> q[i] * ({vin})[i])),
+               (a, b) -> a + b) AS s
+      FROM xq{cross}
+    )
+  ) GROUP BY dim
+)"""
+
+_PI_NORM_SQL = """
+{out}m AS (SELECT greatest(max(abs(v)), 1) AS m FROM {out}raw),
+{out} AS (
+  SELECT dim,
+         CAST(CASE WHEN v < 0 THEN -((-v) * {scale} // m)
+                   ELSE (v * {scale} // m) END AS BIGINT) AS v
+  FROM {out}raw, {out}m
+),
+{out}list AS (SELECT list(v ORDER BY dim) AS vl FROM {out})"""
+
+_POWER_CONV_SQL = (
+    f"""
+WITH xq AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {_PI_SCALE}, 0) AS BIGINT)) AS q
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),"""
+    + _PI_MATVEC_SQL_BODY.format(out="v1", vin=_PI_VQ_SQL, cross="")
+    + ","
+    + _PI_NORM_SQL.format(out="v1", scale=_PI_SCALE)
+    + ","
+    + _PI_MATVEC_SQL_BODY.format(out="v2", vin="vl", cross=", v1list")
+    + f""",
+v2m AS (SELECT greatest(max(abs(v)), 1) AS m FROM v2raw)
+SELECT dim, v AS v_raw,
+       CAST(CASE WHEN v < 0 THEN -((-v) * {_PI_SCALE} // m)
+                 ELSE (v * {_PI_SCALE} // m) END AS BIGINT) AS v_norm
+FROM v2raw, v2m ORDER BY dim
+"""
+)
+
+
+@q("power_iteration_converged", _POWER_CONV_SQL)
+def power_iteration_converged(spark, sf_dir):
+    """Two power-iteration sweeps v ← normalize(XᵀX·v) toward the
+    leading principal direction of the embedding corpus — the driver
+    LOOP around power_iteration_matvec's single sweep
+    (operators/iterative.py:power_iteration). Between sweeps only the
+    64-int direction crosses to the driver and returns as a broadcast
+    literal, so each sweep stays one codegen'd scan + one 64-row agg.
+    Normalization is sign-symmetric exact-int L∞ (largest |component| →
+    1000): no floats, no floor-vs-truncate divergence, so the oracle
+    unrolls both sweeps and hash-matches the raw AND normalized
+    vectors. Early exit on an exactly-repeated direction is
+    result-equivalent to the fixed budget."""
+    from movievectorsearch_spark.operators.iterative import power_iteration
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return power_iteration(e, "embedding", _PI_VQ, n_iter=2, scale=_PI_SCALE)
+
+
+_SIG_SIZE_SQL_BODY = f"""
+shc AS (SELECT doc_id, unnest({_shingles_inline_sql()}) AS shingle FROM documents),
+hhc AS (SELECT doc_id, shingle, {poly_hash_sql('shingle')} AS h FROM shc),
+sigc AS (
+  SELECT doc_id,
+         {', '.join(f'min((h * {a} + {b}) % {P}) AS mh{i}' for i, (a, b) in enumerate(_MH_COEFFS))},
+         count(DISTINCT shingle)::BIGINT AS n_shingles
+  FROM hhc GROUP BY doc_id
+)
+"""
+
+_BAND_SIZE_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band, "
+    + " || '_' || ".join(
+        f"mh{bi * _ROWS_PER_BAND + r}::VARCHAR" for r in range(_ROWS_PER_BAND)
+    )
+    + " AS bkey FROM sigc"
+    for bi in range(_BANDS)
+)
+
+_CONTAIN_MH_SQL = f"""
+WITH {_SIG_SIZE_SQL_BODY},
+bandsc AS ({_BAND_SIZE_SQL}),
+pairsc AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bandsc a JOIN bandsc b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.a_id, p.b_id, sa.n_shingles AS a_n, sb.n_shingles AS b_n,
+         ({' + '.join(f'CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END' for i in range(_MH_N))})::BIGINT AS m_match
+  FROM pairsc p JOIN sigc sa ON sa.doc_id = p.a_id
+       JOIN sigc sb ON sb.doc_id = p.b_id
+),
+scored AS (
+  SELECT a_id, b_id, a_n, b_n, m_match,
+         ((1000000 * m_match * (a_n + b_n)) //
+          (({_MH_N} + m_match) * least(a_n, b_n)))::BIGINT AS containment_ppm
+  FROM est
+)
+SELECT * FROM scored WHERE containment_ppm >= 500000
+"""
+
+
+@q("containment_minhash_pairs", _CONTAIN_MH_SQL)
+def containment_minhash_pairs(spark, sf_dir):
+    """Asymmetric containment at LSH scale — the approximate path the
+    exact ngram_containment_pairs defers to: MinHash signatures carry
+    the EXACT distinct-shingle count (same groupBy, zero extra passes),
+    band-collision candidates, then the all-integer estimator
+    Ĉ_ppm = 1e6·m·(|A|+|B|) // ((k+m)·min(|A|,|B|)) from the
+    inclusion–exclusion identity (operators/dedup.py:
+    minhash_containment_estimate). Nothing ever re-reads document text
+    after the signature pass — per pair the work is 2·(k+1) ints, which
+    is what makes quote/excerpt detection affordable at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(
+        d, "doc_id", "text", _MH_N, _SHINGLE_N, include_size=True
+    )
+    sig.persist()
+    pairs = D.minhash_lsh_pairs(sig, "doc_id", _MH_N, _BANDS)
+    return D.minhash_containment_estimate(
+        sig, pairs, "doc_id", _MH_N, threshold_ppm=500_000
+    )
+
+
+_SPAN_N = 8
+_SPAN_TOP = 20
+
+
+def _span_shingles_sql() -> str:
+    from movievectorsearch_spark.functions.text import shingles_sql
+
+    return shingles_sql("text", _SPAN_N)
+
+
+_DUP_SPANS_SQL = f"""
+WITH sp AS (
+  SELECT doc_id, unnest({_span_shingles_sql()}) AS span
+  FROM documents
+  WHERE len({tokens_sql('text')}) >= {_SPAN_N}
+),
+hsp AS (SELECT doc_id, span, {poly_hash_sql('span')} AS h FROM sp),
+agg AS (
+  SELECT h, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         count(*)::BIGINT AS n_occurrences, min(span) AS span
+  FROM hsp GROUP BY h
+)
+SELECT span, n_docs, n_occurrences, h
+FROM agg WHERE n_docs >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, h LIMIT {_SPAN_TOP}
+"""
+
+
+@q("duplicate_passage_spans", _DUP_SPANS_SQL)
+def duplicate_passage_spans_q(spark, sf_dir):
+    """Repeated-passage mining: every {span_n}-token sliding window
+    appearing in ≥2 distinct documents, ranked by document frequency
+    (operators/dedup.py:duplicate_passage_spans) — the boilerplate/
+    licence-block detector that document-level exact and near-dup
+    passes both miss. One linear shingle explode + ONE groupBy keyed on
+    the portable int64 span hash (fixed-width shuffle key; the span
+    text rides only as min() agg state) + TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.duplicate_passage_spans(
+        d, "doc_id", "text", span_n=_SPAN_N, top=_SPAN_TOP
+    )
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+trans AS (
+  SELECT src, dst, count(*)::BIGINT AS n_transitions
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+),
+tot AS (
+  SELECT src, dst, n_transitions,
+         sum(n_transitions) OVER (PARTITION BY src)::BIGINT AS row_total
+  FROM trans
+)
+SELECT src, dst, n_transitions,
+       ((1000000 * n_transitions) // row_total)::BIGINT AS p_ppm
+FROM tot ORDER BY src, dst
+"""
+
+
+@q("next_event_markov", _MARKOV_SQL)
+def next_event_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() within (user ORDER BY ts, event_id) pairs each
+    event with its successor, one groupBy counts (src,dst), and the
+    row-normalization is a window over the already-aggregated ≤|types|²
+    rows — integer ppm so the matrix is engine-exact. The sequence pass
+    shuffles once on user_id (same partitioning the sessionize family
+    uses); everything after is bounded by type-pair cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(
+        F.count("*").cast("bigint").alias("n_transitions")
+    )
+    tw = Window.partitionBy("src")
+    return (
+        trans.withColumn(
+            "row_total", F.sum("n_transitions").over(tw).cast("bigint")
+        )
+        .select(
+            "src",
+            "dst",
+            "n_transitions",
+            F.expr("CAST((1000000 * n_transitions) div row_total AS BIGINT)").alias(
+                "p_ppm"
+            ),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+_AUTOCORR_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hourly),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM bounds
+),
+series AS (
+  SELECT s.hr, coalesce(h.c, 0)::BIGINT AS c
+  FROM spine s LEFT JOIN hourly h ON s.hr = h.hr
+),
+stats AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS tot FROM series),
+dev AS (SELECT hr, (stats.n * c - stats.tot)::BIGINT AS d FROM series, stats),
+led AS (
+  SELECT d,
+         lead(d, 1) OVER (ORDER BY hr) AS d1,
+         lead(d, 2) OVER (ORDER BY hr) AS d2,
+         lead(d, 3) OVER (ORDER BY hr) AS d3
+  FROM dev
+),
+sums AS (
+  SELECT sum(d * d)::BIGINT AS den,
+         sum(CASE WHEN d1 IS NOT NULL THEN d * d1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN d2 IS NOT NULL THEN d * d2 ELSE 0 END)::BIGINT AS n2,
+         sum(CASE WHEN d3 IS NOT NULL THEN d * d3 ELSE 0 END)::BIGINT AS n3
+  FROM led
+)
+SELECT stats.n AS n_hours,
+       round(CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ac_lag1,
+       round(CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ac_lag2,
+       round(CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ac_lag3
+FROM sums, stats
+"""
+
+
+@q("events_autocorr", _AUTOCORR_SQL)
+def events_autocorr(spark, sf_dir):
+    """Lag-1/2/3 autocorrelation of the zero-filled hourly event-count
+    series — the seasonality probe behind capacity planning and the
+    burst detector's z-scores. Deviations are the exact ints n·c − Σc
+    (mean scaled away, no float mean), products and sums stay int64
+    (budget: n_hours³·max(c)² ≤ 9.2e18 — holds to ~10⁴ hours ×
+    10⁴ events/hour; shard the sum per day-grain into DECIMAL(38,0)
+    past that), and the single double division per lag is IEEE-exact in
+    both engines. The series is hour-grain — bounded by wall-clock, not
+    corpus size — so the global lead() window is a deliberate
+    single-partition pass over ≤10⁴ rows, same rationale as
+    events_resample_ffill's spine."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    bounds = hourly.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    series = spine.join(hourly, "hr", "left").select(
+        "hr", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+    )
+    stats = series.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("tot"),
+    )
+    dev = series.crossJoin(F.broadcast(stats)).select(
+        "hr", "n", (F.col("n") * F.col("c") - F.col("tot")).cast("bigint").alias("d")
+    )
+    w = Window.orderBy("hr")
+    led = dev.select(
+        "n",
+        "d",
+        F.lead("d", 1).over(w).alias("d1"),
+        F.lead("d", 2).over(w).alias("d2"),
+        F.lead("d", 3).over(w).alias("d3"),
+    )
+    sums = led.groupBy().agg(
+        F.max("n").alias("n_hours"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("den"),
+        F.sum(
+            F.when(F.col("d1").isNotNull(), F.col("d") * F.col("d1")).otherwise(0)
+        ).cast("bigint").alias("n1"),
+        F.sum(
+            F.when(F.col("d2").isNotNull(), F.col("d") * F.col("d2")).otherwise(0)
+        ).cast("bigint").alias("n2"),
+        F.sum(
+            F.when(F.col("d3").isNotNull(), F.col("d") * F.col("d3")).otherwise(0)
+        ).cast("bigint").alias("n3"),
+    )
+    return sums.select(
+        "n_hours",
+        F.round(F.col("n1").cast("double") / F.col("den").cast("double"), 6).alias(
+            "ac_lag1"
+        ),
+        F.round(F.col("n2").cast("double") / F.col("den").cast("double"), 6).alias(
+            "ac_lag2"
+        ),
+        F.round(F.col("n3").cast("double") / F.col("den").cast("double"), 6).alias(
+            "ac_lag3"
+        ),
+    )
+
+
+_TARGET_ENC_M = 100
+
+_TARGET_ENC_SQL = f"""
+WITH per AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum({CENTS.format(col='value')})::BIGINT AS sum_cents
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+tot AS (SELECT sum(n)::BIGINT AS tn, sum(sum_cents)::BIGINT AS tc FROM per)
+SELECT event_type, n,
+       round(sum_cents / n / 100.0, 6) AS raw_avg,
+       round((sum_cents + {_TARGET_ENC_M} * (tc // tn)) / (n + {_TARGET_ENC_M}) / 100.0, 6)
+         AS enc_smoothed
+FROM per, tot ORDER BY event_type
+"""
+
+
+@q("target_encoding_smoothed", _TARGET_ENC_SQL)
+def target_encoding_smoothed(spark, sf_dir):
+    """m-estimate smoothed target encoding — the leakage-safe
+    categorical feature encoder: per-category mean shrunk toward the
+    global prior by pseudo-count m=100, so rare categories don't
+    memorize their few targets. One map-side-combining groupBy per
+    category + a 1-row broadcast of the global totals; all sums are
+    exact cents, the prior is the exact integer tc//tn, and the single
+    double division per row is engine-identical. Encoding 10⁶
+    categories at 100 TB is the same two shapes."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(_cents("value")).cast("bigint").alias("sum_cents"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("sum_cents").cast("bigint").alias("tc"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("sum_cents") / F.col("n") / 100.0, 6).alias("raw_avg"),
+            F.round(
+                (
+                    F.col("sum_cents")
+                    + _TARGET_ENC_M * F.expr("tc div tn")
+                )
+                / (F.col("n") + _TARGET_ENC_M)
+                / 100.0,
+                6,
+            ).alias("enc_smoothed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_INTERP_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hourly),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM bounds
+),
+series AS (
+  SELECT s.hr, CAST(floor(epoch(s.hr)) AS BIGINT) // 3600 AS idx, h.cents
+  FROM spine s LEFT JOIN hourly h ON s.hr = h.hr
+),
+ctx AS (
+  SELECT hr, idx, cents,
+         last_value(cents IGNORE NULLS)
+           OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS prev_c,
+         last_value(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+           OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS prev_i,
+         first_value(cents IGNORE NULLS)
+           OVER (ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+         first_value(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+           OVER (ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_i
+  FROM series
+)
+SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+                 ELSE prev_c + ((next_c - prev_c) * (idx - prev_i)) // (next_i - prev_i)
+            END AS BIGINT) AS value_cents,
+       (cents IS NULL) AS is_interpolated
+FROM ctx ORDER BY hr
+"""
+
+
+@q("events_gap_fill_interp", _INTERP_SQL)
+def events_gap_fill_interp(spark, sf_dir):
+    """Hourly gap fill by LINEAR INTERPOLATION — the upgrade of
+    events_resample_ffill's step fill: a missing hour gets
+    prev + (next−prev)·(pos/gap), computed entirely in exact integer
+    cents and epoch-hour indices (truncating integer division agrees
+    across Spark div / DuckDB // / Python //, negatives included).
+    Bracketing values come from one last(ignorenulls) and one
+    first(ignorenulls) window over the spine; the spine spans observed
+    min..max hours so interior gaps always have both brackets. The
+    hour-grain series is wall-clock bounded (same single-partition
+    rationale as events_autocorr); a per-key variant partitions the
+    windows by the series key exactly like resample_ffill."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(_cents("value")).cast("bigint").alias("cents")
+    )
+    bounds = hourly.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    series = spine.join(hourly, "hr", "left").select(
+        "hr",
+        F.expr("CAST(floor(unix_timestamp(hr)) AS BIGINT) div 3600").alias("idx"),
+        "cents",
+    )
+    wp = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("hr").rowsBetween(0, Window.unboundedFollowing)
+    has = F.col("cents").isNotNull()
+    ctx = series.select(
+        "hr",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("prev_c"),
+        F.last(F.when(has, F.col("idx")), ignorenulls=True).over(wp).alias("prev_i"),
+        F.first("cents", ignorenulls=True).over(wn).alias("next_c"),
+        F.first(F.when(has, F.col("idx")), ignorenulls=True).over(wn).alias("next_i"),
+        F.col("idx"),
+    )
+    return ctx.select(
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.when(has, F.col("cents"))
+        .otherwise(
+            F.expr(
+                "prev_c + ((next_c - prev_c) * (idx - prev_i)) div (next_i - prev_i)"
+            )
+        )
+        .cast("bigint")
+        .alias("value_cents"),
+        F.col("cents").isNull().alias("is_interpolated"),
+    ).orderBy("hr")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -7968,6 +8523,16 @@ _RECHECK_FIRST = [
     "events_burst_detection",
     "bigram_novelty_rate",
     "first_touch_attribution",
+    # new in round-2 batch 14 (iterative convergence loops, containment
+    # sketches, passage mining, Markov/autocorr/encoding/interp)
+    "pagerank_converged",
+    "power_iteration_converged",
+    "containment_minhash_pairs",
+    "duplicate_passage_spans",
+    "next_event_markov",
+    "events_autocorr",
+    "target_encoding_smoothed",
+    "events_gap_fill_interp",
 ]
 
 

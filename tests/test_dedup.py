@@ -404,3 +404,82 @@ def test_ngram_containment_operator_supersets_jaccard(spark, sf_dir):
         ).collect()
     }
     assert jac <= con
+
+
+# ---------------------------------------------------------------------------
+# MinHash containment estimator + repeated-passage mining (batch 14)
+# ---------------------------------------------------------------------------
+
+def _sig_pairs(spark, texts):
+    from movievectorsearch_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sig = minhash_signature(df, "doc_id", "text", 16, 3, include_size=True)
+    pairs = spark.createDataFrame([(0, 1)], "a_id long, b_id long")
+    return sig, pairs
+
+
+def test_containment_identical_docs_is_exactly_one(spark):
+    from movievectorsearch_spark.operators.dedup import (
+        minhash_containment_estimate,
+    )
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    sig, pairs = _sig_pairs(spark, [t, t])
+    out = minhash_containment_estimate(sig, pairs, "doc_id", 16).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.m_match == 16
+    # m=16: 1e6·16·(n+n) // (32·n) = 1e6 exactly
+    assert r.containment_ppm == 1_000_000
+
+
+def test_containment_subset_scores_high_disjoint_scores_zero(spark):
+    from movievectorsearch_spark.operators.dedup import (
+        minhash_containment_estimate,
+    )
+
+    words = [f"w{i}" for i in range(20)]
+    a = " ".join(words)
+    b = " ".join(words[:-1])  # b's shingle set ⊂ a's (17 of 18)
+    sig, pairs = _sig_pairs(spark, [a, b])
+    out = minhash_containment_estimate(
+        sig, pairs, "doc_id", 16, threshold_ppm=0
+    ).collect()
+    (r,) = out
+    assert r.a_n == 18 and r.b_n == 17
+    assert r.containment_ppm > 700_000  # true containment is 1.0
+
+    c = " ".join(f"x{i}" for i in range(20))
+    sig2, pairs2 = _sig_pairs(spark, [a, c])
+    out2 = minhash_containment_estimate(
+        sig2, pairs2, "doc_id", 16, threshold_ppm=0
+    ).collect()
+    (r2,) = out2
+    assert r2.m_match == 0 and r2.containment_ppm == 0
+
+
+def test_duplicate_passage_spans_semantics(spark):
+    from movievectorsearch_spark.operators.dedup import duplicate_passage_spans
+
+    passage = "the quick brown fox jumps over the lazy"  # 8 tokens
+    docs = [
+        (1, passage + " one two three four five six seven eight"),
+        (2, "intro words here again " + passage + " tail bits"),
+        # passage twice in ONE doc only → must NOT count as cross-doc dup
+        (3, "solo solo2 repeated span alpha beta gamma delta epsilon "
+            "repeated span alpha beta gamma delta epsilon tailword"),
+        (4, "short doc"),  # < 8 tokens → filtered, no fallback span
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = duplicate_passage_spans(df, "doc_id", "text", span_n=8, top=10)
+    rows = out.collect()
+    spans = {r.span: (r.n_docs, r.n_occurrences) for r in rows}
+    assert passage in spans
+    assert spans[passage] == (2, 2)
+    # every reported span crosses at least 2 docs
+    assert all(r.n_docs >= 2 for r in rows)
+    # the within-doc-3 repeat never appears
+    assert not any("repeated span alpha" in s for s in spans)
