@@ -184,6 +184,11 @@ BENCH_QUERIES = [
     "events_autocorr",
     "target_encoding_smoothed",
     "events_gap_fill_interp",
+    # round 2 batch 15: integer-exact outliers, exact median/MAD,
+    # portable seasonality
+    "embedding_outliers_by_label",
+    "exact_median_mad_by_type",
+    "hourly_seasonality_profile",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

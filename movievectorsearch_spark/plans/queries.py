@@ -8388,6 +8388,249 @@ def events_gap_fill_interp(spark, sf_dir):
     ).orderBy("hr")
 
 
+# ===========================================================================
+# Round-2 batch 15: integer-exact embedding outliers, exact distributed
+# median/MAD, portable seasonality profile
+# ===========================================================================
+
+_OUTLIER_TOP = 3
+
+_EMB_OUTLIER_SQL = f"""
+WITH xq AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {_PI_SCALE}, 0) AS BIGINT)) AS q
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0 AND label IS NOT NULL
+),
+sums AS (
+  SELECT label, dim, sum(x)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM (
+    SELECT label, generate_subscripts(q, 1) AS dim, unnest(q) AS x FROM xq
+  ) GROUP BY label, dim
+),
+cent AS (
+  SELECT label, list(s // n ORDER BY dim) AS m FROM sums GROUP BY label
+),
+dist AS (
+  SELECT x.vec_id, x.label,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, len(q) + 1),
+                          i -> (q[i] - m[i]) * (q[i] - m[i]))),
+           (a, b) -> a + b) AS dist2
+  FROM xq x JOIN cent c ON x.label = c.label
+),
+ranked AS (
+  SELECT vec_id, label, dist2,
+         row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id)
+           ::INTEGER AS rn
+  FROM dist
+)
+SELECT label, rn AS outlier_rank, vec_id, dist2
+FROM ranked WHERE rn <= {_OUTLIER_TOP} ORDER BY label, rn
+"""
+
+
+@q("embedding_outliers_by_label", _EMB_OUTLIER_SQL)
+def embedding_outliers_by_label(spark, sf_dir):
+    """Per-label embedding outliers: top-3 rows farthest (squared L2)
+    from their label's integer centroid — the mislabeled-example /
+    polluted-cluster screen a curation pipeline runs after clustering.
+    Everything is exact int64: embeddings quantized to milli-units, the
+    centroid is the truncated integer mean s//n per dimension, and
+    per-row deviations are ≤ 2·scale, so Σdev² ≤ 64·(2e3)² ≈ 2.6e8 —
+    int64-safe at ANY corpus size (no n-scaled products — that was the
+    overflow class ADVICE flagged in mixture_sample). Plan: one
+    (label,dim) agg over the posexploded corpus → ≤labels×64 rows →
+    centroid ARRAYS rebuilt and broadcast back → per-row fold →
+    per-label top-3 via WindowGroupLimit. Corpus is scanned twice but
+    shuffled only as pre-aggregated partials."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & F.col("label").isNotNull()
+    )
+    xq = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * _PI_SCALE, 0).cast("bigint"),
+        ).alias("q"),
+    )
+    sums = (
+        xq.select("label", F.posexplode("q").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").cast("bigint").alias("s"), F.count("*").cast("bigint").alias("n"))
+    )
+    cent = (
+        sums.select("label", F.struct("dim", F.expr("s div n").alias("m")).alias("dm"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("dm")), lambda t: t["m"]
+            ).alias("m")
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("m"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = xq.join(F.broadcast(cent), "label").withColumn("dist2", dist2)
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _OUTLIER_TOP)
+        .select(
+            "label",
+            F.col("rn").alias("outlier_rank"),
+            "vec_id",
+            "dist2",
+        )
+        .orderBy("label", "outlier_rank")
+    )
+
+
+_MEDIAN_MAD_SQL = f"""
+WITH v AS (
+  SELECT event_type, event_id, {CENTS.format(col='value')} AS cents
+  FROM events WHERE value IS NOT NULL
+),
+r1 AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type, n::BIGINT AS n, cents AS med_cents
+  FROM r1 WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT v.event_type, v.event_id, abs(v.cents - m.med_cents) AS adev
+  FROM v JOIN med m ON v.event_type = m.event_type
+),
+r2 AS (
+  SELECT event_type, adev,
+         row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (SELECT event_type, adev AS mad_cents FROM r2 WHERE rn = (n + 1) // 2)
+SELECT m.event_type, m.n, m.med_cents / 100.0 AS median_value,
+       d.mad_cents / 100.0 AS mad_value
+FROM med m JOIN mad d ON m.event_type = d.event_type
+ORDER BY m.event_type
+"""
+
+
+@q("exact_median_mad_by_type", _MEDIAN_MAD_SQL)
+def exact_median_mad_by_type(spark, sf_dir):
+    """EXACT distributed median + median-absolute-deviation per group —
+    the selection-based robust-statistics pair (percentile_approx is
+    approximate in Spark; this is the exact path, and the histogram
+    sketch family is the one-pass approximate path). Median is defined
+    as the lower-median element under the total order (cents, event_id)
+    — a concrete deterministic element, not an interpolation, so both
+    engines pick the identical row. Cost is two rank windows partitioned
+    by group (two sorts of the fact table — the honest price of exact
+    quantiles; each parallelizes by group key). The MAD join ships one
+    median row per group, broadcast."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select("event_type", "event_id", _cents("value").alias("cents"))
+    w1 = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wc = Window.partitionBy("event_type")
+    r1 = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w1).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    med = r1.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("n").cast("bigint").alias("n"), F.col("cents").alias("med_cents")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    r2 = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(w2).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    mad = r2.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("adev").alias("mad_cents")
+    )
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            "n",
+            (F.col("med_cents") / 100.0).alias("median_value"),
+            (F.col("mad_cents") / 100.0).alias("mad_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SEASONALITY_SQL = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+),
+cells AS (
+  SELECT ((sec // 86400) + 4) % 7 AS dow, (sec // 3600) % 24 AS hod,
+         count(*)::BIGINT AS n_events
+  FROM e GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_events)::BIGINT AS total FROM cells)
+SELECT dow::INTEGER AS dow, hod::INTEGER AS hod, n_events,
+       ((1000000 * n_events) // total)::BIGINT AS pct_ppm
+FROM cells, tot ORDER BY dow, hod
+"""
+
+
+@q("hourly_seasonality_profile", _SEASONALITY_SQL)
+def hourly_seasonality_profile(spark, sf_dir):
+    """Day-of-week × hour-of-day traffic profile in ppm of total — the
+    seasonality fingerprint behind anomaly baselines and autoscaling.
+    Calendar fields come from PORTABLE epoch arithmetic, not engine
+    calendar functions: dow = (epoch_days + 4) mod 7 (0 = Sunday;
+    1970-01-01 was a Thursday) and hod = epoch_hours mod 24 — Spark's
+    dayofweek() is 1-based Sunday, DuckDB's is 0-based, and both are
+    session-locale hazards. One map-side-combining aggregate to ≤168
+    cells + a 1-row total broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)")
+    cells = (
+        ev.select(sec.alias("sec"))
+        .select(
+            F.expr("CAST(((sec div 86400) + 4) % 7 AS INT)").alias("dow"),
+            F.expr("CAST((sec div 3600) % 24 AS INT)").alias("hod"),
+        )
+        .groupBy("dow", "hod")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    tot = cells.agg(F.sum("n_events").cast("bigint").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hod",
+            "n_events",
+            F.expr("CAST((1000000 * n_events) div total AS BIGINT)").alias(
+                "pct_ppm"
+            ),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -8533,6 +8776,10 @@ _RECHECK_FIRST = [
     "events_autocorr",
     "target_encoding_smoothed",
     "events_gap_fill_interp",
+    # new in round-2 batch 15
+    "embedding_outliers_by_label",
+    "exact_median_mad_by_type",
+    "hourly_seasonality_profile",
 ]
 
 

@@ -29,7 +29,14 @@ from movievectorsearch_spark.streaming.sink_upsert import (
     recover_table,
 )
 
-__all__ = ["merge_agg_microbatch", "rollup_sink", "read_rollup"]
+__all__ = [
+    "merge_agg_microbatch",
+    "rollup_sink",
+    "read_rollup",
+    "merge_hist_microbatch",
+    "hist_sink",
+    "read_hist",
+]
 
 
 def _partials(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
@@ -90,3 +97,109 @@ def read_rollup(spark: SparkSession, table_dir: str) -> DataFrame:
     return t.withColumn(
         "avg_value", F.round(F.col("sum_cents") / 100.0 / F.col("n_events"), 6)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming histogram-sketch maintenance — the quantile analog of the
+# count/sum rollup above, completing the batch/stream symmetry of the
+# sketch family (operators/sketch.py histogram_sketch_grouped is the
+# one-shot batch form; this maintains the same (grp, bin, cnt) table
+# incrementally).
+#
+# One deliberate difference from the batch sketch: the bin DOMAIN here
+# is a FIXED parameter, not a data-derived per-group [min, max]. A
+# mergeable sketch requires bin boundaries that never move — a batch
+# that stretched the observed domain would silently re-bin history.
+# Fixing the domain up front (from SLAs, schema contracts, or a one-time
+# profiling pass) is what every production streaming sketch does;
+# out-of-domain values clamp into the edge bins, preserving total count
+# and rank queries inside the domain.
+# ---------------------------------------------------------------------------
+
+def _hist_partials(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    vmin: float,
+    vmax: float,
+    n_bins: int,
+) -> DataFrame:
+    v = F.col(value_col).cast("double")
+    bin_ = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((v - F.lit(vmin)) * n_bins / F.lit(vmax - vmin)),
+        ),
+    ).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .select(F.col(group_col).alias("grp"), bin_.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("vmin", F.lit(float(vmin)))
+        .withColumn("vmax", F.lit(float(vmax)))
+    )
+
+
+def merge_hist_microbatch(
+    batch_df: DataFrame,
+    table_dir: str,
+    group_col: str,
+    value_col: str,
+    vmin: float,
+    vmax: float,
+    n_bins: int = 128,
+) -> None:
+    """Fold one micro-batch's (grp, bin) counts into the stored sketch.
+    Histogram counts are algebraic (merge = sum), so this is the same
+    atomic-swap MERGE as the count/sum rollup; the stored table is
+    ≤ groups × n_bins rows regardless of stream length."""
+    spark = batch_df.sparkSession
+    recover_table(table_dir)
+    part = _hist_partials(batch_df, group_col, value_col, vmin, vmax, n_bins)
+    if os.path.isdir(table_dir):
+        base = spark.read.parquet(table_dir)
+        merged = (
+            base.unionByName(part)
+            .groupBy("grp", "bin", "vmin", "vmax")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = part
+    atomic_swap(merged, table_dir)
+
+
+def hist_sink(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+    vmin: float,
+    vmax: float,
+    n_bins: int = 128,
+    available_now: bool = True,
+):
+    """Attach the incremental-histogram sink; the stream checkpoint
+    makes each micro-batch's fold exactly-once across restarts."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_hist_microbatch(
+            batch_df, table_dir, group_col, value_col, vmin, vmax, n_bins
+        )
+
+    w = stream_df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_hist(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read the maintained sketch — directly consumable by
+    operators/sketch.py:histogram_quantiles_grouped (the stored vmin/
+    vmax columns are the fixed domain constants)."""
+    recover_table(table_dir)
+    return spark.read.parquet(table_dir)

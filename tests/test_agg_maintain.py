@@ -67,3 +67,51 @@ def test_maintained_rollup_equals_batch(spark, sf_dir, dirs):
     # derived avg comes from merged partials
     row = AM.read_rollup(spark, dirs["table"]).collect()[0]
     assert abs(row["avg_value"] - round(row["sum_cents"] / 100.0 / row["n_events"], 6)) < 1e-9
+
+
+def test_maintained_histogram_equals_batch(spark, sf_dir, tmp_path):
+    from movievectorsearch_spark.operators.sketch import (
+        histogram_quantiles_grouped,
+    )
+
+    dirs = {k: str(tmp_path / k) for k in ("src", "table", "ckpt")}
+    e = load_table(spark, sf_dir, "events").limit(900).cache()
+    # fixed domain (the streaming-sketch contract): set once up front
+    VMIN, VMAX, NB = 0.0, 100.0, 32
+    halves = e.randomSplit([1.0, 1.0], seed=11)
+
+    halves[0].coalesce(1).write.mode("overwrite").parquet(dirs["src"])
+    stream = read_event_stream(spark, dirs["src"], max_files_per_trigger=1)
+    q = AM.hist_sink(
+        stream, dirs["table"], dirs["ckpt"], "event_type", "value",
+        VMIN, VMAX, NB,
+    )
+    assert q.awaitTermination(120), "stream did not finish"
+
+    # restart folds ONLY the new file (checkpoint replay safety)
+    halves[1].coalesce(1).write.mode("append").parquet(dirs["src"])
+    stream2 = read_event_stream(spark, dirs["src"], max_files_per_trigger=1)
+    q2 = AM.hist_sink(
+        stream2, dirs["table"], dirs["ckpt"], "event_type", "value",
+        VMIN, VMAX, NB,
+    )
+    assert q2.awaitTermination(120), "restarted stream did not finish"
+
+    def rows(df):
+        return {
+            (r["grp"], r["bin"], r["vmin"], r["vmax"], r["cnt"])
+            for r in df.collect()
+        }
+
+    expect = rows(AM._hist_partials(e, "event_type", "value", VMIN, VMAX, NB))
+    got = rows(AM.read_hist(spark, dirs["table"]))
+    assert got == expect and got  # merged sketch == one-shot sketch
+
+    # the maintained sketch serves per-group quantiles directly
+    qs = histogram_quantiles_grouped(
+        AM.read_hist(spark, dirs["table"]), [50, 95], n_bins=NB
+    ).collect()
+    grps = {r["grp"] for r in qs}
+    assert grps == {r["event_type"] for r in e.select("event_type").distinct().collect()}
+    for r in qs:
+        assert VMIN <= r["est"] <= VMAX

