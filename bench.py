@@ -189,6 +189,9 @@ BENCH_QUERIES = [
     "embedding_outliers_by_label",
     "exact_median_mad_by_type",
     "hourly_seasonality_profile",
+    # round 2 batch 16 (pii_cluster_quarantine not benched — iterative CC
+    # rounds, the dedup_end_to_end reason)
+    "cross_source_dup_matrix",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -806,6 +806,7 @@ def minhash_containment_estimate(
     id_col: str,
     num_hashes: int = 16,
     threshold_ppm: int = 500_000,
+    sig_b: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate asymmetric containment at LSH scale — the sketch
     path :func:`ngram_containment_pairs` (exact, explode-the-shingles
@@ -825,13 +826,20 @@ def minhash_containment_estimate(
 
     Ĉ can exceed 1 (estimator, not a ratio of the true sets); callers
     treat it as a score. Pairs kept where ``Ĉ_ppm ≥ threshold_ppm``.
+
+    ``sig_b`` switches to the TWO-TABLE (incremental) form: the pair's
+    ``a_id`` side resolves against ``sig``, the ``b_id`` side against
+    ``sig_b`` — the containment twin of :func:`minhash_lsh_pairs_between`
+    for probing a persisted signature store with an arriving batch
+    (store text is never re-read; both stores already carry
+    ``n_shingles`` from the one signature pass).
     """
     a_sig = sig.select(
         F.col(id_col).alias("a_id"),
         F.col("n_shingles").alias("a_n"),
         *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(num_hashes)],
     )
-    b_sig = sig.select(
+    b_sig = (sig if sig_b is None else sig_b).select(
         F.col(id_col).alias("b_id"),
         F.col("n_shingles").alias("b_n"),
         *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(num_hashes)],
@@ -853,6 +861,30 @@ def minhash_containment_estimate(
     )
 
 
+SPAN_HASH_BASE = 1_000_003  # token-hash combiner base; acc·B < 2^31·2^20 ≪ 2^63
+
+
+def combine_span_hashes(th_col: Column, span_n: int) -> Column:
+    """Per-position hashes of every ``span_n``-token sliding window
+    from an array of per-token hashes: windows combine the span_n
+    token-hashes with the polynomial fold ``acc·B + th mod P`` via the
+    linear slice/zip trick. ``th_col`` MUST be a bound column reference
+    to an already-projected array, never an inline ``transform(...)``
+    expression — this combiner references it span_n+1 times, and
+    interpreted higher-order functions get no common-subexpression
+    elimination, so an inline expression would re-hash every token
+    span_n+1× (the word_shingles O(len²) trap, one level up)."""
+    m = F.size(th_col) - (span_n - 1)
+    col = F.slice(th_col, 1, m)
+    for j in range(1, span_n):
+        col = F.zip_with(
+            col,
+            F.slice(th_col, j + 1, m),
+            lambda a, b: (a * F.lit(SPAN_HASH_BASE) + b) % F.lit(P),
+        )
+    return col
+
+
 def duplicate_passage_spans(
     df: DataFrame,
     id_col: str,
@@ -866,29 +898,60 @@ def duplicate_passage_spans(
     (what C4/Gopher-style pipelines use to strip boilerplate/licence
     blocks that exact-doc and near-dup passes both miss).
 
-    Shape: one explode of ~n_tokens spans per doc (reuses the linear
-    slice/zip shingle builder), then ONE groupBy on the span's portable
-    hash — count(*), countDistinct(doc), min(span) as the
-    representative — and a TakeOrderedAndProject. Grouping on the int64
-    hash keeps the shuffle key fixed-width; the span string rides only
-    as the min() agg state. Docs shorter than ``span_n`` tokens are
-    filtered out (no fallback shingle — a whole short doc is not a
-    repeated passage)."""
+    Shape: tokens are projected once, char-hashed once, and spans
+    combine token-hashes (:func:`combine_span_hashes` — no span strings
+    exist anywhere corpus-wide, ~3× over hashing concatenated spans at
+    sf0.1), then ONE groupBy on the int64 span hash — count(*),
+    countDistinct(doc), and min(doc,pos) as the canonical occurrence —
+    a TakeOrderedAndProject, and finally the ``top`` winners join BACK
+    to the corpus (broadcast, ≤top rows) to reconstruct their span text
+    by position. Docs shorter than ``span_n`` tokens are filtered out
+    (no fallback shingle — a whole short doc is not a repeated
+    passage)."""
     from movievectorsearch_spark.functions.text import tokens
 
-    spans = df.filter(F.size(tokens(F.col(text_col))) >= span_n).select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), span_n)).alias("span"),
+    base = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= span_n)
     )
-    hashed = spans.withColumn("h", poly_hash(F.col("span")))
-    agg = hashed.groupBy("h").agg(
+    # th must be ITS OWN projection before the combiner slices it —
+    # see combine_span_hashes's contract
+    th = base.select(
+        id_col, "toks", F.transform("toks", lambda t: poly_hash(t)).alias("th")
+    )
+    spans = th.select(
+        F.col(id_col),
+        F.posexplode(combine_span_hashes(F.col("th"), span_n)).alias("pos", "h"),
+    )
+    agg = spans.groupBy("h").agg(
         F.countDistinct(id_col).cast("bigint").alias("n_docs"),
         F.count("*").cast("bigint").alias("n_occurrences"),
-        F.min("span").alias("span"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "occ"
+        ),
     )
-    return (
+    winners = (
         agg.filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("h"))
         .limit(top)
-        .select("span", "n_docs", "n_occurrences", "h")
+        .select(
+            "h",
+            "n_docs",
+            "n_occurrences",
+            F.col("occ.d").alias("d"),
+            F.col("occ.p").alias("p"),
+        )
+    )
+    rebuilt = base.join(
+        F.broadcast(winners), F.col(id_col) == F.col("d")
+    ).select(
+        F.array_join(
+            F.slice(F.col("toks"), F.col("p") + 1, span_n), " "
+        ).alias("span"),
+        "n_docs",
+        "n_occurrences",
+        "h",
+    )
+    return rebuilt.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("h")
     )

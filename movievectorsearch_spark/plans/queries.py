@@ -8047,27 +8047,44 @@ _SPAN_N = 8
 _SPAN_TOP = 20
 
 
-def _span_shingles_sql() -> str:
-    from movievectorsearch_spark.functions.text import shingles_sql
+def _span_hash_expr_sql() -> str:
+    """Nested polynomial combine of the span's token-hashes — the
+    DuckDB mirror of operators.dedup.span_hashes."""
+    from movievectorsearch_spark.operators.dedup import SPAN_HASH_BASE
 
-    return shingles_sql("text", _SPAN_N)
+    expr = "th[i]"
+    for j in range(1, _SPAN_N):
+        expr = f"(({expr}) * {SPAN_HASH_BASE} + th[i + {j}]) % {P}"
+    return expr
 
 
 _DUP_SPANS_SQL = f"""
-WITH sp AS (
-  SELECT doc_id, unnest({_span_shingles_sql()}) AS span
-  FROM documents
-  WHERE len({tokens_sql('text')}) >= {_SPAN_N}
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, toks, list_transform(toks, tk -> {poly_hash_sql('tk')}) AS th
+  FROM t WHERE len(toks) >= {_SPAN_N}
 ),
-hsp AS (SELECT doc_id, span, {poly_hash_sql('span')} AS h FROM sp),
+sp AS (
+  SELECT doc_id, i - 1 AS pos, {_span_hash_expr_sql()} AS h
+  FROM tf, LATERAL (
+    SELECT unnest(range(1, len(th) - {_SPAN_N - 2})) AS i
+  ) u
+),
 agg AS (
   SELECT h, count(DISTINCT doc_id)::BIGINT AS n_docs,
-         count(*)::BIGINT AS n_occurrences, min(span) AS span
-  FROM hsp GROUP BY h
+         count(*)::BIGINT AS n_occurrences,
+         min(struct_pack(d := doc_id, p := pos)) AS occ
+  FROM sp GROUP BY h
+),
+win AS (
+  SELECT h, n_docs, n_occurrences, occ.d AS d, occ.p AS p
+  FROM agg WHERE n_docs >= 2
+  ORDER BY n_docs DESC, n_occurrences DESC, h LIMIT {_SPAN_TOP}
 )
-SELECT span, n_docs, n_occurrences, h
-FROM agg WHERE n_docs >= 2
-ORDER BY n_docs DESC, n_occurrences DESC, h LIMIT {_SPAN_TOP}
+SELECT array_to_string(list_slice(tf.toks, w.p + 1, w.p + {_SPAN_N}), ' ') AS span,
+       w.n_docs, w.n_occurrences, w.h
+FROM win w JOIN tf ON tf.doc_id = w.d
+ORDER BY n_docs DESC, n_occurrences DESC, h
 """
 
 
@@ -8631,6 +8648,166 @@ def hourly_seasonality_profile(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-2 batch 16: cross-source duplication matrix, quarantine
+# propagation through near-dup clusters
+# ===========================================================================
+
+_XSOURCE_MIN_MATCH = _MH_N // 2  # est. Jaccard ≥ 0.5
+
+_XSOURCE_SQL = f"""
+WITH {_MINHASH_SIG_SQL_BODY},
+bands AS ({_BAND_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+m AS (
+  SELECT p.a_id, p.b_id,
+         ({' + '.join(f'CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END' for i in range(_MH_N))})::BIGINT AS m_match
+  FROM pairs p JOIN sig sa ON sa.doc_id = p.a_id
+       JOIN sig sb ON sb.doc_id = p.b_id
+),
+strong AS (SELECT * FROM m WHERE m_match >= {_XSOURCE_MIN_MATCH}),
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b, s.m_match
+  FROM strong s JOIN documents da ON da.doc_id = s.a_id
+       JOIN documents db ON db.doc_id = s.b_id
+)
+SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+       ((1000000 * sum(m_match)) // ({_MH_N} * count(*)))::BIGINT AS avg_match_ppm
+FROM lab GROUP BY source_a, source_b ORDER BY source_a, source_b
+"""
+
+
+@q("cross_source_dup_matrix", _XSOURCE_SQL)
+def cross_source_dup_matrix(spark, sf_dir):
+    """WHICH sources duplicate each other — the provenance diagnostic
+    behind mixture decisions (a source that's 80% contained in another
+    adds tokens, not information). MinHash-LSH candidates → signature
+    match count ≥ k/2 (integer, no float threshold) → each strong pair
+    labeled with its two sources (unordered via least/greatest so the
+    matrix is one triangle) → one bounded aggregate. Candidates are
+    band collisions (~linear); the source label join ships only the
+    strong pairs; the matrix is ≤ sources² rows."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(d, "doc_id", "text", _MH_N, _SHINGLE_N)
+    sig.persist()
+    pairs = D.minhash_lsh_pairs(sig, "doc_id", _MH_N, _BANDS)
+    a_sig = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(_MH_N)],
+    )
+    b_sig = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(_MH_N)],
+    )
+    m = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(_MH_N)
+    ).cast("bigint")
+    strong = (
+        pairs.join(a_sig, "a_id")
+        .join(b_sig, "b_id")
+        .withColumn("m_match", m)
+        .filter(F.col("m_match") >= _XSOURCE_MIN_MATCH)
+        .select("a_id", "b_id", "m_match")
+    )
+    src = d.select("doc_id", "source")
+    lab = (
+        strong.join(src.withColumnRenamed("doc_id", "a_id").withColumnRenamed("source", "sa"), "a_id")
+        .join(src.withColumnRenamed("doc_id", "b_id").withColumnRenamed("source", "sb"), "b_id")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "m_match",
+        )
+    )
+    return (
+        lab.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.expr(
+                f"CAST((1000000 * sum(m_match)) div ({_MH_N} * count(*)) AS BIGINT)"
+            ).alias("avg_match_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_QUAR_FLAG_MOD = 20
+
+_QUARANTINE_SQL = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+pairs AS ({_NGRAM_SELECT}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+allc AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         ({poly_hash_sql('CAST(d.doc_id AS VARCHAR)')} % {_QUAR_FLAG_MOD}) = 0
+           AS direct_flag
+  FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id
+),
+qc AS (SELECT cluster_id FROM allc GROUP BY cluster_id HAVING bool_or(direct_flag))
+SELECT a.doc_id, a.cluster_id, a.direct_flag
+FROM allc a JOIN qc USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
+@q("pii_cluster_quarantine", _QUARANTINE_SQL)
+def pii_cluster_quarantine(spark, sf_dir):
+    """Quarantine PROPAGATION through the near-dup graph: a compliance
+    flag on one document must also remove its near-copies (they carry
+    the same content — the C4/GDPR takedown semantics doc-level filters
+    miss). Flags here are a deterministic portable hash gate (~5% of
+    docs — the driver corpus has no real PII, same stance as
+    pii_redact's synthetic splice); clusters come from the n-gram
+    Jaccard pair graph via connected components
+    (operators/cluster.py); singleton docs are their own cluster.
+    One window over cluster_id ORs the flag across each cluster, then
+    every member of a flagged cluster is emitted with its own direct
+    flag — the collateral set is exactly the rows where direct_flag is
+    false."""
+    from movievectorsearch_spark.operators.cluster import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", _SHINGLE_N, _NGRAM_THRESHOLD, ["lang"]
+    )
+    cc = connected_components(pairs, "a_id", "b_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+    flag = (
+        poly_hash(F.col("doc_id").cast("string")) % _QUAR_FLAG_MOD == 0
+    ).alias("direct_flag")
+    allc = (
+        d.select("doc_id", flag)
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "direct_flag",
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        allc.withColumn("any_flag", F.bool_or("direct_flag").over(w))
+        .filter(F.col("any_flag"))
+        .select("doc_id", "cluster_id", "direct_flag")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -8780,6 +8957,9 @@ _RECHECK_FIRST = [
     "embedding_outliers_by_label",
     "exact_median_mad_by_type",
     "hourly_seasonality_profile",
+    # new in round-2 batch 16
+    "cross_source_dup_matrix",
+    "pii_cluster_quarantine",
 ]
 
 

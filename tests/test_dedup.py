@@ -483,3 +483,34 @@ def test_duplicate_passage_spans_semantics(spark):
     assert all(r.n_docs >= 2 for r in rows)
     # the within-doc-3 repeat never appears
     assert not any("repeated span alpha" in s for s in spans)
+
+
+def test_containment_between_two_signature_stores(spark):
+    """The incremental form: probe a 'store' signature table with a
+    'new' batch — the subset doc in the store must be flagged as
+    contained in its superset in the batch."""
+    from movievectorsearch_spark.operators.dedup import (
+        minhash_containment_estimate,
+        minhash_signature,
+    )
+
+    words = [f"tok{i}" for i in range(24)]
+    new_df = spark.createDataFrame(
+        [(100, " ".join(words))], "doc_id long, text string"
+    )
+    store_df = spark.createDataFrame(
+        [(1, " ".join(words[:20])), (2, "completely different content here "
+                                        "with many unrelated words")],
+        "doc_id long, text string",
+    )
+    sig_new = minhash_signature(new_df, "doc_id", "text", 16, 3, include_size=True)
+    sig_store = minhash_signature(store_df, "doc_id", "text", 16, 3, include_size=True)
+    pairs = spark.createDataFrame([(100, 1), (100, 2)], "a_id long, b_id long")
+    out = {
+        r.b_id: r.containment_ppm
+        for r in minhash_containment_estimate(
+            sig_new, pairs, "doc_id", 16, threshold_ppm=0, sig_b=sig_store
+        ).collect()
+    }
+    assert out[1] > 700_000   # true containment of doc 1 in doc 100 is 1.0
+    assert out[2] == 0        # disjoint text shares no signature components

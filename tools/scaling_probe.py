@@ -113,6 +113,21 @@ PROBE_QUERIES = [
     "events_burst_detection",
     "bigram_novelty_rate",
     "first_touch_attribution",
+    # round 2 batch 14 (linear shapes; containment_minhash_pairs excluded
+    # like its pair-join siblings — replication grows true pairs
+    # quadratically. duplicate_passage_spans is groupBy-shaped, not a
+    # pair join: counts grow under replication but work stays linear)
+    "pagerank_converged",
+    "power_iteration_converged",
+    "duplicate_passage_spans",
+    "next_event_markov",
+    "events_autocorr",
+    "target_encoding_smoothed",
+    "events_gap_fill_interp",
+    # round 2 batch 15 (linear / linearithmic shapes)
+    "embedding_outliers_by_label",
+    "exact_median_mad_by_type",
+    "hourly_seasonality_profile",
 ]
 
 SHIFT_KEYS = {
