@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     # round 2 batch 16 (pii_cluster_quarantine not benched — iterative CC
     # rounds, the dedup_end_to_end reason)
     "cross_source_dup_matrix",
+    # round 2 batch 17
+    "bloom_seen_customers",
+    "mmr_rerank_topk",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -70,6 +70,56 @@ def mmr_select(
     return out
 
 
+def mmr_select_exact(
+    ids: list,
+    scores: list[float],
+    vecs: list[list[float]],
+    k: int,
+    lam: float = 0.7,
+) -> list[tuple]:
+    """Greedy MMR with SEQUENTIAL-FOLD float arithmetic — the
+    bit-reproducible twin of :func:`mmr_select`. Every kernel mirrors
+    the SQL oracle exactly: pairwise cosine is py_dot / (py_l2_norm ·
+    py_l2_norm) in that order (numpy's pairwise/SIMD summation is NOT
+    reproducible in SQL — same rationale as py_cosine_to_query), the
+    1−λ constant is computed once in Python and inlined into the oracle
+    via repr(), and argmax ties break on min id. This is what turns the
+    'inherently sequential' greedy loop into a hash-checkable query:
+    the loop is UNROLLED in the oracle as k chained CTE steps, which is
+    possible precisely because every step's floats are bit-identical."""
+    from movievectorsearch_spark.functions.vector import py_dot, py_l2_norm
+
+    n = len(ids)
+    k = min(k, n)
+    one_minus = 1.0 - lam
+    norms = [py_l2_norm(v) for v in vecs]
+
+    def cospair(i: int, j: int) -> float:
+        d = norms[i] * norms[j]
+        return (py_dot(vecs[i], vecs[j]) / d) if d != 0.0 else 0.0
+
+    selected: list[int] = []
+    out: list[tuple] = []
+    remaining = list(range(n))
+    for rank in range(k):
+        mmr = {}
+        for j in remaining:
+            if not selected:
+                mmr[j] = lam * scores[j]
+            else:
+                red = max(cospair(j, s) for s in selected)
+                mmr[j] = lam * scores[j] - one_minus * red
+        best_val = max(mmr.values())
+        best = min(
+            (j for j in remaining if mmr[j] == best_val),
+            key=lambda j: ids[j],
+        )
+        remaining.remove(best)
+        selected.append(best)
+        out.append((ids[best], rank + 1, float(scores[best]), mmr[best]))
+    return out
+
+
 def mmr_rerank(
     spark: SparkSession,
     corpus: DataFrame,
@@ -96,11 +146,14 @@ def mmr_rerank(
         .collect()
     )
     ids = [r._id for r in pool]
-    scores = np.array([r._score for r in pool], dtype=np.float64)
-    vecs = np.array([r._vec for r in pool], dtype=np.float64)
+    scores = [float(r._score) for r in pool]
+    vecs = [[float(x) for x in r._vec] for r in pool]
+    # the exact (sequential-fold) selector: bit-reproducible in the
+    # DuckDB oracle; mmr_select (numpy) is the fast path for big pools,
+    # cross-checked against this one in tests/test_rerank.py
     rows = [
         (i, rank, round(rel, 6), round(m, 6))
-        for i, rank, rel, m in mmr_select(ids, scores, vecs, k, lam)
+        for i, rank, rel, m in mmr_select_exact(ids, scores, vecs, k, lam)
     ]
     # the id field keeps the corpus's own type (bigint vec_ids, string
     # slugs, ...) — hardcoding bigint broke string-keyed corpora

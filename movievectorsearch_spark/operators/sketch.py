@@ -40,6 +40,8 @@ __all__ = [
     "histogram_quantiles",
     "histogram_sketch_grouped",
     "histogram_quantiles_grouped",
+    "bloom_bits",
+    "bloom_probe",
 ]
 
 
@@ -358,4 +360,68 @@ def histogram_quantiles_grouped(
     )
     return first_bin.select(
         "grp", "pct", F.col("bin").alias("qbin"), F.round(est, 6).alias("est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a TABLE of set bits — the membership member of the
+# sketch family (frequency = CMS, cardinality = HLL, quantiles =
+# histogram; all four are mergeable relational tables, never opaque
+# driver-side blobs).
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(key: "F.Column", m_bits: int, k: int):
+    """k bit positions for a key: portable poly-hash, then the same
+    affine permutation family MinHash uses, reduced mod m. Pure int64
+    expressions → identical in Spark and the DuckDB oracle."""
+    from movievectorsearch_spark.functions.hashing import (
+        P,
+        minhash_coeffs,
+        poly_hash,
+    )
+
+    h = poly_hash(key.cast("string"))
+    return F.array(
+        *[((h * F.lit(a) + F.lit(b)) % F.lit(P) % F.lit(m_bits)) for a, b in minhash_coeffs(k)]
+    )
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 14, k: int = 4
+) -> DataFrame:
+    """Build the filter: one explode (×k) + one distinct — a table of
+    ≤ m_bits single-int rows. Mergeable by unioned distinct, persistable
+    as a tiny parquet, broadcastable into any probe join; at 100 TB the
+    build is one scan and the artifact is kilobytes."""
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probe: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 14,
+    k: int = 4,
+) -> DataFrame:
+    """Probe: a key is ``maybe_seen`` iff ALL k of its positions are
+    set. The probe explodes ×k, broadcast-joins the bit table, and
+    re-aggregates per key — no shuffle of the probe side beyond the
+    k-row blow-up, and "definitely new" is EXACT (no false negatives),
+    which is what makes a Bloom pre-filter sound for incremental dedup:
+    only maybe-seen keys go on to the expensive verification join."""
+    pos = probe.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col),
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos"),
+    )
+    marked = pos.join(
+        F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
+    )
+    return marked.groupBy(key_col).agg(
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) == F.lit(k)).alias(
+            "maybe_seen"
+        )
     )

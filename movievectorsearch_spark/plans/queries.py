@@ -5803,19 +5803,83 @@ def moviegen_curate_roundtrip(spark, sf_dir):
     )
 
 
-@q("mmr_rerank_topk")
+_MMR_K = 10
+_MMR_FETCH = 50
+_MMR_LAM = 0.7
+_NORM_E = (
+    "sqrt(list_reduce(list_transform({v}::DOUBLE[], x -> x*x), (a,b) -> a+b))"
+)
+
+
+def _mmr_sql() -> str:
+    """The greedy MMR loop UNROLLED as k chained CTE steps. Legal to
+    unroll because operators/rerank.mmr_select_exact makes every step's
+    floats bit-identical to these SQL expressions (sequential folds,
+    repr()-inlined λ constants), so each step's argmax picks the same
+    row in both engines. Every CTE is MATERIALIZED: DuckDB inlines CTEs
+    by default, and each step references its predecessor 3× — inlining
+    would expand the chain 3^k-fold."""
+    lam = repr(float(_MMR_LAM))
+    oml = repr(1.0 - _MMR_LAM)
+    score = cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), "embedding")
+    pair = dot_sql("c.embedding", "s.embedding")
+    cospair = (
+        f"CASE WHEN c.nrm * s.nrm <> 0 THEN ({pair}) / (c.nrm * s.nrm) "
+        f"ELSE 0 END"
+    )
+    parts = [
+        f"""pool AS MATERIALIZED (
+  SELECT vec_id AS id, embedding, {score} AS score
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+  ORDER BY score DESC, id LIMIT {_MMR_FETCH}
+),
+np AS MATERIALIZED (SELECT id, embedding, score, {_NORM_E.format(v='embedding')} AS nrm FROM pool),
+sel1 AS MATERIALIZED (
+  SELECT id, embedding, nrm, score, {lam} * score AS mmr, 1 AS rank
+  FROM np ORDER BY mmr DESC, id LIMIT 1
+),
+acc1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(
+            f"""red{i} AS MATERIALIZED (
+  SELECT c.id, max({cospair}) AS red
+  FROM np c, acc{i - 1} s
+  WHERE c.id NOT IN (SELECT id FROM acc{i - 1})
+  GROUP BY c.id
+),
+sel{i} AS MATERIALIZED (
+  SELECT c.id, c.embedding, c.nrm, c.score,
+         {lam} * c.score - {oml} * r.red AS mmr, {i} AS rank
+  FROM np c JOIN red{i} r ON c.id = r.id
+  ORDER BY mmr DESC, c.id LIMIT 1
+),
+acc{i} AS MATERIALIZED (SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM sel{i})"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT id AS vec_id, rank AS mmr_rank, round(score, 6) AS rel_score, "
+        f"round(mmr, 6) AS mmr_score FROM acc{_MMR_K} ORDER BY mmr_rank"
+    )
+
+
+@q("mmr_rerank_topk", _mmr_sql())
 def mmr_rerank_topk(spark, sf_dir):
-    """Rows-only: MMR diversity re-rank — distributed cosine top-50
-    candidate fetch (TakeOrderedAndProject, same plan as knn_topk) +
-    driver-side greedy selection of 10 over the bounded pool
-    (operators/rerank.py; NumPy parity + diversity tests in
-    tests/test_rerank.py). Non-SQL-expressible: the greedy pick is
-    sequentially dependent."""
+    """MMR diversity re-rank — distributed cosine top-50 candidate
+    fetch (TakeOrderedAndProject, same plan as knn_topk) + driver-side
+    greedy selection of 10 over the bounded pool (operators/rerank.py).
+    Formerly rows-only ('the greedy pick is sequentially dependent');
+    now HASH-CHECKED: the selection runs with sequential-fold floats
+    (mmr_select_exact) that are bit-identical to the oracle's
+    expressions, which lets the sequential loop be unrolled as k
+    chained CTE steps — same recipe that oracled the convergence loops
+    (fixed budget + bit-exact state ⇒ unrollable)."""
     from movievectorsearch_spark.operators.rerank import mmr_rerank
 
     e = load_table(spark, sf_dir, "embeddings")
     return mmr_rerank(
-        spark, e, "vec_id", "embedding", QUERY_VEC, k=10, fetch_n=50
+        spark, e, "vec_id", "embedding", QUERY_VEC, k=_MMR_K, fetch_n=_MMR_FETCH
     )
 
 
@@ -8808,6 +8872,123 @@ def pii_cluster_quarantine(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-2 batch 17: Bloom membership sketch (completes the sketch family)
+# ===========================================================================
+
+_BLOOM_M = 1 << 14
+_BLOOM_K = 4
+_BLOOM_ABSENT_OFFSET = 1_000_000_000  # shifts probe keys out of the seen set
+
+
+def _bloom_pos_sql(key_expr: str) -> str:
+    """List literal of the k bit positions — DuckDB mirror of
+    operators/sketch._bloom_positions."""
+    h = poly_hash_sql(f"CAST({key_expr} AS VARCHAR)")
+    exprs = [
+        f"(({h}) * {a} + {b}) % {P} % {_BLOOM_M}"
+        for a, b in minhash_coeffs(_BLOOM_K)
+    ]
+    return "[" + ", ".join(exprs) + "]"
+
+
+_BLOOM_SQL = f"""
+WITH pos AS (
+  SELECT DISTINCT upos
+  FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) k,
+       LATERAL (SELECT unnest({_bloom_pos_sql('o_custkey')}) AS upos) u
+),
+probekeys AS (
+  SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL
+  UNION ALL
+  SELECT c_custkey + {_BLOOM_ABSENT_OFFSET} FROM customer
+  WHERE c_custkey IS NOT NULL
+),
+cpos AS (
+  SELECT c_custkey, unnest({_bloom_pos_sql('c_custkey')}) AS p
+  FROM probekeys
+),
+marked AS (
+  SELECT c.c_custkey,
+         sum(CASE WHEN b.upos IS NOT NULL THEN 1 ELSE 0 END) AS hits
+  FROM cpos c LEFT JOIN pos b ON c.p = b.upos
+  GROUP BY c.c_custkey
+),
+actual AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+j AS (
+  SELECT m.c_custkey, m.hits = {_BLOOM_K} AS maybe_seen,
+         a.c_custkey IS NOT NULL AS actual
+  FROM marked m LEFT JOIN actual a USING (c_custkey)
+)
+SELECT count(*)::BIGINT AS n_probed,
+       sum(CASE WHEN actual THEN 1 ELSE 0 END)::BIGINT AS n_actual_seen,
+       sum(CASE WHEN maybe_seen THEN 1 ELSE 0 END)::BIGINT AS n_maybe_seen,
+       sum(CASE WHEN maybe_seen AND NOT actual THEN 1 ELSE 0 END)::BIGINT
+         AS n_false_positive,
+       ((1000000 * sum(CASE WHEN maybe_seen AND NOT actual THEN 1 ELSE 0 END))
+        // greatest(1, count(*) - sum(CASE WHEN actual THEN 1 ELSE 0 END)))::BIGINT
+         AS fpr_ppm
+FROM j
+"""
+
+
+@q("bloom_seen_customers", _BLOOM_SQL)
+def bloom_seen_customers(spark, sf_dir):
+    """Bloom membership filter as a TABLE of set bits — the sketch
+    family's fourth member (membership; CMS = frequency, HLL =
+    cardinality, histogram = quantiles; all mergeable relational
+    tables). Build: customers-with-orders keys explode into k=4
+    portable-hash bit positions, one distinct → ≤2^14 single-int rows,
+    broadcastable and persistable. Probe: every customer re-derives its
+    positions, broadcast-joins the bit table, and is maybe_seen iff all
+    k hit. The probe set is every customer PLUS the same keys shifted
+    by 1e9 — known-absent keys, since measuring a false-positive rate
+    requires probes outside the built set (every natural key family in
+    the corpus is fully covered by its fact table). The output is the
+    filter's own quality report — exact seen/maybe/false-positive
+    counts and the measured FPR in ppm (definitely-new is EXACT: no
+    false negatives, the property that makes a Bloom pre-filter sound
+    in front of an expensive dedup join). Fully deterministic integers,
+    so even the false-positive SET hash-matches the oracle."""
+    from movievectorsearch_spark.operators.sketch import bloom_bits, bloom_probe
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey").filter(
+        F.col("c_custkey").isNotNull()
+    )
+    probe = c.unionByName(
+        c.select((F.col("c_custkey") + _BLOOM_ABSENT_OFFSET).alias("c_custkey"))
+    )
+    bits = bloom_bits(o, "o_custkey", _BLOOM_M, _BLOOM_K)
+    probed = bloom_probe(bits, probe, "c_custkey", _BLOOM_M, _BLOOM_K)
+    actual = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("actual", F.lit(True))
+    )
+    j = probed.join(actual, "c_custkey", "left").select(
+        "maybe_seen", F.coalesce("actual", F.lit(False)).alias("actual")
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_probed"),
+        F.sum(F.col("actual").cast("int")).cast("bigint").alias("n_actual_seen"),
+        F.sum(F.col("maybe_seen").cast("int")).cast("bigint").alias("n_maybe_seen"),
+        F.sum((F.col("maybe_seen") & ~F.col("actual")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_positive"),
+    ).select(
+        "n_probed",
+        "n_actual_seen",
+        "n_maybe_seen",
+        "n_false_positive",
+        F.expr(
+            "CAST((1000000 * n_false_positive) div "
+            "greatest(1, n_probed - n_actual_seen) AS BIGINT)"
+        ).alias("fpr_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -8960,6 +9141,8 @@ _RECHECK_FIRST = [
     # new in round-2 batch 16
     "cross_source_dup_matrix",
     "pii_cluster_quarantine",
+    # new in round-2 batch 17
+    "bloom_seen_customers",
 ]
 
 

@@ -163,3 +163,45 @@ def ivf_search_indexed(
     return (
         scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k).drop(CELL_COL)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming index maintenance
+# ---------------------------------------------------------------------------
+
+def srp_index_stream_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Maintain the SRP index INCREMENTALLY from a vector stream: the
+    bucket assignment is the same codegen expression the batch build
+    uses, and the writer is Spark's parquet FILE SINK with
+    ``partitionBy(bucket)`` — new vectors land as new files inside their
+    bucket's directory, and the sink's ``_spark_metadata`` commit log
+    makes every micro-batch exactly-once across restarts (no
+    foreachBatch, no manual idempotence). ``srp_search_indexed`` serves
+    the growing index unchanged: batch reads honor the sink's manifest
+    and partition pruning still reads only probed buckets. This is the
+    streaming half of the reference's always-fresh served index
+    (Atlas keeps its vector index current as documents insert —
+    reference backend/database.py:49-75 upserts straight into the
+    indexed collection)."""
+    planes = random_hyperplanes(n_planes, dim, seed)
+    bucketed = _has_vec(stream_df, vec_col).withColumn(
+        BUCKET_COL, srp_bucket(F.col(vec_col), planes)
+    )
+    w = (
+        bucketed.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(BUCKET_COL)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

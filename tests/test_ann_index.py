@@ -132,3 +132,59 @@ def test_ivf_index_probe_reads_only_probed_cells(spark, ivf_index):
     order = sorted(range(len(cents)), key=lambda i: (-cos(cents[i]), i))
     expected = sum(sizes.get(c, 0) for c in order[:2])
     assert rows_read == expected, (rows_read, expected)
+
+
+def test_srp_index_streamed_equals_batch_built(spark, sf_dir, tmp_path):
+    """The file-sink-maintained index serves the same results as a
+    one-shot batch build over the same corpus, and a restart appends
+    only new vectors (exactly-once via the sink's commit log)."""
+    from pyspark.sql import functions as F
+
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.sources.ann_index import (
+        srp_index_stream_sink,
+        srp_search_indexed,
+        write_srp_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    halves = e.randomSplit([1.0, 1.0], seed=5)
+    src = str(tmp_path / "src")
+    halves[0].write.mode("overwrite").parquet(src)
+
+    streamed = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(e.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = srp_index_stream_sink(stream, streamed, ckpt, dim)
+    assert q.awaitTermination(120)
+
+    # restart folds in the second half only
+    halves[1].write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(e.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q2 = srp_index_stream_sink(stream2, streamed, ckpt, dim)
+    assert q2.awaitTermination(120)
+
+    batch_idx = str(tmp_path / "batch_idx")
+    write_srp_index(e, batch_idx, dim)
+
+    qv = [float((i * 37) % 19 - 9) / 10 for i in range(dim)]
+    got = [
+        (r.vec_id, round(r.score, 9))
+        for r in srp_search_indexed(spark, streamed, qv, k=10).collect()
+    ]
+    want = [
+        (r.vec_id, round(r.score, 9))
+        for r in srp_search_indexed(spark, batch_idx, qv, k=10).collect()
+    ]
+    assert got == want and len(got) == 10
+    # no duplicate vectors leaked in by the restart
+    n_stream = spark.read.parquet(streamed).count()
+    n_all = e.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ).count()
+    assert n_stream == n_all

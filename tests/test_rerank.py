@@ -109,3 +109,25 @@ def test_mmr_select_prefers_diverse_over_redundant():
     scores = np.array([0.99, 0.989, 0.6])
     picks = [r[0] for r in mmr_select(ids, scores, vecs, k=2, lam=0.5)]
     assert picks == [1, 3]
+
+
+def test_exact_selector_matches_numpy_selector():
+    """mmr_select (numpy fast path) and mmr_select_exact (the
+    bit-reproducible oracle twin now on the query path) must pick the
+    same documents in the same order on a spread-out pool."""
+    import numpy as np
+
+    from movievectorsearch_spark.operators.rerank import (
+        mmr_select,
+        mmr_select_exact,
+    )
+
+    rng = [(i * 29) % 17 for i in range(40)]
+    vecs = [[float((i * 13 + j * 7) % 11 - 5) for j in range(8)] for i in rng]
+    scores = [float((i * 31) % 23) / 23.0 for i in range(40)]
+    ids = list(range(40))
+    a = mmr_select(ids, np.array(scores), np.array(vecs), 10)
+    b = mmr_select_exact(ids, scores, vecs, 10)
+    assert [t[0] for t in a] == [t[0] for t in b]
+    for (ia, ra, rela, ma), (ib, rb, relb, mb) in zip(a, b):
+        assert ra == rb and abs(rela - relb) < 1e-9 and abs(ma - mb) < 1e-9

@@ -281,3 +281,44 @@ def test_grouped_histogram_merges_within_group_bin(spark, sf_dir):
         ):
             merged[(r.grp, r.bin)] = merged.get((r.grp, r.bin), 0) + r.cnt
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership filter (batch 17)
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from movievectorsearch_spark.operators.sketch import bloom_bits, bloom_probe
+
+    a = spark.createDataFrame([(i,) for i in range(0, 50)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(50, 100)], "k long")
+    bits_a = bloom_bits(a, "k", 1 << 12, 4)
+    bits_b = bloom_bits(b, "k", 1 << 12, 4)
+    # mergeable: union-distinct of two shard filters == filter of the union
+    merged = bits_a.unionByName(bits_b).distinct()
+    bits_all = bloom_bits(a.unionByName(b), "k", 1 << 12, 4)
+    assert {r.pos for r in merged.collect()} == {r.pos for r in bits_all.collect()}
+
+    probe = spark.createDataFrame([(i,) for i in range(0, 200)], "k long")
+    out = {r.k: r.maybe_seen for r in
+           bloom_probe(merged, probe, "k", 1 << 12, 4).collect()}
+    # NO false negatives: every inserted key must be maybe_seen
+    assert all(out[i] for i in range(100))
+    # the absent half may have false positives but not be all-positive
+    absent_hits = sum(1 for i in range(100, 200) if out[i])
+    assert absent_hits < 100
+
+
+def test_bloom_definitely_new_is_exact(spark):
+    from movievectorsearch_spark.operators.sketch import bloom_bits, bloom_probe
+
+    seen = spark.createDataFrame([(i * 7,) for i in range(30)], "k long")
+    bits = bloom_bits(seen, "k", 1 << 12, 4)
+    probe = spark.createDataFrame([(i,) for i in range(300)], "k long")
+    out = bloom_probe(bits, probe, "k", 1 << 12, 4).collect()
+    inserted = {i * 7 for i in range(30)}
+    for r in out:
+        if not r.maybe_seen:
+            assert r.k not in inserted  # definitely-new never lies

@@ -128,6 +128,9 @@ PROBE_QUERIES = [
     "embedding_outliers_by_label",
     "exact_median_mad_by_type",
     "hourly_seasonality_profile",
+    # round 2 batch 17 (linear shapes; bloom probe is broadcast-join)
+    "bloom_seen_customers",
+    "mmr_rerank_topk",
 ]
 
 SHIFT_KEYS = {
