@@ -36,6 +36,8 @@ __all__ = [
     "merge_hist_microbatch",
     "hist_sink",
     "read_hist",
+    "merge_cms_microbatch",
+    "cms_sink",
 ]
 
 
@@ -203,3 +205,63 @@ def read_hist(spark: SparkSession, table_dir: str) -> DataFrame:
     vmax columns are the fixed domain constants)."""
     recover_table(table_dir)
     return spark.read.parquet(table_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CMS maintenance — the frequency member of the sketch family
+# maintained incrementally (histogram = quantiles above; CMS counter
+# cells are algebraic too: merge = sum on (row, bucket)). Unlike the
+# histogram there is no domain parameter to fix: the hash coordinates
+# are data-independent by construction, so batch and streaming sketches
+# are the SAME table.
+# ---------------------------------------------------------------------------
+
+def merge_cms_microbatch(
+    batch_df: DataFrame,
+    table_dir: str,
+    key_col: str,
+    depth: int = 5,
+    width: int = 1024,
+    seed: int = 7,
+) -> None:
+    """Fold one micro-batch's CMS cells into the stored sketch
+    (≤ depth·width rows regardless of stream length)."""
+    from movievectorsearch_spark.operators.sketch import cms_table
+
+    spark = batch_df.sparkSession
+    recover_table(table_dir)
+    part = cms_table(batch_df, key_col, depth, width, seed)
+    if os.path.isdir(table_dir):
+        base = spark.read.parquet(table_dir)
+        merged = (
+            base.unionByName(part)
+            .groupBy("row", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+    else:
+        merged = part
+    atomic_swap(merged, table_dir)
+
+
+def cms_sink(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    depth: int = 5,
+    width: int = 1024,
+    seed: int = 7,
+    available_now: bool = True,
+):
+    """Attach the incremental-CMS sink; estimates are served from the
+    maintained table with the unchanged cms_estimate_join."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_cms_microbatch(batch_df, table_dir, key_col, depth, width, seed)
+
+    w = stream_df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

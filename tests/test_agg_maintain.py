@@ -115,3 +115,46 @@ def test_maintained_histogram_equals_batch(spark, sf_dir, tmp_path):
     assert grps == {r["event_type"] for r in e.select("event_type").distinct().collect()}
     for r in qs:
         assert VMIN <= r["est"] <= VMAX
+
+
+def test_maintained_cms_equals_batch(spark, sf_dir, tmp_path):
+    from movievectorsearch_spark.operators.sketch import (
+        cms_estimate_join,
+        cms_table,
+    )
+
+    dirs = {k: str(tmp_path / k) for k in ("src", "table", "ckpt")}
+    e = load_table(spark, sf_dir, "events").limit(900).cache()
+    halves = e.randomSplit([1.0, 1.0], seed=3)
+
+    halves[0].coalesce(1).write.mode("overwrite").parquet(dirs["src"])
+    stream = read_event_stream(spark, dirs["src"], max_files_per_trigger=1)
+    q = AM.cms_sink(stream, dirs["table"], dirs["ckpt"], "event_type")
+    assert q.awaitTermination(120)
+
+    halves[1].coalesce(1).write.mode("append").parquet(dirs["src"])
+    stream2 = read_event_stream(spark, dirs["src"], max_files_per_trigger=1)
+    q2 = AM.cms_sink(stream2, dirs["table"], dirs["ckpt"], "event_type")
+    assert q2.awaitTermination(120)
+
+    def cells(df):
+        return {(r["row"], r["bucket"], r["n"]) for r in df.collect()}
+
+    expect = cells(cms_table(e, "event_type"))
+    got = cells(spark.read.parquet(dirs["table"]))
+    assert got == expect and got  # merged sketch == one-shot sketch
+
+    # estimates served from the maintained table dominate exact counts
+    cands = e.select("event_type").distinct()
+    est = {
+        r["event_type"]: r["cms_n"]
+        for r in cms_estimate_join(
+            cands, spark.read.parquet(dirs["table"]), "event_type"
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for k, n in exact.items():
+        assert est[k] >= n  # CMS never underestimates
