@@ -195,6 +195,9 @@ BENCH_QUERIES = [
     # round 2 batch 17
     "bloom_seen_customers",
     "mmr_rerank_topk",
+    # round 2 batch 18 (dedup_rewrite_survivors not benched — iterative
+    # CC rounds, the dedup_end_to_end reason)
+    "global_shuffle_positions",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -8989,6 +8989,112 @@ def bloom_seen_customers(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-2 batch 18: seeded global shuffle order, dedup rewrite output
+# ===========================================================================
+
+_SHUF_A, _SHUF_B = minhash_coeffs(3, seed=99)[2]
+_SHUF_BATCH = 256
+
+_GLOBAL_SHUFFLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         {minhash_permute_sql(poly_hash_sql('CAST(doc_id AS VARCHAR)'), _SHUF_A, _SHUF_B)} AS skey
+  FROM documents
+),
+r AS (
+  SELECT doc_id, skey,
+         (row_number() OVER (ORDER BY skey, doc_id) - 1)::BIGINT AS position
+  FROM s
+)
+SELECT doc_id, skey, position, (position // {_SHUF_BATCH})::BIGINT AS batch_id
+FROM r
+"""
+
+
+@q("global_shuffle_positions", _GLOBAL_SHUFFLE_SQL)
+def global_shuffle_positions(spark, sf_dir):
+    """Seeded GLOBAL shuffle order for training — every epoch's data
+    loader needs each example's position in a deterministic random
+    permutation, and the naive ``row_number() OVER (ORDER BY key)`` is
+    the single-partition funnel. The shuffle key is the portable affine
+    permutation of the doc hash (seeded, repartition-stable), and the
+    global 0-based position comes from the pack_sequences two-phase
+    decomposition (operators/packing.global_prefix_sum with a ones
+    column): range-partition by key, per-partition local ranks, one
+    window over the ≤num_parts partition totals, broadcast back. The
+    derived batch_id (position div {_SHUF_BATCH}) is the epoch's batch
+    assignment. At 100 TB the sort parallelizes by range and no task
+    ever holds more than its slice."""
+    from movievectorsearch_spark.operators.packing import global_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    skey = minhash_permute(
+        poly_hash(F.col("doc_id").cast("string")), _SHUF_A, _SHUF_B
+    )
+    dd = (
+        d.withColumn("skey", skey)
+        .withColumn("_ord", F.struct("skey", "doc_id"))
+        .withColumn("one", F.lit(1))
+    )
+    out = global_prefix_sum(dd, "_ord", "one", out="position", num_parts=32)
+    return out.select(
+        "doc_id",
+        "skey",
+        F.col("position").cast("bigint").alias("position"),
+        F.expr(f"CAST(position div {_SHUF_BATCH} AS BIGINT)").alias("batch_id"),
+    )
+
+
+_SURVIVORS_SQL = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+pairs AS ({_NGRAM_SELECT}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@q("dedup_rewrite_survivors", _SURVIVORS_SQL)
+def dedup_rewrite_survivors(spark, sf_dir):
+    """The dedup REWRITE itself — the corpus that ships: pairs →
+    connected components → keep-one rule (cluster minimum) applied as a
+    row filter, completing the pairs/clusters/attrition family with the
+    actual surviving-document output. Docs outside the pair graph pass
+    through untouched (LEFT join, null cluster); cluster members
+    survive only as the canonical minimum. One broadcast-able join of
+    the small cc table onto the corpus scan — the rewrite costs one
+    pass over the data regardless of corpus size."""
+    from movievectorsearch_spark.operators.cluster import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", _SHINGLE_N, _NGRAM_THRESHOLD, ["lang"]
+    )
+    cc = connected_components(pairs, "a_id", "b_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+    joined = d.join(F.broadcast(cc), "doc_id", "left")
+    return (
+        joined.filter(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -9143,6 +9249,10 @@ _RECHECK_FIRST = [
     "pii_cluster_quarantine",
     # new in round-2 batch 17
     "bloom_seen_customers",
+    "mmr_rerank_topk",
+    # new in round-2 batch 18
+    "global_shuffle_positions",
+    "dedup_rewrite_survivors",
 ]
 
 

@@ -33,3 +33,25 @@ def test_min_id_wins_regardless_of_edge_order(spark):
 def test_clique_single_round(spark):
     got = _cc(spark, [(1, 2), (1, 3), (2, 3)])
     assert set(got.values()) == {1}
+
+
+def test_dedup_rewrite_survivor_arithmetic(spark, sf_dir):
+    """survivors = total_docs − (Σ cluster_size − #clusters): every
+    cluster keeps exactly one member, everything else passes through."""
+    from pyspark.sql import functions as F
+
+    from movievectorsearch_spark.plans import queries as Q
+    from movievectorsearch_spark.catalog import load_table
+
+    survivors = Q.QUERIES["dedup_rewrite_survivors"]["spark"](spark, sf_dir)
+    clusters = Q.QUERIES["dedup_clusters"]["spark"](spark, sf_dir)
+    total = load_table(spark, sf_dir, "documents").count()
+    agg = clusters.agg(
+        F.count("*").alias("members"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    ).collect()[0]
+    assert survivors.count() == total - (agg["members"] - agg["n_clusters"])
+    # the kept member of every cluster is its minimum id
+    kept = {r["doc_id"] for r in survivors.collect()}
+    for r in clusters.collect():
+        assert (r["doc_id"] in kept) == (r["doc_id"] == r["cluster_id"])

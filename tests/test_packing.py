@@ -70,3 +70,20 @@ def test_per_partition_windows_not_global(spark, sf_dir):
     )
     assert "rangepartitioning" in plan.lower()
     assert "windowspecdefinition(_pid" in plan.replace(" ", "").lower()
+
+
+def test_global_shuffle_positions_is_permutation(spark, sf_dir):
+    """Positions are exactly 0..N-1 (no gaps, no dups), follow the
+    (skey, doc_id) order, and are stable across runs."""
+    from movievectorsearch_spark.plans import queries as Q
+
+    rows = Q.QUERIES["global_shuffle_positions"]["spark"](spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["position"] for r in rows) == list(range(n))
+    ordered = sorted(rows, key=lambda r: (r["skey"], r["doc_id"]))
+    assert [r["position"] for r in ordered] == list(range(n))
+    assert all(r["batch_id"] == r["position"] // 256 for r in rows)
+    rows2 = Q.QUERIES["global_shuffle_positions"]["spark"](spark, sf_dir).collect()
+    assert {(r["doc_id"], r["position"]) for r in rows} == {
+        (r["doc_id"], r["position"]) for r in rows2
+    }

@@ -131,6 +131,8 @@ PROBE_QUERIES = [
     # round 2 batch 17 (linear shapes; bloom probe is broadcast-join)
     "bloom_seen_customers",
     "mmr_rerank_topk",
+    # round 2 batch 18 (two-phase global rank — linearithmic)
+    "global_shuffle_positions",
 ]
 
 SHIFT_KEYS = {
