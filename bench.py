@@ -198,6 +198,11 @@ BENCH_QUERIES = [
     # round 2 batch 18 (dedup_rewrite_survivors not benched — iterative
     # CC rounds, the dedup_end_to_end reason)
     "global_shuffle_positions",
+    # round 2 batch 19
+    "events_trend_slope",
+    "session_pattern_match",
+    # round 2 batch 20
+    "dataset_datasheet",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -9095,6 +9095,233 @@ def dedup_rewrite_survivors(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-2 batch 19: per-group trend slopes, session pattern matching
+# ===========================================================================
+
+_TREND_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hourly),
+spine AS (
+  SELECT t.event_type, u.hr
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds,
+       LATERAL (SELECT unnest(generate_series(bounds.h0, bounds.h1,
+                                              INTERVAL 1 HOUR)) AS hr) u
+),
+series AS (
+  SELECT s.event_type,
+         (CAST(floor(epoch(s.hr)) AS BIGINT) // 3600
+          - (SELECT CAST(floor(epoch(h0)) AS BIGINT) // 3600 FROM bounds))
+           AS x,
+         coalesce(h.c, 0)::BIGINT AS y
+  FROM spine s LEFT JOIN hourly h
+       ON s.event_type = h.event_type AND s.hr = h.hr
+),
+sums AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+         sum(x * y)::BIGINT AS sxy
+  FROM series GROUP BY event_type
+)
+SELECT event_type, n AS n_hours,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_hour,
+       round(sy / CAST(n AS DOUBLE), 6) AS mean_per_hour
+FROM sums ORDER BY event_type
+"""
+
+
+@q("events_trend_slope", _TREND_SQL)
+def events_trend_slope(spark, sf_dir):
+    """Per-type traffic trend: OLS slope of the zero-filled hourly
+    count series — the drift detector behind 'is this event type
+    growing or dying'. The regression needs only four exact-int
+    sufficient statistics per group (Σx, Σy, Σx², Σxy over integer
+    hour indices and counts — the corr_qty_discount recipe applied to
+    trend), so partials combine losslessly and the only doubles are
+    two final IEEE divisions. Int64 budget n·Σxy ≤ n²·x·y ≈
+    hours³·rate — exact to ~10⁴ hours × 10⁷ events/hour; shard into
+    DECIMAL(38,0) past that. Spine is wall-clock bounded like
+    resample_ffill."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    bounds = hourly.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    hours = bounds.select(
+        "h0", F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    series = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        F.expr(
+            "CAST(floor(unix_timestamp(hr)) AS BIGINT) div 3600 "
+            "- CAST(floor(unix_timestamp(h0)) AS BIGINT) div 3600"
+        ).alias("x"),
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("y"),
+    )
+    sums = series.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("slope_per_hour"),
+        F.round(F.col("sy") / F.col("n").cast("double"), 6).alias("mean_per_hour"),
+    ).orderBy("event_type")
+
+
+_USER_PATTERN_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT user_id, length(seq)::BIGINT AS n_events,
+         ((length(seq) - length(replace(seq, 'vc', ''))) // 2)::BIGINT AS n_vc,
+         strpos(seq, 'v') AS pv,
+         strpos(substr(seq, strpos(seq, 'v') + 1), 'c') AS pc_rel
+  FROM seqs
+),
+m2 AS (
+  SELECT user_id, n_events, n_vc, pv, pc_rel,
+         CASE WHEN pv > 0 AND pc_rel > 0
+              THEN strpos(substr(seq, pv + pc_rel + 1), 'p') ELSE 0 END AS pp_rel
+  FROM m JOIN seqs USING (user_id)
+)
+SELECT user_id, n_events, n_vc,
+       (pv > 0 AND pc_rel > 0 AND pp_rel > 0) AS funnel_vcp
+FROM m2 ORDER BY user_id
+"""
+
+
+@q("session_pattern_match", _USER_PATTERN_SQL)
+def session_pattern_match(spark, sf_dir):
+    """Event-sequence pattern matching over each user's ordered
+    history — the MATCH_RECOGNIZE workload without the operator: fold
+    the ordered event-type initials into one string per user
+    (array_sort over (ts, event_id, initial) structs — deterministic
+    total order in both engines), then answer patterns with
+    regex-FREE string arithmetic: adjacent view→click count via the
+    replace-and-measure identity, and the ordered v…c…p funnel via
+    chained first-occurrence positions. Literal/position matching is
+    deliberate — Spark regexes are Java (leftmost, backtracking) while
+    DuckDB's are RE2 (leftmost-longest), a cross-engine hazard the
+    arithmetic form sidesteps entirely. Per-user strings are bounded
+    by per-user event rate; one shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    eus = F.unix_micros(F.col("ts").cast("timestamp"))
+    item = F.struct(
+        eus.alias("us"),
+        F.col("event_id").alias("eid"),
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    seqs = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(item)), lambda t: t["ini"]),
+            "",
+        ).alias("seq")
+    )
+    m = seqs.select(
+        "user_id",
+        "seq",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST((length(seq) - length(replace(seq, 'vc', ''))) div 2 AS BIGINT)"
+        ).alias("n_vc"),
+        F.instr("seq", "v").alias("pv"),
+        F.expr("instr(substr(seq, instr(seq, 'v') + 1), 'c')").alias("pc_rel"),
+    )
+    m2 = m.withColumn(
+        "pp_rel",
+        F.when(
+            (F.col("pv") > 0) & (F.col("pc_rel") > 0),
+            F.expr("instr(substr(seq, pv + pc_rel + 1), 'p')"),
+        ).otherwise(F.lit(0)),
+    )
+    return m2.select(
+        "user_id",
+        "n_events",
+        "n_vc",
+        ((F.col("pv") > 0) & (F.col("pc_rel") > 0) & (F.col("pp_rel") > 0)).alias(
+            "funnel_vcp"
+        ),
+    ).orderBy("user_id")
+
+
+# ===========================================================================
+# Round-2 batch 20: the dataset datasheet
+# ===========================================================================
+
+_DATASHEET_SQL = f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         sum(len({tokens_sql('text')}))::BIGINT AS total_tokens,
+         sum(n_chars)::BIGINT AS total_chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(total_tokens)::BIGINT AS corpus_tokens FROM per)
+SELECT source, n_docs, n_langs, total_tokens, total_chars,
+       ((1000000 * total_tokens) // corpus_tokens)::BIGINT AS token_share_ppm,
+       (total_tokens // n_docs)::BIGINT AS avg_doc_tokens
+FROM per, tot ORDER BY source
+"""
+
+
+@q("dataset_datasheet", _DATASHEET_SQL)
+def dataset_datasheet(spark, sf_dir):
+    """The per-source dataset datasheet — the one-page summary every
+    corpus release ships (docs, languages, token counts, corpus share,
+    mean document length): one map-side-combining aggregate over the
+    scan plus a 1-row total broadcast, all exact integers. The
+    downstream consumers are the mixture sampler (shares feed
+    temperature weights) and the datasheet diff between corpus
+    versions (two runs + snapshot_diff). At 100 TB this is one pass at
+    scan speed — token counting is the same whitespace tokenizer every
+    text operator here shares."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    tot = per.agg(F.sum("total_tokens").cast("bigint").alias("corpus_tokens"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "total_tokens",
+            "total_chars",
+            F.expr(
+                "CAST((1000000 * total_tokens) div corpus_tokens AS BIGINT)"
+            ).alias("token_share_ppm"),
+            F.expr("CAST(total_tokens div n_docs AS BIGINT)").alias(
+                "avg_doc_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -9253,6 +9480,11 @@ _RECHECK_FIRST = [
     # new in round-2 batch 18
     "global_shuffle_positions",
     "dedup_rewrite_survivors",
+    # new in round-2 batch 19
+    "events_trend_slope",
+    "session_pattern_match",
+    # new in round-2 batch 20
+    "dataset_datasheet",
 ]
 
 

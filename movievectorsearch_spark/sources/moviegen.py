@@ -162,8 +162,14 @@ class MovieGenStreamReader(SimpleDataSourceStreamReader):
         return [gen_row(i) for i in range(lo, hi)], {"index": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        # exact replay on recovery: same ordinals → same bytes
-        return [gen_row(i) for i in range(start["index"], end["index"])]
+        # exact replay on recovery: same ordinals → same bytes. MUST be
+        # an actual iterator: on a prefetch-cache miss the wrapper hands
+        # this return value straight to the harness, which rejects lists
+        # (DATA_SOURCE_INVALID_RETURN_TYPE) — the cache-hit path made a
+        # list APPEAR to work, flaking only when replay was exercised.
+        # (read()'s non-empty batch stays a list on purpose: getCache
+        # re-serves entries via copy.copy, which is only safe for lists.)
+        return iter([gen_row(i) for i in range(start["index"], end["index"])])
 
     def commit(self, end: dict) -> None:
         pass

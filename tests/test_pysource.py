@@ -143,3 +143,19 @@ def test_stream_checkpoint_resume_no_reprocessing(mg, tmp_path):
     ids = sorted(r.gen_id for r in rows)
     # exactly-once across the restart: no gap, no duplicate
     assert ids == list(range(300))
+
+
+def test_read_between_offsets_returns_iterator():
+    """Replay-path contract: on a prefetch-cache miss the wrapper hands
+    readBetweenOffsets' return value straight to the harness, which
+    rejects lists — so this must be a real iterator (the cache-hit path
+    masked a list return, flaking only when replay was exercised)."""
+    from movievectorsearch_spark.sources.moviegen import MovieGenStreamReader
+
+    r = MovieGenStreamReader({"count": "10", "rowsPerBatch": "4"})
+    it = r.readBetweenOffsets({"index": 0}, {"index": 4})
+    assert iter(it) is it and hasattr(it, "__next__")
+    assert len(list(it)) == 4
+    drained, off = r.read({"index": 10})
+    assert iter(drained) is drained  # drained poll: also a real iterator
+    assert off == {"index": 10}

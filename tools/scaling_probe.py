@@ -133,6 +133,11 @@ PROBE_QUERIES = [
     "mmr_rerank_topk",
     # round 2 batch 18 (two-phase global rank — linearithmic)
     "global_shuffle_positions",
+    # round 2 batch 19 (linear shapes)
+    "events_trend_slope",
+    "session_pattern_match",
+    # round 2 batch 20 (linear shapes)
+    "dataset_datasheet",
 ]
 
 SHIFT_KEYS = {
