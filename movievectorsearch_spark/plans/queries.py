@@ -9072,9 +9072,12 @@ def dedup_rewrite_survivors(spark, sf_dir):
     row filter, completing the pairs/clusters/attrition family with the
     actual surviving-document output. Docs outside the pair graph pass
     through untouched (LEFT join, null cluster); cluster members
-    survive only as the canonical minimum. One broadcast-able join of
-    the small cc table onto the corpus scan — the rewrite costs one
-    pass over the data regardless of corpus size."""
+    survive only as the canonical minimum. One join of the cc table
+    onto the corpus scan — the rewrite costs one pass over the data.
+    The cc side carries one row per DOC-IN-A-PAIR — small on a clean
+    corpus but potentially a large fraction of a crawl, so NO broadcast
+    hint (AQE never demotes an explicit hint): the optimizer broadcasts
+    when the stats say it fits and key-shuffles otherwise."""
     from movievectorsearch_spark.operators.cluster import connected_components
 
     d = load_table(spark, sf_dir, "documents")
@@ -9084,7 +9087,7 @@ def dedup_rewrite_survivors(spark, sf_dir):
     cc = connected_components(pairs, "a_id", "b_id").withColumnRenamed(
         "id", "doc_id"
     )
-    joined = d.join(F.broadcast(cc), "doc_id", "left")
+    joined = d.join(cc, "doc_id", "left")
     return (
         joined.filter(
             F.col("cluster_id").isNull()

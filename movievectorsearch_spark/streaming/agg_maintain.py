@@ -38,6 +38,8 @@ __all__ = [
     "read_hist",
     "merge_cms_microbatch",
     "cms_sink",
+    "merge_bloom_microbatch",
+    "bloom_sink",
 ]
 
 
@@ -258,6 +260,60 @@ def cms_sink(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         merge_cms_microbatch(batch_df, table_dir, key_col, depth, width, seed)
+
+    w = stream_df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom maintenance — the membership member of the sketch
+# family maintained incrementally. Set-bit rows merge by UNION DISTINCT
+# (idempotent — re-setting a bit is a no-op), so like CMS the batch and
+# streamed filters are the SAME table; unlike counters, replayed
+# batches cannot even corrupt it.
+# ---------------------------------------------------------------------------
+
+def merge_bloom_microbatch(
+    batch_df: DataFrame,
+    table_dir: str,
+    key_col: str,
+    m_bits: int = 1 << 14,
+    k: int = 4,
+) -> None:
+    """Fold one micro-batch's set bits into the stored filter
+    (≤ m_bits single-int rows regardless of stream length)."""
+    from movievectorsearch_spark.operators.sketch import bloom_bits
+
+    spark = batch_df.sparkSession
+    recover_table(table_dir)
+    part = bloom_bits(batch_df, key_col, m_bits, k)
+    if os.path.isdir(table_dir):
+        base = spark.read.parquet(table_dir)
+        merged = base.unionByName(part).distinct()
+    else:
+        merged = part
+    atomic_swap(merged, table_dir)
+
+
+def bloom_sink(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    m_bits: int = 1 << 14,
+    k: int = 4,
+    available_now: bool = True,
+):
+    """Attach the incremental-Bloom sink; probes are served from the
+    maintained table with the unchanged bloom_probe — the streaming
+    seen-set in front of an incremental dedup join."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_bloom_microbatch(batch_df, table_dir, key_col, m_bits, k)
 
     w = stream_df.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_dir

@@ -158,3 +158,32 @@ def test_maintained_cms_equals_batch(spark, sf_dir, tmp_path):
     }
     for k, n in exact.items():
         assert est[k] >= n  # CMS never underestimates
+
+
+def test_maintained_bloom_equals_batch(spark, sf_dir, tmp_path):
+    from movievectorsearch_spark.operators.sketch import bloom_bits, bloom_probe
+
+    dirs = {k: str(tmp_path / k) for k in ("src", "table", "ckpt")}
+    e = load_table(spark, sf_dir, "events").limit(900).cache()
+    halves = e.randomSplit([1.0, 1.0], seed=13)
+
+    halves[0].coalesce(1).write.mode("overwrite").parquet(dirs["src"])
+    stream = read_event_stream(spark, dirs["src"], max_files_per_trigger=1)
+    q = AM.bloom_sink(stream, dirs["table"], dirs["ckpt"], "user_id")
+    assert q.awaitTermination(120)
+
+    halves[1].coalesce(1).write.mode("append").parquet(dirs["src"])
+    stream2 = read_event_stream(spark, dirs["src"], max_files_per_trigger=1)
+    q2 = AM.bloom_sink(stream2, dirs["table"], dirs["ckpt"], "user_id")
+    assert q2.awaitTermination(120)
+
+    got = {r["pos"] for r in spark.read.parquet(dirs["table"]).collect()}
+    expect = {r["pos"] for r in bloom_bits(e, "user_id").collect()}
+    assert got == expect and got  # merged filter == one-shot filter
+
+    # no false negatives through the maintained table
+    probe = e.select("user_id").distinct()
+    out = bloom_probe(
+        spark.read.parquet(dirs["table"]), probe, "user_id"
+    ).collect()
+    assert out and all(r["maybe_seen"] for r in out)

@@ -469,3 +469,80 @@ def test_hashed_tfidf_single_tokenize(spark, sf_dir):
     # 4 Generates); a lower bound would be vacuous
     assert p.count("documents.parquet") <= 2
     assert p.count(") Generate") <= 2
+
+
+# ---------------------------------------------------------------------------
+# Batches 14-20 plan gates
+# ---------------------------------------------------------------------------
+
+def test_markov_single_user_shuffle(spark, sf_dir):
+    """The sequence pass shuffles once on user_id; the row-normalize
+    window runs over the aggregated type-pair rows, not raw events."""
+    p = plan_of(spark, sf_dir, "next_event_markov")
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_target_encoding_broadcasts_totals(spark, sf_dir):
+    """The global prior is a 1-row broadcast, never a sum() over ()
+    window on raw rows."""
+    p = plan_of(spark, sf_dir, "target_encoding_smoothed")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "Window" not in p
+
+
+def test_outliers_topk_uses_window_group_limit(spark, sf_dir):
+    """Per-label top-3 must prune below the window (WindowGroupLimit on
+    Spark 4), and the centroid join must broadcast."""
+    p = plan_of(spark, sf_dir, "embedding_outliers_by_label")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_containment_pairs_no_cartesian(spark, sf_dir):
+    """Band candidates stay an equi-join; the estimator never re-reads
+    text (single pass builds signatures)."""
+    p = plan_of(spark, sf_dir, "containment_minhash_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bloom_probe_broadcasts_bits(spark, sf_dir):
+    """The bit table (≤m single-int rows) must broadcast into the probe
+    join — the corpus/probe side never shuffles for membership."""
+    p = plan_of(spark, sf_dir, "bloom_seen_customers")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_global_shuffle_has_range_partitioning_no_global_window(spark, sf_dir):
+    """The two-phase rank: range partitioning present; the only
+    unpartitioned window runs over the ≤num_parts totals table (its
+    input is an aggregate, not the corpus)."""
+    p = plan_of(spark, sf_dir, "global_shuffle_positions")
+    assert "rangepartitioning(_ord" in p
+    # the corpus-sized window is keyed by _pid (partition-local); the
+    # only SinglePartition exchange feeds the ≤num_parts totals window
+    assert "hashpartitioning(_pid" in p
+
+
+def test_trend_slope_is_two_aggregates(spark, sf_dir):
+    """OLS from sufficient statistics: aggregates only, no window, no
+    cartesian beyond the broadcast spine."""
+    p = plan_of(spark, sf_dir, "events_trend_slope")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_survivors_join_has_no_forced_broadcast_of_cc(spark, sf_dir):
+    """The cc side may be a large crawl fraction: the plan must come
+    from optimizer stats, not a hint (AQE cannot demote hints). At this
+    SF the optimizer may still CHOOSE broadcast — the gate is only that
+    the query builds without a hint; assert the join exists."""
+    from movievectorsearch_spark.plans import queries as Q
+    import inspect
+
+    src = inspect.getsource(Q.dedup_rewrite_survivors)
+    assert "F.broadcast(cc" not in src
+    p = plan_of(spark, sf_dir, "dedup_rewrite_survivors")
+    assert "Join" in p
