@@ -203,6 +203,9 @@ BENCH_QUERIES = [
     "session_pattern_match",
     # round 2 batch 20
     "dataset_datasheet",
+    # round 2 batch 21
+    "events_anomaly_mad",
+    "orders_market_basket",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -9325,6 +9325,175 @@ def dataset_datasheet(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-2 batch 21: robust MAD anomaly detection, market-basket lift
+# ===========================================================================
+
+_MAD_K = 3  # flag hours where |c - median| > K * MAD
+
+_ANOMALY_MAD_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hourly),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM bounds
+),
+series AS (
+  SELECT s.hr, coalesce(h.c, 0)::BIGINT AS c
+  FROM spine s LEFT JOIN hourly h ON s.hr = h.hr
+),
+r1 AS (
+  SELECT hr, c, row_number() OVER (ORDER BY c, hr) AS rn,
+         count(*) OVER () AS n
+  FROM series
+),
+med AS (SELECT c AS med_c FROM r1 WHERE rn = (n + 1) // 2),
+r2 AS (
+  SELECT s.hr, s.c, abs(s.c - m.med_c) AS adev, m.med_c
+  FROM series s, med m
+),
+r3 AS (
+  SELECT hr, c, adev, med_c,
+         row_number() OVER (ORDER BY adev, hr) AS rn, count(*) OVER () AS n
+  FROM r2
+),
+mad AS (SELECT adev AS mad_c FROM r3 WHERE rn = (n + 1) // 2)
+SELECT strftime(r2.hr, '%Y-%m-%d %H:%M:%S') AS hour, r2.c AS n_events,
+       r2.med_c AS median_hourly, mad.mad_c AS mad_hourly
+FROM r2, mad
+WHERE r2.adev > {_MAD_K} * mad.mad_c
+ORDER BY r2.hr
+"""
+
+
+@q("events_anomaly_mad", _ANOMALY_MAD_SQL)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust traffic anomalies: hours whose zero-filled count deviates
+    from the series MEDIAN by more than {K}×MAD — the
+    outlier-resistant twin of events_burst_detection's 3σ rule (a
+    single huge burst inflates σ and hides smaller bursts; the median
+    and MAD barely move). Median/MAD are the exact selection elements
+    (the exact_median_mad_by_type recipe on the hour series), every
+    comparison is pure int64, and the series is wall-clock bounded so
+    the rank windows are deliberately single-partition — same rationale
+    as events_autocorr."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    bounds = hourly.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    series = spine.join(hourly, "hr", "left").select(
+        "hr", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+    )
+    w1 = Window.orderBy("c", "hr")
+    wc = Window.partitionBy()
+    r1 = series.select(
+        "hr", "c", F.row_number().over(w1).alias("rn"), F.count("*").over(wc).alias("n")
+    )
+    med = r1.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        F.col("c").alias("med_c")
+    )
+    r2 = series.crossJoin(F.broadcast(med)).select(
+        "hr", "c", F.abs(F.col("c") - F.col("med_c")).alias("adev"), "med_c"
+    )
+    w2 = Window.orderBy("adev", "hr")
+    r3 = r2.select(
+        "adev", F.row_number().over(w2).alias("rn"), F.count("*").over(wc).alias("n")
+    )
+    mad = r3.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        F.col("adev").alias("mad_c")
+    )
+    return (
+        r2.crossJoin(F.broadcast(mad))
+        .filter(F.col("adev") > _MAD_K * F.col("mad_c"))
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("c").alias("n_events"),
+            F.col("med_c").alias("median_hourly"),
+            F.col("mad_c").alias("mad_hourly"),
+        )
+        .orderBy("hour")
+    )
+
+
+_BASKET_MIN_SUPPORT = 2
+_BASKET_TOP = 20
+
+_BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+no AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM items),
+pc AS (SELECT pk, count(*)::BIGINT AS n_p FROM items GROUP BY pk),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, count(*)::BIGINT AS n_ab
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.n_ab,
+         ((1000000 * p.n_ab * no.n_orders) // (ca.n_p * cb.n_p))::BIGINT
+           AS lift_ppm
+  FROM pairs p JOIN pc ca ON ca.pk = p.part_a
+       JOIN pc cb ON cb.pk = p.part_b, no
+  WHERE p.n_ab >= {_BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, n_ab, lift_ppm
+FROM scored ORDER BY lift_ppm DESC, part_a, part_b LIMIT {_BASKET_TOP}
+"""
+
+
+@q("orders_market_basket", _BASKET_SQL)
+def orders_market_basket(spark, sf_dir):
+    """Market-basket lift: part pairs co-ordered more than chance —
+    lift = P(ab)/(P(a)P(b)) in exact ppm over the distinct
+    (order, part) incidence. The pair stage is a self-join on the
+    ORDER key, so pair work is Σ items_per_order² — bounded by basket
+    size (≤7 lineitems in this schema), never corpus²; the classic
+    co-occurrence shape covisitation_pairs uses for events, applied to
+    the relational fact table with the probabilistic normalization.
+    Int64 budget: 1e6·n_ab·n_orders exact to ~9e12 co-orders (shard
+    into DECIMAL(38,0) past that). Minimum support {_BASKET_MIN_SUPPORT}
+    keeps one-off coincidences out of the lift ranking."""
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    no = items.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    pc = items.groupBy("pk").agg(F.count("*").cast("bigint").alias("n_p"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(pc.select(F.col("pk").alias("part_a"), F.col("n_p").alias("na")), "part_a")
+        .join(pc.select(F.col("pk").alias("part_b"), F.col("n_p").alias("nb")), "part_b")
+        .crossJoin(F.broadcast(no))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr(
+                "CAST((1000000 * n_ab * n_orders) div (na * nb) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_ppm"), F.asc("part_a"), F.asc("part_b")
+    ).limit(_BASKET_TOP)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -9488,6 +9657,9 @@ _RECHECK_FIRST = [
     "session_pattern_match",
     # new in round-2 batch 20
     "dataset_datasheet",
+    # new in round-2 batch 21
+    "events_anomaly_mad",
+    "orders_market_basket",
 ]
 
 

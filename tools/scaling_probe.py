@@ -138,6 +138,9 @@ PROBE_QUERIES = [
     "session_pattern_match",
     # round 2 batch 20 (linear shapes)
     "dataset_datasheet",
+    # round 2 batch 21 (linear / basket-bounded shapes)
+    "events_anomaly_mad",
+    "orders_market_basket",
 ]
 
 SHIFT_KEYS = {
