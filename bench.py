@@ -206,6 +206,11 @@ BENCH_QUERIES = [
     # round 2 batch 21
     "events_anomaly_mad",
     "orders_market_basket",
+    # round 2 batch 22 (leakage_safe_split intentionally not benched:
+    # its connected-components rounds are fixed job-scheduling overhead
+    # on local[32], same rationale as dedup_clusters/dedup_end_to_end)
+    "bpe_apply_encode",
+    "length_bucket_padding",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -9494,6 +9494,319 @@ def orders_market_basket(spark, sf_dir):
     ).limit(_BASKET_TOP)
 
 
+# ===========================================================================
+# Round-2 batch 22: leakage-safe split, BPE apply, length-bucket padding
+# ===========================================================================
+
+_SPLIT_TEST_PCT = 10
+_SPLIT_VALID_PCT = 10  # valid band is [test, test+valid)
+
+
+def _split_case_sql(key_expr: str) -> str:
+    h = f"({poly_hash_sql(f'CAST({key_expr} AS VARCHAR)')} % 100)"
+    return (
+        f"CASE WHEN {h} < {_SPLIT_TEST_PCT} THEN 'test' "
+        f"WHEN {h} < {_SPLIT_TEST_PCT + _SPLIT_VALID_PCT} THEN 'valid' "
+        f"ELSE 'train' END"
+    )
+
+
+_LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+pairs AS ({_NGRAM_SELECT}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+allc AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         len({tokens_sql('d.text')})::BIGINT AS n_tokens
+  FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id
+),
+lab AS (
+  SELECT doc_id, cluster_id, n_tokens,
+         {_split_case_sql('cluster_id')} AS split,
+         {_split_case_sql('doc_id')} AS naive_split
+  FROM allc
+),
+leaks AS (
+  SELECT
+    coalesce(sum(CASE WHEN la.naive_split <> lb.naive_split THEN 1 ELSE 0 END),
+             0)::BIGINT AS naive_leak_pairs,
+    coalesce(sum(CASE WHEN la.split <> lb.split THEN 1 ELSE 0 END),
+             0)::BIGINT AS cluster_leak_pairs
+  FROM pairs p JOIN lab la ON la.doc_id = p.a_id
+       JOIN lab lb ON lb.doc_id = p.b_id
+)
+SELECT l.split, count(*)::BIGINT AS n_docs,
+       count(DISTINCT l.cluster_id)::BIGINT AS n_clusters,
+       sum(l.n_tokens)::BIGINT AS total_tokens,
+       k.naive_leak_pairs, k.cluster_leak_pairs
+FROM lab l, leaks k
+GROUP BY l.split, k.naive_leak_pairs, k.cluster_leak_pairs
+ORDER BY l.split
+"""
+
+
+@q("leakage_safe_split", _LEAKAGE_SPLIT_SQL)
+def leakage_safe_split(spark, sf_dir):
+    """Train/valid/test split where near-duplicate CLUSTERS are atomic:
+    the split key is the connected-component representative, not the
+    document, so a near-copy of a training document can never land in
+    the eval split (the contamination mode doc-level hash splits
+    permit — a real measured hazard in pretraining corpora). Clusters
+    come from the n-gram Jaccard pair graph (operators/cluster.py);
+    singleton docs are their own cluster, so the gate reduces to the
+    doc hash for unique content. The output datasheet reports per-split
+    docs/clusters/tokens plus the two leak counters: candidate pairs
+    spanning splits under the naive doc-hash gate (non-zero — the
+    hazard) and under the cluster gate (structurally zero — computed,
+    not asserted). Scale: the split itself is one hash gate at scan
+    speed once clusters exist; cluster reuse is the same artifact the
+    dedup rewrite already produces."""
+    from movievectorsearch_spark.operators.cluster import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        D.ngram_jaccard_pairs(
+            d, "doc_id", "text", _SHINGLE_N, _NGRAM_THRESHOLD, ["lang"]
+        )
+        .select("a_id", "b_id")
+        .persist()
+    )
+    cc = connected_components(pairs, "a_id", "b_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+    def gate(col):
+        h = poly_hash(col.cast("string")) % 100
+        return (
+            F.when(h < _SPLIT_TEST_PCT, "test")
+            .when(h < _SPLIT_TEST_PCT + _SPLIT_VALID_PCT, "valid")
+            .otherwise("train")
+        )
+
+    lab = (
+        d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "n_tokens",
+        )
+        .withColumn("split", gate(F.col("cluster_id")))
+        .withColumn("naive_split", gate(F.col("doc_id")))
+    )
+    leaks = (
+        pairs.join(
+            lab.select(
+                F.col("doc_id").alias("a_id"),
+                F.col("split").alias("sa"),
+                F.col("naive_split").alias("na"),
+            ),
+            "a_id",
+        )
+        .join(
+            lab.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("split").alias("sb"),
+                F.col("naive_split").alias("nb"),
+            ),
+            "b_id",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("naive_leak_pairs"),
+            F.coalesce(
+                F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("cluster_leak_pairs"),
+        )
+    )
+    return (
+        lab.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            "split", "n_docs", "n_clusters", "total_tokens",
+            "naive_leak_pairs", "cluster_leak_pairs",
+        )
+        .orderBy("split")
+    )
+
+
+# A trained BPE merge table is an artifact (ordered pairs), applied here
+# single-pass per rule — the literal list plays the role bpe_merge_step's
+# output would after K training iterations.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("an", "d"),
+]
+_BPE_APPLY_TOP = 20
+
+
+def _bpe_chain_sql(base: str) -> str:
+    s = base
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, '|{a}|{b}|', '|{a}{b}|')"
+    return s
+
+
+_BPE_ENC_BASE = "'|' || regexp_replace(word, '(.)', '\\1|', 'g')"
+
+_BPE_APPLY_SQL = f"""
+WITH w AS (
+  SELECT u.word, count(*)::BIGINT AS n_occ
+  FROM documents d,
+       LATERAL (SELECT unnest({tokens_sql('d.text')}) AS word) u
+  GROUP BY u.word
+),
+enc AS (
+  SELECT n_occ,
+         {_bpe_chain_sql(_BPE_ENC_BASE)}
+           AS enc
+  FROM w
+),
+sym AS (
+  SELECT s.sym, e.n_occ
+  FROM enc e, LATERAL (SELECT unnest(string_split(e.enc, '|')) AS sym) s
+  WHERE len(s.sym) > 1
+),
+agg AS (SELECT sym, sum(n_occ)::BIGINT AS n_occurrences FROM sym GROUP BY sym)
+SELECT row_number() OVER (ORDER BY n_occurrences DESC, sym)::INTEGER AS rank,
+       sym AS symbol, n_occurrences
+FROM agg ORDER BY n_occurrences DESC, sym LIMIT {_BPE_APPLY_TOP}
+"""
+
+
+@q("bpe_apply_encode", _BPE_APPLY_SQL)
+def bpe_apply_encode(spark, sf_dir):
+    """Tokenizer APPLY — the other half of bpe_merge_step (training
+    counts pairs; serving encodes text with the trained merge table).
+    The merge list is a literal artifact parameter. Encoding is pure
+    string expressions: each word becomes '|'-delimited symbols
+    ('|t|h|e|'), and each rule (a,b) is one replace of '|a|b|' →
+    '|ab|' — the delimiters make symbol boundaries unambiguous, so a
+    rule can never match across a previously merged symbol (('h','e')
+    cannot fire inside '|th|e|'), and both engines' replace() is
+    left-to-right non-overlapping, which IS single-pass BPE merge
+    order. The scalable shape: encode each DISTINCT word once
+    (vocab-sized work, not corpus-sized — the standard tokenizer-apply
+    optimization) and weight by occurrence count; output is the merged
+    symbols actually in use, ranked by weighted frequency."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_occ"))
+    )
+    enc_expr = "'|' || regexp_replace(word, '(.)', '$1|')"
+    for a, b in _BPE_MERGES:
+        enc_expr = f"replace({enc_expr}, '|{a}|{b}|', '|{a}{b}|')"
+    enc = w.select("n_occ", F.expr(enc_expr).alias("enc"))
+    sym = enc.select(
+        "n_occ", F.explode(F.split("enc", r"\|")).alias("sym")
+    ).filter(F.length("sym") > 1)
+    agg = sym.groupBy("sym").agg(
+        F.sum("n_occ").cast("bigint").alias("n_occurrences")
+    )
+    top = agg.orderBy(F.desc("n_occurrences"), F.asc("sym")).limit(
+        _BPE_APPLY_TOP
+    )
+    rw = Window.orderBy(F.desc("n_occurrences"), F.asc("sym"))
+    return top.withColumn("rank", F.row_number().over(rw)).select(
+        "rank", F.col("sym").alias("symbol"), "n_occurrences"
+    )
+
+
+# fixed sequence-length schedule — a training-config parameter, not a
+# data property (pow-2 bins up to the context cap; longer docs truncate)
+_LEN_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+_LEN_CAP = _LEN_BUCKETS[-1]
+
+
+def _bucket_case_sql(n: str) -> str:
+    whens = " ".join(
+        f"WHEN {n} <= {b} THEN {b}" for b in _LEN_BUCKETS
+    )
+    return f"CASE {whens} ELSE {_LEN_CAP} END"
+
+
+_LEN_BUCKET_SQL = f"""
+WITH t AS (
+  SELECT len({tokens_sql('text')})::BIGINT AS n_tokens FROM documents
+),
+b AS (
+  SELECT n_tokens,
+         LEAST(n_tokens, {_LEN_CAP}) AS eff,
+         ({_bucket_case_sql(f'LEAST(n_tokens, {_LEN_CAP})')})::BIGINT
+           AS bucket_len
+  FROM t
+)
+SELECT bucket_len, count(*)::BIGINT AS n_docs,
+       sum(eff)::BIGINT AS total_tokens,
+       sum(bucket_len - eff)::BIGINT AS total_padding,
+       sum(GREATEST(n_tokens - {_LEN_CAP}, 0))::BIGINT AS total_truncated,
+       ((1000000 * sum(bucket_len - eff)) // (count(*) * bucket_len))::BIGINT
+         AS padding_ppm
+FROM b GROUP BY bucket_len ORDER BY bucket_len
+"""
+
+
+@q("length_bucket_padding", _LEN_BUCKET_SQL)
+def length_bucket_padding(spark, sf_dir):
+    """Padding-waste accounting for length-bucketed training batches:
+    each document lands in the smallest power-of-2 sequence bucket that
+    holds it (fixed schedule up to the context cap; longer docs
+    truncate), and the datasheet reports per-bucket docs, real tokens,
+    padding tokens, truncated tokens, and the padding fraction in ppm
+    — the number that decides whether the bucket schedule (vs
+    pack_sequences' dense packing) is acceptable. One scan + one
+    map-side-combining aggregate; every quantity is exact int64."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(token_count(F.col("text")).cast("bigint").alias("n_tokens"))
+    eff = F.least(F.col("n_tokens"), F.lit(_LEN_CAP))
+    bucket = F.lit(_LEN_CAP)
+    for b in reversed(_LEN_BUCKETS):
+        bucket = F.when(eff <= b, F.lit(b)).otherwise(bucket)
+    bkt = t.select(
+        "n_tokens", eff.alias("eff"), bucket.cast("bigint").alias("bucket_len")
+    )
+    return (
+        bkt.groupBy("bucket_len")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("eff").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("bucket_len") - F.col("eff"))
+            .cast("bigint")
+            .alias("total_padding"),
+            F.sum(F.greatest(F.col("n_tokens") - _LEN_CAP, F.lit(0)))
+            .cast("bigint")
+            .alias("total_truncated"),
+            F.expr(
+                "CAST((1000000 * sum(bucket_len - eff))"
+                " div (count(*) * bucket_len) AS BIGINT)"
+            ).alias("padding_ppm"),
+        )
+        .orderBy("bucket_len")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -9660,6 +9973,10 @@ _RECHECK_FIRST = [
     # new in round-2 batch 21
     "events_anomaly_mad",
     "orders_market_basket",
+    # new in round-2 batch 22
+    "leakage_safe_split",
+    "bpe_apply_encode",
+    "length_bucket_padding",
 ]
 
 

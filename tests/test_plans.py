@@ -546,3 +546,22 @@ def test_survivors_join_has_no_forced_broadcast_of_cc(spark, sf_dir):
     assert "F.broadcast(cc" not in src
     p = plan_of(spark, sf_dir, "dedup_rewrite_survivors")
     assert "Join" in p
+
+
+def test_bpe_apply_stays_jvm_side(spark, sf_dir):
+    """The encode chain is pure string expressions — no Python
+    boundary anywhere, and the top-k is a heap, not a global sort."""
+    p = plan_of(spark, sf_dir, "bpe_apply_encode")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_length_bucket_is_single_aggregate(spark, sf_dir):
+    """One scan, one hash aggregate pair (partial + final), no join,
+    no window, no Python."""
+    p = plan_of(spark, sf_dir, "length_bucket_padding")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    assert "Window" not in p
+    # map-side combine: partial_ aggregate functions present
+    assert "partial_" in p

@@ -258,3 +258,99 @@ def test_seasonality_profile_sums_and_epoch_dow(spark, sf_dir):
     assert all(0 <= r["dow"] <= 6 and 0 <= r["hod"] <= 23 for r in out)
     # dow=0 must mean Sunday under (epoch_days + 4) % 7
     assert (dt.date(1970, 1, 4).toordinal() - dt.date(1970, 1, 1).toordinal() + 4) % 7 == 0
+
+
+def test_leakage_safe_split_partitions_and_zero_cluster_leaks(spark, sf_dir):
+    """Splits partition the corpus; the cluster gate leaks no candidate
+    pair across splits while the naive doc gate does (the hazard the
+    operator exists to remove — oracle parity alone can't say WHY the
+    counters differ)."""
+    from movievectorsearch_spark.catalog import load_table
+
+    out = Q.QUERIES["leakage_safe_split"]["spark"](spark, sf_dir).collect()
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_docs_total
+    assert {r["split"] for r in out} <= {"train", "valid", "test"}
+    leaks = {(r["naive_leak_pairs"], r["cluster_leak_pairs"]) for r in out}
+    assert len(leaks) == 1  # global counters, identical on every row
+    naive, clustered = leaks.pop()
+    assert clustered == 0
+    assert naive >= 0  # non-trivial corpora make this > 0; see sf0.01
+
+
+def test_bpe_apply_symbols_come_from_merge_table(spark, sf_dir):
+    """Every reported symbol must be producible by the literal merge
+    chain, and counts must be positive."""
+    out = Q.QUERIES["bpe_apply_encode"]["spark"](spark, sf_dir).collect()
+    producible = set()
+    for a, b in Q._BPE_MERGES:
+        producible.add(a + b)
+    assert out, "expected at least one merged symbol in the corpus"
+    for r in out:
+        assert r["symbol"] in producible
+        assert r["n_occurrences"] > 0
+    ranks = [r["rank"] for r in out]
+    assert ranks == list(range(1, len(out) + 1))
+
+
+def test_bpe_apply_single_pass_merge_model(spark, sf_dir):
+    """The delimiter-string encoding must equal a pure-Python
+    single-pass merge over symbol lists (the semantics the docstring
+    claims) for every distinct word in the corpus."""
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.functions.text import tokens
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    words = [
+        r["word"]
+        for r in d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .distinct()
+        .limit(500)
+        .collect()
+    ]
+
+    def py_encode(word):
+        syms = list(word)
+        for a, b in Q._BPE_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    enc_expr = "'|' || regexp_replace(word, '(.)', '$1|')"
+    for a, b in Q._BPE_MERGES:
+        enc_expr = f"replace({enc_expr}, '|{a}|{b}|', '|{a}{b}|')"
+    got = {
+        r["word"]: [s for s in r["enc"].split("|") if s]
+        for r in spark.createDataFrame([(w,) for w in words], "word string")
+        .select("word", F.expr(enc_expr).alias("enc"))
+        .collect()
+    }
+    for w in words:
+        if "|" in w:
+            continue  # delimiter collision: defined-degenerate, excluded
+        assert got[w] == py_encode(w), w
+
+
+def test_length_bucket_padding_accounting(spark, sf_dir):
+    """Buckets cover every doc once; padding identity
+    n_docs*bucket = total_tokens + total_padding holds per bucket."""
+    from movievectorsearch_spark.catalog import load_table
+
+    out = Q.QUERIES["length_bucket_padding"]["spark"](spark, sf_dir).collect()
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_docs_total
+    for r in out:
+        assert r["bucket_len"] in Q._LEN_BUCKETS
+        assert (
+            r["n_docs"] * r["bucket_len"]
+            == r["total_tokens"] + r["total_padding"]
+        )
+        assert 0 <= r["padding_ppm"] <= 1_000_000

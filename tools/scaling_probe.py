@@ -141,6 +141,10 @@ PROBE_QUERIES = [
     # round 2 batch 21 (linear / basket-bounded shapes)
     "events_anomaly_mad",
     "orders_market_basket",
+    # round 2 batch 22 (vocab-bounded / linear shapes; leakage_safe_split
+    # excluded like its pair-join + CC siblings)
+    "bpe_apply_encode",
+    "length_bucket_padding",
 ]
 
 SHIFT_KEYS = {
