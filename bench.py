@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     # on local[32], same rationale as dedup_clusters/dedup_end_to_end)
     "bpe_apply_encode",
     "length_bucket_padding",
+    "events_changepoint_cusum",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -9461,9 +9461,11 @@ def orders_market_basket(spark, sf_dir):
     into DECIMAL(38,0) past that). Minimum support {_BASKET_MIN_SUPPORT}
     keeps one-off coincidences out of the lift ranking."""
     l = load_table(spark, sf_dir, "lineitem")
-    items = l.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    items = (
+        l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .persist()  # reused 4× (totals, per-part counts, both join sides)
+    )
     no = items.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
     pc = items.groupBy("pk").agg(F.count("*").cast("bigint").alias("n_p"))
     a = items.alias("a")
@@ -9807,6 +9809,115 @@ def length_bucket_padding(spark, sf_dir):
     )
 
 
+_CUSUM_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hourly),
+spine AS (
+  SELECT t.event_type, u.hr
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds,
+       LATERAL (SELECT unnest(generate_series(bounds.h0, bounds.h1,
+                                              INTERVAL 1 HOUR)) AS hr) u
+),
+series AS (
+  SELECT s.event_type, s.hr, coalesce(h.c, 0)::BIGINT AS y
+  FROM spine s LEFT JOIN hourly h
+       ON s.event_type = h.event_type AND s.hr = h.hr
+),
+d AS (
+  SELECT event_type, hr, y,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(y) OVER (PARTITION BY event_type) AS t
+  FROM series
+),
+s AS (
+  SELECT event_type, hr, n, t,
+         sum(n * y - t) OVER (PARTITION BY event_type ORDER BY hr
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cusum
+  FROM d
+),
+sel AS (
+  SELECT event_type, hr, n, t, cusum,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(cusum) DESC, hr) AS rn
+  FROM s
+)
+SELECT event_type, n::BIGINT AS n_hours,
+       strftime(hr, '%Y-%m-%d %H:%M:%S') AS cp_hour,
+       cusum::BIGINT AS cusum_scaled,
+       round(CAST(abs(cusum) AS DOUBLE) / CAST(n * t AS DOUBLE), 6)
+         AS cusum_norm
+FROM sel WHERE rn = 1 ORDER BY event_type
+"""
+
+
+@q("events_changepoint_cusum", _CUSUM_SQL)
+def events_changepoint_cusum(spark, sf_dir):
+    """Change-point detection per event type: the hour where the CUSUM
+    of deviations from the series mean peaks — where the traffic level
+    SHIFTED, completing the time-series QA family (trend = drift,
+    autocorr = periodicity, MAD = outliers, this = level change).
+    Deviations are scaled by n (d = n·y − T) so the cumulative sum is
+    exact int64 with no division anywhere; the peak |S| hour is a
+    rank-1 selection, and the normalized magnitude |S|/(n·T) ∈ [0,1]
+    is the only double (one IEEE division, identical both engines).
+    All four windows share ONE partitioning (event_type) → a single
+    shuffle; each type's series is wall-clock bounded like
+    events_trend_slope. Int64 budget: |S| ≤ n·T ≈ hours²·rate —
+    exact to ~10⁴ hours × 10⁷ events/hour."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    bounds = hourly.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    series = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce("c", F.lit(0)).cast("bigint").alias("y")
+    )
+    wp = Window.partitionBy("event_type")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = series.select(
+        "event_type",
+        "hr",
+        "y",
+        F.count("*").over(wp).alias("n"),
+        F.sum("y").over(wp).alias("t"),
+    )
+    s = d.withColumn(
+        "cusum", F.sum(F.col("n") * F.col("y") - F.col("t")).over(wc)
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.asc("hr")
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_hours"),
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("cp_hour"),
+            F.col("cusum").cast("bigint").alias("cusum_scaled"),
+            F.round(
+                F.abs("cusum").cast("double")
+                / (F.col("n") * F.col("t")).cast("double"),
+                6,
+            ).alias("cusum_norm"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -9977,6 +10088,7 @@ _RECHECK_FIRST = [
     "leakage_safe_split",
     "bpe_apply_encode",
     "length_bucket_padding",
+    "events_changepoint_cusum",
 ]
 
 

@@ -565,3 +565,21 @@ def test_length_bucket_is_single_aggregate(spark, sf_dir):
     assert "Window" not in p
     # map-side combine: partial_ aggregate functions present
     assert "partial_" in p
+
+
+def test_cusum_windows_share_one_partitioning(spark, sf_dir):
+    """All four analytic windows must run over a SINGLE
+    hashpartitioning(event_type) exchange — a second window shuffle
+    would mean the count/total/cusum/rank stages stopped sharing their
+    partitioning. The spine/hourly joins must broadcast."""
+    df = Q.QUERIES["events_changepoint_cusum"]["spark"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    window_exchanges = [
+        m
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+        if m.startswith("event_type") and "," in m and m.count("#") == 1
+    ]
+    assert len(window_exchanges) == 1, window_exchanges
+    assert "BroadcastExchange" in p

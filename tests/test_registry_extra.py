@@ -354,3 +354,53 @@ def test_length_bucket_padding_accounting(spark, sf_dir):
             == r["total_tokens"] + r["total_padding"]
         )
         assert 0 <= r["padding_ppm"] <= 1_000_000
+
+
+def test_cusum_changepoint_model_parity(spark, sf_dir):
+    """The oracle proves engine agreement; this proves the DEFINITION:
+    the reported hour maximizes |Σ(n·y − T)| over a pure-Python replay
+    of the zero-filled series."""
+    from collections import defaultdict
+
+    from movievectorsearch_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    out = {
+        r["event_type"]: r
+        for r in Q.QUERIES["events_changepoint_cusum"]["spark"](
+            spark, sf_dir
+        ).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .count()
+        .collect()
+    )
+    counts = defaultdict(dict)
+    all_hours = set()
+    for r in rows:
+        counts[r["event_type"]][r["hr"]] = r["count"]
+        all_hours.add(r["hr"])
+    h0, h1 = min(all_hours), max(all_hours)
+    import datetime as dt
+
+    spine = []
+    h = h0
+    while h <= h1:
+        spine.append(h)
+        h = h + dt.timedelta(hours=1)
+    for etype, per in counts.items():
+        ys = [per.get(h, 0) for h in spine]
+        n, t = len(ys), sum(ys)
+        best = None
+        s = 0
+        for h, y in zip(spine, ys):
+            s += n * y - t
+            key = (-abs(s), h)
+            if best is None or key < best[0]:
+                best = (key, h, s)
+        r = out[etype]
+        assert r["n_hours"] == n
+        assert r["cp_hour"] == best[1].strftime("%Y-%m-%d %H:%M:%S")
+        assert r["cusum_scaled"] == best[2]

@@ -145,6 +145,7 @@ PROBE_QUERIES = [
     # excluded like its pair-join + CC siblings)
     "bpe_apply_encode",
     "length_bucket_padding",
+    "events_changepoint_cusum",
 ]
 
 SHIFT_KEYS = {
