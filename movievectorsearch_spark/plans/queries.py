@@ -4188,14 +4188,19 @@ _FUNNEL_MAX_TOK = 10_000
 _FUNNEL_FP_PREFIX = 8  # boilerplate-prefix dedup: first-k-token fingerprint
 
 
-def _funnel_sql() -> str:
+def _funnel_quality_sql() -> str:
+    """DuckDB mirror of TA.quality_score over CTE columns (toks, text)."""
     stop_list = ", ".join(repr(s) for s in TA.STOPWORDS)
-    quality = f"""round(
+    return f"""round(
       0.4 * (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END)
       + 0.3 * least(len(list_filter(toks, t -> t IN ({stop_list})))
               / greatest(len(toks)::DOUBLE, 1.0) * 5.0, 1.0)
       + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
               / greatest(length(text)::DOUBLE, 1.0)), 6)"""
+
+
+def _funnel_sql() -> str:
+    quality = _funnel_quality_sql()
     langs = ", ".join(repr(lang) for lang in _FUNNEL_LANGS)
     fp = poly_hash_sql(
         f"array_to_string(toks[1:{_FUNNEL_FP_PREFIX}], ' ')"
@@ -9918,6 +9923,148 @@ def events_changepoint_cusum(spark, sf_dir):
     )
 
 
+_RELEASE_SQL = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+pairs AS ({_NGRAM_SELECT}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+ft AS (SELECT doc_id, lang, text, {tokens_sql('text')} AS toks FROM documents),
+fb AS (
+  SELECT doc_id, toks,
+         (len(toks) BETWEEN {_FUNNEL_MIN_TOK} AND {_FUNNEL_MAX_TOK})
+         AND lang IN ({', '.join(repr(x) for x in _FUNNEL_LANGS)})
+         AND {_funnel_quality_sql()} >= {_FUNNEL_Q_MIN} AS pre_ok,
+         {poly_hash_sql(f"array_to_string(toks[1:{_FUNNEL_FP_PREFIX}], ' ')")}
+           AS fp
+  FROM ft
+),
+clean AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens
+  FROM (SELECT doc_id, toks, pre_ok,
+               doc_id = min(doc_id) OVER (PARTITION BY fp) AS first_of_fp
+        FROM fb) x
+  WHERE pre_ok AND first_of_fp
+),
+memb AS (
+  SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_id, c.n_tokens
+  FROM clean c LEFT JOIN cc k ON c.doc_id = k.doc_id
+),
+surv AS (
+  SELECT doc_id, cluster_id, n_tokens
+  FROM (SELECT *, min(doc_id) OVER (PARTITION BY cluster_id) AS keeper
+        FROM memb) y
+  WHERE doc_id = keeper
+),
+lab AS (
+  SELECT doc_id, n_tokens, {_split_case_sql('cluster_id')} AS split FROM surv
+),
+att AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_raw,
+         (SELECT count(*) FROM clean)::BIGINT AS n_clean,
+         (SELECT count(*) FROM surv)::BIGINT AS n_survivors
+)
+SELECT l.split, count(*)::BIGINT AS n_docs, sum(l.n_tokens)::BIGINT AS total_tokens,
+       a.n_raw, a.n_clean, a.n_survivors
+FROM lab l, att a
+GROUP BY l.split, a.n_raw, a.n_clean, a.n_survivors
+ORDER BY l.split
+"""
+
+
+@q("corpus_release_report", _RELEASE_SQL)
+def corpus_release_report(spark, sf_dir):
+    """The END-TO-END corpus build as one declarative plan — the
+    composition every training-data pipeline actually ships: quality
+    funnel (length band → language allow-list → composite quality
+    threshold → boilerplate-prefix dedup, the quality_filter_funnel
+    rules) → near-dup CLUSTER dedup over the survivors (keep the
+    min-doc_id CLEAN member per connected component — if a cluster's
+    canonical doc failed quality, the next clean member survives,
+    which the standalone keep-one rewrite can't express) →
+    leakage-safe split on the cluster representative → per-split
+    datasheet with the attrition trail (raw → clean → survivors)
+    broadcast onto every row. Each stage is a prior registry operator;
+    the value here is that the WHOLE chain stays one lazy plan — no
+    intermediate materialization, Catalyst sees every filter before
+    every shuffle. Scale: funnel is map-side + one fp window; clusters
+    are the CC artifact; everything downstream is hash gates and one
+    aggregate."""
+    from movievectorsearch_spark.operators.cluster import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    fb = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(toks).between(_FUNNEL_MIN_TOK, _FUNNEL_MAX_TOK)
+            & F.col("lang").isin(*_FUNNEL_LANGS)
+            & (TA.quality_score(F.col("text")) >= _FUNNEL_Q_MIN)
+        ).alias("pre_ok"),
+        poly_hash(
+            F.array_join(F.slice(toks, 1, _FUNNEL_FP_PREFIX), " ")
+        ).alias("fp"),
+    )
+    wfp = Window.partitionBy("fp")
+    clean = (
+        fb.withColumn("keeper_fp", F.min("doc_id").over(wfp))
+        .filter(F.col("pre_ok") & (F.col("doc_id") == F.col("keeper_fp")))
+        .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", _SHINGLE_N, _NGRAM_THRESHOLD, ["lang"]
+    ).select("a_id", "b_id")
+    cc = connected_components(pairs, "a_id", "b_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+    memb = clean.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_tokens",
+    )
+    wcl = Window.partitionBy("cluster_id")
+    surv = memb.withColumn("keeper", F.min("doc_id").over(wcl)).filter(
+        F.col("doc_id") == F.col("keeper")
+    )
+    h = poly_hash(F.col("cluster_id").cast("string")) % 100
+    lab = surv.select(
+        "n_tokens",
+        F.when(h < _SPLIT_TEST_PCT, "test")
+        .when(h < _SPLIT_TEST_PCT + _SPLIT_VALID_PCT, "valid")
+        .otherwise("train")
+        .alias("split"),
+    )
+    att = (
+        d.agg(F.count("*").cast("bigint").alias("n_raw"))
+        .crossJoin(
+            clean.agg(F.count("*").cast("bigint").alias("n_clean"))
+        )
+        .crossJoin(
+            surv.agg(F.count("*").cast("bigint").alias("n_survivors"))
+        )
+    )
+    return (
+        lab.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .crossJoin(F.broadcast(att))
+        .select(
+            "split", "n_docs", "total_tokens",
+            "n_raw", "n_clean", "n_survivors",
+        )
+        .orderBy("split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -10089,6 +10236,7 @@ _RECHECK_FIRST = [
     "bpe_apply_encode",
     "length_bucket_padding",
     "events_changepoint_cusum",
+    "corpus_release_report",
 ]
 
 

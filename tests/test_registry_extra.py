@@ -404,3 +404,69 @@ def test_cusum_changepoint_model_parity(spark, sf_dir):
         assert r["n_hours"] == n
         assert r["cp_hour"] == best[1].strftime("%Y-%m-%d %H:%M:%S")
         assert r["cusum_scaled"] == best[2]
+
+
+def test_corpus_release_attrition_monotone(spark, sf_dir):
+    """raw ≥ clean ≥ survivors = Σ per-split docs; tokens positive;
+    splits are a subset of the three labels."""
+    out = Q.QUERIES["corpus_release_report"]["spark"](spark, sf_dir).collect()
+    assert out
+    n_raw = out[0]["n_raw"]
+    n_clean = out[0]["n_clean"]
+    n_surv = out[0]["n_survivors"]
+    assert n_raw >= n_clean >= n_surv > 0
+    assert sum(r["n_docs"] for r in out) == n_surv
+    assert {r["split"] for r in out} <= {"train", "valid", "test"}
+    assert all(r["total_tokens"] > 0 for r in out)
+
+
+def test_corpus_release_survivor_rule_prefers_clean_members(spark, sf_dir):
+    """If a cluster's min-id member failed the quality gate, the
+    survivor must be the min CLEAN member — replay the rule in Python
+    over the operator's own building blocks."""
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.operators.cluster import connected_components
+    from movievectorsearch_spark.operators import dedup as D
+    from movievectorsearch_spark.operators import textanalysis as TA
+    from movievectorsearch_spark.functions.text import tokens
+    from movievectorsearch_spark.functions.hashing import poly_hash
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    fb = d.select(
+        "doc_id",
+        (
+            F.size(toks).between(Q._FUNNEL_MIN_TOK, Q._FUNNEL_MAX_TOK)
+            & F.col("lang").isin(*Q._FUNNEL_LANGS)
+            & (TA.quality_score(F.col("text")) >= Q._FUNNEL_Q_MIN)
+        ).alias("pre_ok"),
+        poly_hash(
+            F.array_join(F.slice(toks, 1, Q._FUNNEL_FP_PREFIX), " ")
+        ).alias("fp"),
+    ).collect()
+    first_of_fp = {}
+    for r in sorted(fb, key=lambda r: r["doc_id"]):
+        first_of_fp.setdefault(r["fp"], r["doc_id"])
+    clean = {
+        r["doc_id"]
+        for r in fb
+        if r["pre_ok"] and first_of_fp[r["fp"]] == r["doc_id"]
+    }
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", Q._SHINGLE_N, Q._NGRAM_THRESHOLD, ["lang"]
+    ).select("a_id", "b_id")
+    cc = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs, "a_id", "b_id").collect()
+    }
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc in clean:
+        members[cc.get(doc, doc)].append(doc)
+    expected_survivors = {min(v) for v in members.values()}
+    # replay equals the operator's survivor count
+    out = Q.QUERIES["corpus_release_report"]["spark"](spark, sf_dir).collect()
+    assert out[0]["n_survivors"] == len(expected_survivors)
+    assert out[0]["n_clean"] == len(clean)
