@@ -212,6 +212,9 @@ BENCH_QUERIES = [
     "bpe_apply_encode",
     "length_bucket_padding",
     "events_changepoint_cusum",
+    # round 2 batch 24
+    "join_size_estimate_cms",
+    "partition_skew_report",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

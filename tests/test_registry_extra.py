@@ -470,3 +470,31 @@ def test_corpus_release_survivor_rule_prefers_clean_members(spark, sf_dir):
     out = Q.QUERIES["corpus_release_report"]["spark"](spark, sf_dir).collect()
     assert out[0]["n_survivors"] == len(expected_survivors)
     assert out[0]["n_clean"] == len(clean)
+
+
+def test_join_estimate_never_underestimates(spark, sf_dir):
+    """CM inner-product estimate ≥ exact join size, and the exact side
+    matches a real join count."""
+    from movievectorsearch_spark.catalog import load_table
+
+    r = Q.QUERIES["join_size_estimate_cms"]["spark"](spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    true_rows = o.join(
+        c, o["o_custkey"] == c["c_custkey"]
+    ).count()
+    assert r["exact_rows"] == true_rows
+    assert r["est_rows"] >= r["exact_rows"]
+    assert r["overestimate_ppm"] >= 0
+
+
+def test_partition_skew_shares_sum_to_total(spark, sf_dir):
+    from movievectorsearch_spark.catalog import load_table
+
+    out = Q.QUERIES["partition_skew_report"]["spark"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in out) == total
+    assert all(0 <= r["bucket"] < Q._SKEW_BUCKETS for r in out)
+    # vs_even averages to ~1e6 across buckets (integer truncation aside)
+    mean_ratio = sum(r["vs_even_ppm"] for r in out) / len(out)
+    assert 0.5e6 < mean_ratio < 2e6

@@ -146,6 +146,9 @@ PROBE_QUERIES = [
     "bpe_apply_encode",
     "length_bucket_padding",
     "events_changepoint_cusum",
+    # round 2 batch 24 (scan-speed sketch/diagnostic shapes)
+    "join_size_estimate_cms",
+    "partition_skew_report",
 ]
 
 SHIFT_KEYS = {
