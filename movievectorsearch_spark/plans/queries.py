@@ -10216,6 +10216,192 @@ def partition_skew_report(spark, sf_dir):
     )
 
 
+_GRAPHSTAT_SQL = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+pairs AS ({_NGRAM_SELECT}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+csize AS (SELECT cluster_id, count(*)::BIGINT AS n_nodes
+          FROM cc GROUP BY cluster_id),
+cedge AS (
+  SELECT k.cluster_id, count(*)::BIGINT AS n_edges
+  FROM pairs p JOIN cc k ON p.a_id = k.doc_id
+  GROUP BY k.cluster_id
+),
+per AS (
+  SELECT s.cluster_id, s.n_nodes, e.n_edges
+  FROM csize s JOIN cedge e USING (cluster_id)
+)
+SELECT n_nodes AS cluster_size, count(*)::BIGINT AS n_clusters,
+       sum(n_edges)::BIGINT AS total_edges,
+       sum(CASE WHEN 2 * n_edges = n_nodes * (n_nodes - 1)
+                THEN 1 ELSE 0 END)::BIGINT AS n_cliques,
+       ((1000000 * 2 * sum(n_edges))
+        // sum(n_nodes * (n_nodes - 1)))::BIGINT AS mean_density_ppm
+FROM per GROUP BY n_nodes ORDER BY n_nodes
+"""
+
+
+@q("dedup_graph_stats", _GRAPHSTAT_SQL)
+def dedup_graph_stats(spark, sf_dir):
+    """QA metrics for the near-dup graph itself: per component size —
+    how many clusters, how many are CLIQUES (every member similar to
+    every other: one shared document template), and the mean edge
+    density in ppm (2e/(n(n-1))). Low-density large components are the
+    chaining failure mode of transitive dedup (A~B~C where A≁C —
+    aggressive keep-one deletes distinct content), so this is the
+    query you run before trusting the rewrite; density is exact
+    integer arithmetic over totals. Edge counts reuse the pair list
+    (one join to the CC labels — every pair is intra-cluster by
+    construction); output is bounded by the distinct size histogram."""
+    from movievectorsearch_spark.operators.cluster import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", _SHINGLE_N, _NGRAM_THRESHOLD, ["lang"]
+    ).select("a_id", "b_id").persist()
+    cc = connected_components(pairs, "a_id", "b_id")
+    csize = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+    cedge = (
+        pairs.join(
+            cc.withColumnRenamed("id", "a_id"), "a_id"
+        )
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+    per = csize.join(cedge, "cluster_id")
+    return (
+        per.groupBy(F.col("n_nodes").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("n_edges").cast("bigint").alias("total_edges"),
+            F.sum(
+                F.when(
+                    2 * F.col("n_edges")
+                    == F.col("n_nodes") * (F.col("n_nodes") - 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_cliques"),
+            F.expr(
+                "CAST((1000000 * 2 * sum(n_edges))"
+                " div sum(n_nodes * (n_nodes - 1)) AS BIGINT)"
+            ).alias("mean_density_ppm"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+_FUNNEL_W1_US = 3_600 * 1_000_000          # view → click window: 1 hour
+_FUNNEL_W2_US = 24 * 3_600 * 1_000_000     # click → purchase window: 24 hours
+
+_CONVERSION_SQL = f"""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_v
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_c
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) >= v.t_v
+    AND epoch_us(e.ts) <= v.t_v + {_FUNNEL_W1_US}
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_p
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) >= c.t_c
+    AND epoch_us(e.ts) <= c.t_c + {_FUNNEL_W2_US}
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v)::BIGINT AS n_viewers,
+       (SELECT count(*) FROM c)::BIGINT AS n_clicked,
+       (SELECT count(*) FROM p)::BIGINT AS n_purchased,
+       (SELECT coalesce(sum(c.t_c - v.t_v), 0)
+        FROM c JOIN v ON c.user_id = v.user_id)::BIGINT
+         AS total_vc_lag_us,
+       (SELECT coalesce(sum(p.t_p - c.t_c), 0)
+        FROM p JOIN c ON p.user_id = c.user_id)::BIGINT
+         AS total_cp_lag_us
+"""
+
+
+@q("funnel_conversion_windowed", _CONVERSION_SQL)
+def funnel_conversion_windowed(spark, sf_dir):
+    """TIME-BOXED funnel conversion — view → click within 1 h → first
+    purchase within 24 h of the click — the windowed upgrade of
+    session_pattern_match's order-only funnel (order alone calls a
+    purchase 3 weeks later a conversion; product analytics doesn't).
+    Each stage is one per-user MIN aggregate followed by an equi-join
+    on user_id with the window as a residual predicate — no
+    self-join explosion, state per user is one timestamp per stage
+    (exactly the shape Structured Streaming's stream-stream interval
+    join maintains incrementally; this is its batch twin). Lags stay
+    exact epoch-microsecond int64 sums; division into means happens in
+    the consumer."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_v"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("us") >= F.col("t_v"))
+            & (F.col("us") <= F.col("t_v") + _FUNNEL_W1_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_c"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("us") >= F.col("t_c"))
+            & (F.col("us") <= F.col("t_c") + _FUNNEL_W2_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_p"))
+    )
+    nv = v.agg(F.count("*").cast("bigint").alias("n_viewers"))
+    nc = c.agg(F.count("*").cast("bigint").alias("n_clicked"))
+    np_ = p.agg(F.count("*").cast("bigint").alias("n_purchased"))
+    vc = c.join(v, "user_id").agg(
+        F.coalesce(F.sum(F.col("t_c") - F.col("t_v")), F.lit(0))
+        .cast("bigint")
+        .alias("total_vc_lag_us")
+    )
+    cp = p.join(c, "user_id").agg(
+        F.coalesce(F.sum(F.col("t_p") - F.col("t_c")), F.lit(0))
+        .cast("bigint")
+        .alias("total_cp_lag_us")
+    )
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(vc))
+        .crossJoin(F.broadcast(cp))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -10391,6 +10577,9 @@ _RECHECK_FIRST = [
     # new in round-2 batch 24
     "join_size_estimate_cms",
     "partition_skew_report",
+    # new in round-2 batch 25
+    "dedup_graph_stats",
+    "funnel_conversion_windowed",
 ]
 
 

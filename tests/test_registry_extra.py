@@ -498,3 +498,28 @@ def test_partition_skew_shares_sum_to_total(spark, sf_dir):
     # vs_even averages to ~1e6 across buckets (integer truncation aside)
     mean_ratio = sum(r["vs_even_ppm"] for r in out) / len(out)
     assert 0.5e6 < mean_ratio < 2e6
+
+
+def test_dedup_graph_stats_density_bounds(spark, sf_dir):
+    """Tree ≤ edges ≤ clique per size class; clique count consistent
+    with density = 1e6 when every cluster of a size class is a clique."""
+    out = Q.QUERIES["dedup_graph_stats"]["spark"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        n, k = r["cluster_size"], r["n_clusters"]
+        assert n >= 2
+        # per-cluster edges ∈ [n-1 (tree), n(n-1)/2 (clique)] ⇒ totals too
+        assert k * (n - 1) <= r["total_edges"] <= k * n * (n - 1) // 2
+        assert 0 <= r["n_cliques"] <= k
+        assert r["mean_density_ppm"] <= 1_000_000
+        if r["n_cliques"] == k:
+            assert r["mean_density_ppm"] == 1_000_000
+
+
+def test_funnel_conversion_monotone_and_lag_bounds(spark, sf_dir):
+    """Stage counts shrink monotonically and total lags respect the
+    per-user window bounds (≤ n·window)."""
+    r = Q.QUERIES["funnel_conversion_windowed"]["spark"](spark, sf_dir).collect()[0]
+    assert r["n_viewers"] >= r["n_clicked"] >= r["n_purchased"] >= 0
+    assert 0 <= r["total_vc_lag_us"] <= r["n_clicked"] * Q._FUNNEL_W1_US
+    assert 0 <= r["total_cp_lag_us"] <= r["n_purchased"] * Q._FUNNEL_W2_US

@@ -149,6 +149,8 @@ PROBE_QUERIES = [
     # round 2 batch 24 (scan-speed sketch/diagnostic shapes)
     "join_size_estimate_cms",
     "partition_skew_report",
+    # round 2 batch 25 (per-user agg+join chain)
+    "funnel_conversion_windowed",
 ]
 
 SHIFT_KEYS = {
