@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     # round 2 batch 25 (dedup_graph_stats not benched: CC-loop overhead,
     # same rationale as dedup_clusters)
     "funnel_conversion_windowed",
+    "events_retention_cohorts",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -10402,6 +10402,89 @@ def funnel_conversion_windowed(spark, sf_dir):
     )
 
 
+# epoch-week via integer day arithmetic — engine week/ISO functions
+# disagree on week base (the hourly_seasonality_profile lesson), but
+# floor-div of epoch days is portable. Week 0 starts 1970-01-01.
+_RETENTION_MAX_OFFSET = 8
+
+_RETENTION_SQL = f"""
+WITH ew AS (
+  SELECT user_id,
+         ((CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400) // 7)
+           AS week
+  FROM events
+),
+uw AS (SELECT DISTINCT user_id, week FROM ew),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+cs AS (SELECT cohort_week, count(*)::BIGINT AS cohort_size
+       FROM cohort GROUP BY cohort_week),
+act AS (
+  SELECT c.cohort_week, (u.week - c.cohort_week)::BIGINT AS week_offset,
+         count(*)::BIGINT AS n_active
+  FROM uw u JOIN cohort c ON u.user_id = c.user_id
+  WHERE u.week - c.cohort_week <= {_RETENTION_MAX_OFFSET}
+  GROUP BY c.cohort_week, u.week - c.cohort_week
+)
+SELECT a.cohort_week, a.week_offset, s.cohort_size, a.n_active,
+       ((1000000 * a.n_active) // s.cohort_size)::BIGINT AS retention_ppm
+FROM act a JOIN cs s USING (cohort_week)
+ORDER BY a.cohort_week, a.week_offset
+"""
+
+
+@q("events_retention_cohorts", _RETENTION_SQL)
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention — the matrix every product dashboard
+    leads with: users grouped by FIRST-ACTIVE week, retention = the
+    share still active k weeks later, in exact ppm. Weeks are integer
+    epoch-day floor-divisions (engine week/ISO functions disagree on
+    the week base — the portable-arithmetic stance of
+    hourly_seasonality_profile). Shape: one distinct over (user, week)
+    (map-side combining), one per-user min for the cohort, one join
+    back + one aggregate over (cohort, offset) — user state never
+    exceeds one row per active week, and the offset cap bounds the
+    output matrix. At 100 TB this is two shuffles on user_id and one
+    on the (cohort, offset) matrix key."""
+    e = load_table(spark, sf_dir, "events")
+    uw = (
+        e.select(
+            "user_id",
+            F.expr(
+                "(CAST(floor(unix_timestamp(date_trunc('day', ts)))"
+                " AS BIGINT) div 86400) div 7"
+            ).alias("week"),
+        )
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cs = cohort.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    act = (
+        uw.join(cohort, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.col("week") - F.col("cohort_week")).cast("bigint"),
+        )
+        .filter(F.col("week_offset") <= _RETENTION_MAX_OFFSET)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+    return (
+        act.join(cs, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            "n_active",
+            F.expr(
+                "CAST((1000000 * n_active) div cohort_size AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -10580,6 +10663,7 @@ _RECHECK_FIRST = [
     # new in round-2 batch 25
     "dedup_graph_stats",
     "funnel_conversion_windowed",
+    "events_retention_cohorts",
 ]
 
 

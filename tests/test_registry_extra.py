@@ -523,3 +523,21 @@ def test_funnel_conversion_monotone_and_lag_bounds(spark, sf_dir):
     assert r["n_viewers"] >= r["n_clicked"] >= r["n_purchased"] >= 0
     assert 0 <= r["total_vc_lag_us"] <= r["n_clicked"] * Q._FUNNEL_W1_US
     assert 0 <= r["total_cp_lag_us"] <= r["n_purchased"] * Q._FUNNEL_W2_US
+
+
+def test_retention_cohort_offset_zero_is_full(spark, sf_dir):
+    """Offset-0 retention is 100% by definition (every cohort member
+    is active in their first week) and retention never exceeds 1e6."""
+    out = Q.QUERIES["events_retention_cohorts"]["spark"](spark, sf_dir).collect()
+    assert out
+    by_cohort = {}
+    for r in out:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs
+        r0 = offs[0]
+        assert r0["n_active"] == r0["cohort_size"]
+        assert r0["retention_ppm"] == 1_000_000
+        for r in offs.values():
+            assert 0 <= r["retention_ppm"] <= 1_000_000
+            assert r["n_active"] <= r["cohort_size"]

@@ -151,6 +151,7 @@ PROBE_QUERIES = [
     "partition_skew_report",
     # round 2 batch 25 (per-user agg+join chain)
     "funnel_conversion_windowed",
+    "events_retention_cohorts",
 ]
 
 SHIFT_KEYS = {
