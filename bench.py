@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     # same rationale as dedup_clusters)
     "funnel_conversion_windowed",
     "events_retention_cohorts",
+    "parts_abc_pareto",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

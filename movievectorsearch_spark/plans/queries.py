@@ -10485,6 +10485,89 @@ def events_retention_cohorts(spark, sf_dir):
     )
 
 
+_ABC_KEY_M = 1_000_000_000  # tiebreak modulus: okey = -rev*M + pk, pk < M
+
+_ABC_SQL = f"""
+WITH pr AS (
+  SELECT l_partkey AS pk, sum({CENTS.format(col='l_extendedprice')})::BIGINT AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(rev)::BIGINT AS t FROM pr),
+c AS (
+  SELECT pk, rev,
+         coalesce(sum(rev) OVER (ORDER BY rev DESC, pk
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0)::BIGINT AS cum_excl
+  FROM pr
+),
+cls AS (
+  SELECT CASE WHEN 100 * cum_excl < 80 * t THEN 'A'
+              WHEN 100 * cum_excl < 95 * t THEN 'B'
+              ELSE 'C' END AS abc_class, rev
+  FROM c, tot
+)
+SELECT abc_class, count(*)::BIGINT AS n_parts,
+       sum(rev)::BIGINT AS revenue_cents,
+       ((1000000 * sum(rev)) // t)::BIGINT AS revenue_share_ppm
+FROM cls, tot GROUP BY abc_class, t ORDER BY abc_class
+"""
+
+
+@q("parts_abc_pareto", _ABC_SQL)
+def parts_abc_pareto(spark, sf_dir):
+    """ABC/Pareto inventory classification: parts ranked by revenue,
+    class A = the head that carries the first 80% of cumulative
+    revenue, B to 95%, C the tail — the classic 80/20 cut. The
+    cumulative sum is NOT a global-ORDER-BY window (the one-partition
+    funnel): it reuses operators/packing.global_prefix_sum — range
+    partition on a single composite order key (−rev·M + partkey,
+    descending revenue with a unique tiebreak; exact while
+    rev·M < 2⁶³, i.e. revenue < ~9×10⁹ cents per part at M = 10⁹ —
+    widen M into DECIMAL beyond), local prefix sums per partition, an
+    N-row offset table broadcast back. Class boundaries compare
+    100·cum_excl < 80·total in exact int64; the oracle's plain
+    windowed sum proves the decomposition bit-equal to the textbook
+    form. Revenue in exact cents throughout."""
+    from movievectorsearch_spark.operators.packing import global_prefix_sum
+
+    l = load_table(spark, sf_dir, "lineitem")
+    pr = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_cents("l_extendedprice")).cast("bigint").alias("rev")
+    )
+    keyed = pr.withColumn(
+        "okey", (-F.col("rev") * _ABC_KEY_M + F.col("pk")).cast("bigint")
+    )
+    c = global_prefix_sum(keyed, "okey", "rev", out="cum_incl")
+    # global_prefix_sum returns the EXCLUSIVE sum in `out` (sum of rows
+    # strictly before); alias accordingly
+    c = c.withColumnRenamed("cum_incl", "cum_excl")
+    tot = pr.agg(F.sum("rev").cast("bigint").alias("t"))
+    cls = c.crossJoin(F.broadcast(tot)).select(
+        F.when(100 * F.col("cum_excl") < 80 * F.col("t"), "A")
+        .when(100 * F.col("cum_excl") < 95 * F.col("t"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+        "t",
+    )
+    return (
+        cls.groupBy("abc_class", "t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("bigint").alias("revenue_cents"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "revenue_cents",
+            F.expr(
+                "CAST((1000000 * revenue_cents) div t AS BIGINT)"
+            ).alias("revenue_share_ppm"),
+        )
+        .orderBy("abc_class")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -10664,6 +10747,7 @@ _RECHECK_FIRST = [
     "dedup_graph_stats",
     "funnel_conversion_windowed",
     "events_retention_cohorts",
+    "parts_abc_pareto",
 ]
 
 

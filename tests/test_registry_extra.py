@@ -541,3 +541,25 @@ def test_retention_cohort_offset_zero_is_full(spark, sf_dir):
         for r in offs.values():
             assert 0 <= r["retention_ppm"] <= 1_000_000
             assert r["n_active"] <= r["cohort_size"]
+
+
+def test_abc_pareto_partition_and_share_bounds(spark, sf_dir):
+    """Classes partition the part population; A-head share ≥ B ≥ C is
+    NOT guaranteed in general (tiny corpora), but shares must sum to
+    ~1e6 and counts to the distinct part population."""
+    from movievectorsearch_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    out = Q.QUERIES["parts_abc_pareto"]["spark"](spark, sf_dir).collect()
+    n_parts = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_parts"] for r in out) == n_parts
+    assert [r["abc_class"] for r in out] == sorted(r["abc_class"] for r in out)
+    total_share = sum(r["revenue_share_ppm"] for r in out)
+    assert 999_990 <= total_share <= 1_000_000  # truncation loses <10ppm
+    # class A (if present) has cum share ≥ its own share by construction
+    assert all(r["n_parts"] > 0 for r in out)

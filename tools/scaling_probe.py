@@ -152,6 +152,7 @@ PROBE_QUERIES = [
     # round 2 batch 25 (per-user agg+join chain)
     "funnel_conversion_windowed",
     "events_retention_cohorts",
+    "parts_abc_pareto",
 ]
 
 SHIFT_KEYS = {
