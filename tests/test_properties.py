@@ -316,3 +316,69 @@ def test_covisitation_model_parity(spark, events):
         for x, y in combinations(sorted(items), 2):
             expect[(x, y)] = expect.get((x, y), 0) + 1
     assert got == expect
+
+
+WORD = st.text(
+    alphabet=st.characters(min_codepoint=ord("a"), max_codepoint=ord("z")),
+    min_size=1,
+    max_size=12,
+)
+
+
+@FEW
+@given(st.lists(WORD, min_size=1, max_size=30, unique=True))
+def test_bpe_delimiter_encoding_matches_single_pass_model(spark, words):
+    """The '|'-delimited replace chain equals a pure-Python single-pass
+    merge over symbol lists for ARBITRARY lowercase words (the registry
+    test samples only corpus words)."""
+    from movievectorsearch_spark.plans import queries as Q
+
+    def py_encode(word):
+        syms = list(word)
+        for a, b in Q._BPE_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    enc_expr = "'|' || regexp_replace(word, '(.)', '$1|')"
+    for a, b in Q._BPE_MERGES:
+        enc_expr = f"replace({enc_expr}, '|{a}|{b}|', '|{a}{b}|')"
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: [s for s in r["enc"].split("|") if s]
+        for r in df.select("word", F.expr(enc_expr).alias("enc")).collect()
+    }
+    for w in words:
+        assert got[w] == py_encode(w), w
+
+
+@FEW
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_global_prefix_sum_matches_cumsum(spark, vals):
+    """The two-phase decomposition equals a plain Python exclusive
+    cumsum in key order, for any value multiset."""
+    from movievectorsearch_spark.operators.packing import global_prefix_sum
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = {
+        r["k"]: r["off"]
+        for r in global_prefix_sum(df, "k", "v", out="off", num_parts=4).collect()
+    }
+    acc = 0
+    for k, v in rows:
+        assert out[k] == acc
+        acc += v
