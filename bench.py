@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "funnel_conversion_windowed",
     "events_retention_cohorts",
     "parts_abc_pareto",
+    # round 2 batch 26
+    "dedup_oph_pairs",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

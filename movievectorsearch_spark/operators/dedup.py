@@ -955,3 +955,64 @@ def duplicate_passage_spans(
     return rebuilt.orderBy(
         F.desc("n_docs"), F.desc("n_occurrences"), F.asc("h")
     )
+
+
+# rotation-densification shift per step: distinct slot values for
+# different rotation distances, while staying far below int64
+OPH_C = 2_147_483_659  # first prime > P, so slot ranges never overlap
+
+
+def oph_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One-permutation MinHash with rotation densification
+    (Shrivastava & Li's densified OPH): hash every shingle ONCE,
+    partition the hash range into ``k`` bins by ``h % k``, keep the min
+    per non-empty bin, and fill each empty bin from the cyclically next
+    non-empty bin at distance d with value ``fh + d·OPH_C``. Same
+    collision behavior as k independent permutations for LSH banding,
+    at 1/k the hashing cost — at 100 TB the k-permutation form hashes
+    the corpus k times inside one aggregate; this hashes it once.
+
+    Fully relational + portable: the densification "nearest non-empty
+    bin" is a min over a single combined sortable key d·P + fh (d < k,
+    fh < P ⇒ the combination is exact int64 and its min IS the
+    lexicographic (d, fh) min), so the DuckDB oracle reproduces every
+    slot bit-for-bit. Per-doc work is ≤ k·k' join rows (k' = filled
+    bins ≤ k), independent of document length after the bin aggregate.
+
+    Returns ``(id_col, slot, slot_val)`` — ``k`` rows per document.
+    """
+    a0, b0 = minhash_coeffs(1, seed=97)[0]
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).select(
+        id_col,
+        minhash_permute(poly_hash(F.col("shingle")), a0, b0).alias("hp"),
+    )
+    filled = (
+        sh.withColumn("fbin", (F.col("hp") % k).cast("int"))
+        .groupBy(id_col, "fbin")
+        .agg(F.min("hp").alias("fh"))
+    )
+    docs = df.select(id_col).distinct()
+    bins = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot")
+    spine = docs.select(F.col(id_col), bins)
+    joined = spine.join(filled, id_col).withColumn(
+        "d", (F.col("fbin") - F.col("slot") + k) % k
+    )
+    combined = joined.groupBy(id_col, "slot").agg(
+        F.min(F.col("d").cast("bigint") * F.lit(P) + F.col("fh")).alias("cmb")
+    )
+    return combined.select(
+        id_col,
+        "slot",
+        F.expr(f"CAST((cmb % {P}) + (cmb div {P}) * {OPH_C} AS BIGINT)").alias(
+            "slot_val"
+        ),
+    )

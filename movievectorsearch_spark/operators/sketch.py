@@ -140,18 +140,29 @@ def cms_table(
     per touched cell (≤ depth·width rows total, independent of data
     size). Merge two sketches by unioning and summing on (row, bucket).
     """
-    key = F.col(col).cast("string")
+    from movievectorsearch_spark.functions.hashing import (
+        minhash_permute,
+        poly_hash,
+    )
+
+    # project the base hash ONCE — poly_hash is an interpreted
+    # higher-order fold with no common-subexpression elimination, so
+    # inlining it into every depth coordinate re-hashes the key
+    # `depth` times per row (the word_shingles lesson)
+    hashed = df.select(poly_hash(F.col(col).cast("string")).alias("_h"))
     cells = F.array(
         *[
             F.struct(
                 F.lit(j).alias("row"),
-                _cms_bucket(key, a, b, width).alias("bucket"),
+                (minhash_permute(F.col("_h"), a, b) % width)
+                .cast("int")
+                .alias("bucket"),
             )
             for j, (a, b) in enumerate(cms_coeffs(depth, seed))
         ]
     )
     return (
-        df.select(F.explode(cells).alias("c"))
+        hashed.select(F.explode(cells).alias("c"))
         .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
         .agg(F.count("*").alias("n"))
     )

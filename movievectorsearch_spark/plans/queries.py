@@ -10568,6 +10568,151 @@ def parts_abc_pareto(spark, sf_dir):
     )
 
 
+_OPH_K = 16
+_OPH_BAND_ROWS = 4
+_OPH_MIN_MATCH = _OPH_K // 2
+_OPH_WEIGHTS = [31**i for i in range(_OPH_BAND_ROWS)]
+
+
+def _oph_sql() -> str:
+    from movievectorsearch_spark.operators.dedup import OPH_C
+
+    a0, b0 = minhash_coeffs(1, seed=97)[0]
+    h = poly_hash_sql("shingle")
+    wcase = " ".join(
+        f"WHEN {i} THEN {w}" for i, w in enumerate(_OPH_WEIGHTS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_shingles_inline_sql()})) AS shingle
+  FROM documents
+),
+hp AS (SELECT doc_id, (({h}) * {a0} + {b0}) % {P} AS hp FROM sh),
+filled AS (
+  SELECT doc_id, (hp % {_OPH_K})::INTEGER AS fbin, min(hp) AS fh
+  FROM hp GROUP BY doc_id, hp % {_OPH_K}
+),
+spine AS (
+  SELECT d.doc_id, u.slot
+  FROM (SELECT DISTINCT doc_id FROM documents) d,
+       LATERAL (SELECT unnest(range(0, {_OPH_K})) AS slot) u
+),
+cmb AS (
+  SELECT s.doc_id, s.slot,
+         min(((f.fbin - s.slot + {_OPH_K}) % {_OPH_K}) * {P}::BIGINT + f.fh)
+           AS cmb
+  FROM spine s JOIN filled f USING (doc_id)
+  GROUP BY s.doc_id, s.slot
+),
+sig AS (
+  SELECT doc_id, slot,
+         ((cmb % {P}) + (cmb // {P}) * {OPH_C})::BIGINT AS slot_val
+  FROM cmb
+),
+bands AS (
+  SELECT doc_id, (slot // {_OPH_BAND_ROWS})::INTEGER AS band,
+         sum(slot_val * CASE slot % {_OPH_BAND_ROWS} {wcase} END)::BIGINT
+           AS bkey
+  FROM sig GROUP BY doc_id, slot // {_OPH_BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT c.a_id, c.b_id,
+         sum(CASE WHEN sa.slot_val = sb.slot_val THEN 1 ELSE 0 END)::BIGINT
+           AS n_match
+  FROM cand c
+       JOIN sig sa ON sa.doc_id = c.a_id
+       JOIN sig sb ON sb.doc_id = c.b_id AND sb.slot = sa.slot
+  GROUP BY c.a_id, c.b_id
+)
+SELECT a_id, b_id, n_match,
+       ((1000000 * n_match) // {_OPH_K})::BIGINT AS est_jaccard_ppm
+FROM m WHERE n_match >= {_OPH_MIN_MATCH} ORDER BY a_id, b_id
+"""
+
+
+@q("dedup_oph_pairs", _oph_sql())
+def dedup_oph_pairs(spark, sf_dir):
+    """Near-dup pairs from ONE-PERMUTATION MinHash (densified OPH —
+    Shrivastava & Li): the corpus is hashed ONCE and the hash range
+    binned into k slots, vs the k-permutation form
+    (dedup_minhash_lsh) that evaluates k affine permutations inside
+    its aggregate — at 100 TB that is k scans' worth of hash
+    arithmetic collapsed to one, with the same banding collision
+    behavior. Empty slots densify by cyclic rotation (value + d·C)
+    via a single sortable key d·P + fh whose min IS the
+    lexicographic (distance, hash) choice — exact int64, oracle
+    reproduces every slot. Candidates band on a polynomial slot-key
+    (collisions only ADD candidates; the full-signature match filter
+    removes them), pairs keep slot-match count and the OPH Jaccard
+    estimate in ppm (operators/dedup.oph_signature)."""
+    from movievectorsearch_spark.operators.dedup import oph_signature
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = oph_signature(d, "doc_id", "text", _OPH_K, _SHINGLE_N).persist()
+    wexpr = " ".join(
+        f"WHEN {i} THEN {w}" for i, w in enumerate(_OPH_WEIGHTS)
+    )
+    bands = sig.groupBy(
+        "doc_id",
+        (F.col("slot") / _OPH_BAND_ROWS).cast("int").alias("band"),
+    ).agg(
+        F.sum(
+            F.col("slot_val")
+            * F.expr(f"CASE slot % {_OPH_BAND_ROWS} {wexpr} END")
+        )
+        .cast("bigint")
+        .alias("bkey")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        "slot",
+        F.col("slot_val").alias("va"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        "slot",
+        F.col("slot_val").alias("vb"),
+    )
+    m = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "slot"])
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.sum(F.when(F.col("va") == F.col("vb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_match")
+        )
+        .filter(F.col("n_match") >= _OPH_MIN_MATCH)
+    )
+    return m.select(
+        "a_id",
+        "b_id",
+        "n_match",
+        F.expr(
+            f"CAST((1000000 * n_match) div {_OPH_K} AS BIGINT)"
+        ).alias("est_jaccard_ppm"),
+    ).orderBy("a_id", "b_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -10748,6 +10893,8 @@ _RECHECK_FIRST = [
     "funnel_conversion_windowed",
     "events_retention_cohorts",
     "parts_abc_pareto",
+    # new in round-2 batch 26
+    "dedup_oph_pairs",
 ]
 
 

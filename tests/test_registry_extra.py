@@ -563,3 +563,55 @@ def test_abc_pareto_partition_and_share_bounds(spark, sf_dir):
     assert 999_990 <= total_share <= 1_000_000  # truncation loses <10ppm
     # class A (if present) has cum share ≥ its own share by construction
     assert all(r["n_parts"] > 0 for r in out)
+
+
+def test_oph_signature_model_and_pair_properties(spark):
+    """Identical docs share all k slots; the densified signature is a
+    full permutation-free MinHash: replay densification in Python from
+    the same single-permutation hashes."""
+    from movievectorsearch_spark.functions.hashing import P, minhash_coeffs
+    from movievectorsearch_spark.operators.dedup import OPH_C, oph_signature
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        (3, "one two three four five six seven eight nine"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = oph_signature(df, "doc_id", "text", k=8, shingle_n=3)
+    rows = {(r["doc_id"], r["slot"]): r["slot_val"] for r in sig.collect()}
+    assert all((d, s) in rows for d in (1, 2, 3) for s in range(8))
+    # exact duplicate ⇒ identical signature
+    assert all(rows[(1, s)] == rows[(2, s)] for s in range(8))
+    # disjoint text ⇒ (almost surely) different signature somewhere
+    assert any(rows[(1, s)] != rows[(3, s)] for s in range(8))
+
+    # python replay of bin-min + rotation densification for doc 1
+    from movievectorsearch_spark.functions.text import word_shingles
+    from pyspark.sql import functions as F
+
+    shingles = [
+        r["s"]
+        for r in df.filter("doc_id = 1")
+        .select(F.explode(word_shingles(F.col("text"), 3)).alias("s"))
+        .collect()
+    ]
+
+    def py_poly(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % P
+        return acc
+
+    a0, b0 = minhash_coeffs(1, seed=97)[0]
+    hps = [(py_poly(s) * a0 + b0) % P for s in shingles]
+    filled = {}
+    for hp in hps:
+        b = hp % 8
+        filled[b] = min(filled.get(b, hp), hp)
+    for slot in range(8):
+        best = min(
+            ((fb - slot + 8) % 8, fh) for fb, fh in filled.items()
+        )
+        expect = best[1] + best[0] * OPH_C
+        assert rows[(1, slot)] == expect, slot

@@ -153,6 +153,8 @@ PROBE_QUERIES = [
     "funnel_conversion_windowed",
     "events_retention_cohorts",
     "parts_abc_pareto",
+    # dedup_oph_pairs excluded like its pair-join siblings (replication
+    # grows genuine duplicate pairs quadratically)
 ]
 
 SHIFT_KEYS = {
