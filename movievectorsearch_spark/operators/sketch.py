@@ -181,17 +181,28 @@ def cms_estimate_join(
     key (scan-speed expressions), broadcast-join the counter table,
     take the min over the depth rows. Missing cells count as 0 (key
     never seen). Returns (col, cms_n)."""
-    key = F.col(col).cast("string")
+    from movievectorsearch_spark.functions.hashing import (
+        minhash_permute,
+        poly_hash,
+    )
+
+    # hash once, derive the depth coordinates from the projected column
+    # (same no-CSE rationale as cms_table)
+    hashed = candidates.select(
+        col, poly_hash(F.col(col).cast("string")).alias("_h")
+    )
     coords = F.array(
         *[
             F.struct(
                 F.lit(j).alias("row"),
-                _cms_bucket(key, a, b, width).alias("bucket"),
+                (minhash_permute(F.col("_h"), a, b) % width)
+                .cast("int")
+                .alias("bucket"),
             )
             for j, (a, b) in enumerate(cms_coeffs(depth, seed))
         ]
     )
-    probed = candidates.select(col, F.explode(coords).alias("c")).select(
+    probed = hashed.select(col, F.explode(coords).alias("c")).select(
         col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
     )
     return (
@@ -384,14 +395,22 @@ def histogram_quantiles_grouped(
 def _bloom_positions(key: "F.Column", m_bits: int, k: int):
     """k bit positions for a key: portable poly-hash, then the same
     affine permutation family MinHash uses, reduced mod m. Pure int64
-    expressions → identical in Spark and the DuckDB oracle."""
-    from movievectorsearch_spark.functions.hashing import (
-        P,
-        minhash_coeffs,
-        poly_hash,
+    expressions → identical in Spark and the DuckDB oracle.
+
+    NOTE: inlines poly_hash k times — callers on a hot path should
+    project the base hash once and use
+    :func:`_bloom_positions_from_hash` (no-CSE rationale: poly_hash is
+    an interpreted higher-order fold)."""
+    from movievectorsearch_spark.functions.hashing import poly_hash
+
+    return _bloom_positions_from_hash(
+        poly_hash(key.cast("string")), m_bits, k
     )
 
-    h = poly_hash(key.cast("string"))
+
+def _bloom_positions_from_hash(h: "F.Column", m_bits: int, k: int):
+    from movievectorsearch_spark.functions.hashing import P, minhash_coeffs
+
     return F.array(
         *[((h * F.lit(a) + F.lit(b)) % F.lit(P) % F.lit(m_bits)) for a, b in minhash_coeffs(k)]
     )
@@ -404,9 +423,17 @@ def bloom_bits(
     ≤ m_bits single-int rows. Mergeable by unioned distinct, persistable
     as a tiny parquet, broadcastable into any probe join; at 100 TB the
     build is one scan and the artifact is kilobytes."""
+    from movievectorsearch_spark.functions.hashing import poly_hash
+
+    hashed = df.filter(F.col(key_col).isNotNull()).select(
+        poly_hash(F.col(key_col).cast("string")).alias("_h")
+    )
     return (
-        df.filter(F.col(key_col).isNotNull())
-        .select(F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos"))
+        hashed.select(
+            F.explode(
+                _bloom_positions_from_hash(F.col("_h"), m_bits, k)
+            ).alias("pos")
+        )
         .distinct()
     )
 
@@ -424,9 +451,17 @@ def bloom_probe(
     k-row blow-up, and "definitely new" is EXACT (no false negatives),
     which is what makes a Bloom pre-filter sound for incremental dedup:
     only maybe-seen keys go on to the expensive verification join."""
-    pos = probe.filter(F.col(key_col).isNotNull()).select(
+    from movievectorsearch_spark.functions.hashing import poly_hash
+
+    hashed = probe.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col),
-        F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos"),
+        poly_hash(F.col(key_col).cast("string")).alias("_h"),
+    )
+    pos = hashed.select(
+        F.col(key_col),
+        F.explode(
+            _bloom_positions_from_hash(F.col("_h"), m_bits, k)
+        ).alias("pos"),
     )
     marked = pos.join(
         F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
