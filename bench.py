@@ -222,6 +222,10 @@ BENCH_QUERIES = [
     "parts_abc_pareto",
     # round 2 batch 26
     "dedup_oph_pairs",
+    # round 2 batch 27
+    "vocab_coverage_curve",
+    "dedup_threshold_sweep",
+    "split_drift_ks_check",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -10713,6 +10713,281 @@ def dedup_oph_pairs(spark, sf_dir):
     ).orderBy("a_id", "b_id")
 
 
+_VOCAB_COV_TARGETS = [90, 95, 99]  # percent of corpus tokens
+
+_VOCAB_COV_SQL = f"""
+WITH tf AS (
+  SELECT u.tok, count(*)::BIGINT AS n
+  FROM documents d, LATERAL (SELECT unnest({tokens_sql('d.text')}) AS tok) u
+  GROUP BY u.tok
+),
+tot AS (SELECT sum(n)::BIGINT AS t, count(*)::BIGINT AS v FROM tf),
+r AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank,
+         sum(n) OVER (ORDER BY n DESC, tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tf
+),
+tgt AS (SELECT unnest([{', '.join(str(t) for t in _VOCAB_COV_TARGETS)}]) AS pct)
+SELECT tgt.pct::BIGINT AS coverage_pct,
+       min(r.rank)::BIGINT AS vocab_size,
+       tot.v AS total_vocab,
+       ((1000000 * min(r.rank)) // tot.v)::BIGINT AS vocab_share_ppm
+FROM tgt, tot, r
+WHERE 100 * r.cum >= tgt.pct * tot.t
+GROUP BY tgt.pct, tot.v
+ORDER BY coverage_pct
+"""
+
+
+@q("vocab_coverage_curve", _VOCAB_COV_SQL)
+def vocab_coverage_curve(spark, sf_dir):
+    """Tokenizer-design diagnostic: the vocab size needed to cover
+    90/95/99% of corpus tokens (the Zipf head/tail trade every vocab
+    budget decision reads). Frequencies aggregate map-side; the
+    ranking windows then run over the VOCAB (already ≤ one row per
+    distinct token — sub-linear in corpus size by Heaps' law), which
+    is the same bounded-input justification as the events-spine
+    windows; comparisons are 100·cum ≥ pct·total in exact int64, ties
+    broken by token string so both engines rank identically. For a
+    web-scale vocab that outgrows one partition, the parts_abc_pareto
+    two-phase prefix sum is the drop-in replacement."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = tf.agg(
+        F.sum("n").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    wc = Window.orderBy(F.desc("n"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = tf.select(
+        "n",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(wc).alias("cum"),
+    )
+    tgt = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in _VOCAB_COV_TARGETS])
+        ).alias("pct")
+    )
+    return (
+        tgt.crossJoin(F.broadcast(tot))
+        .join(r, 100 * F.col("cum") >= F.col("pct") * F.col("t"))
+        .groupBy(F.col("pct").cast("bigint").alias("coverage_pct"), "v")
+        .agg(F.min("rank").cast("bigint").alias("vocab_size"))
+        .select(
+            "coverage_pct",
+            "vocab_size",
+            F.col("v").alias("total_vocab"),
+            F.expr(
+                "CAST((1000000 * vocab_size) div v AS BIGINT)"
+            ).alias("vocab_share_ppm"),
+        )
+        .orderBy("coverage_pct")
+    )
+
+
+_SWEEP_SQL = f"""
+WITH {_NGRAM_CTES},
+pairs AS ({_NGRAM_SELECT}),
+b AS (
+  SELECT ((10 * inter) // (a_n + b_n - inter))::BIGINT AS theta_tenths
+  FROM pairs
+),
+per AS (SELECT theta_tenths, count(*)::BIGINT AS n_pairs
+        FROM b GROUP BY theta_tenths)
+SELECT theta_tenths, n_pairs,
+       sum(n_pairs) OVER (ORDER BY theta_tenths DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ::BIGINT AS pairs_at_or_above
+FROM per ORDER BY theta_tenths
+"""
+
+
+@q("dedup_threshold_sweep", _SWEEP_SQL)
+def dedup_threshold_sweep(spark, sf_dir):
+    """The dedup TUNING CURVE: candidate-pair counts bucketed by
+    Jaccard decile, with the running count of pairs at or above each
+    decile — how many near-dup pairs a pipeline would act on at each
+    threshold choice, from ONE pass over the pair list. Bucketing is
+    the exact integer (10·inter) div union (no float decile
+    boundaries to disagree on); the cumulative window runs over ≤10
+    rows. The floor of the sweep is the candidate generator's own
+    {_NGRAM_THRESHOLD} cutoff — below that, pairs are never
+    materialized (the whole point of blocked candidate generation)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", _SHINGLE_N, _NGRAM_THRESHOLD, ["lang"]
+    )
+    per = (
+        pairs.select(
+            F.expr(
+                "CAST((10 * inter) div (a_n + b_n - inter) AS BIGINT)"
+            ).alias("theta_tenths")
+        )
+        .groupBy("theta_tenths")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+    wc = Window.orderBy(F.desc("theta_tenths")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.withColumn(
+            "pairs_at_or_above", F.sum("n_pairs").over(wc).cast("bigint")
+        )
+        .orderBy("theta_tenths")
+    )
+
+
+_KS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len({tokens_sql('text')})::BIGINT AS n_tokens FROM documents
+),
+lab AS (
+  SELECT CASE WHEN ({poly_hash_sql('CAST(doc_id AS VARCHAR)')} % 100)
+                   < {_SPLIT_TEST_PCT} THEN 'test' ELSE 'train' END AS split,
+         ({_bucket_case_sql(f'LEAST(n_tokens, {_LEN_CAP})')})::BIGINT AS bucket
+  FROM t
+),
+per AS (SELECT split, bucket, count(*)::BIGINT AS c
+        FROM lab GROUP BY split, bucket),
+spine AS (
+  SELECT s.split, b.bucket
+  FROM (SELECT DISTINCT split FROM lab) s,
+       (SELECT DISTINCT bucket FROM per) b
+),
+f AS (
+  SELECT sp.split, sp.bucket, coalesce(p.c, 0)::BIGINT AS c
+  FROM spine sp LEFT JOIN per p
+       ON sp.split = p.split AND sp.bucket = p.bucket
+),
+cdf AS (
+  SELECT split, bucket,
+         sum(c) OVER (PARTITION BY split ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY split) AS tot
+  FROM f
+),
+ppm AS (
+  SELECT bucket,
+         max(CASE WHEN split = 'train'
+             THEN (1000000 * cum) // tot END)::BIGINT AS cdf_train_ppm,
+         max(CASE WHEN split = 'test'
+             THEN (1000000 * cum) // tot END)::BIGINT AS cdf_test_ppm
+  FROM cdf GROUP BY bucket
+),
+d AS (
+  SELECT bucket, cdf_train_ppm, cdf_test_ppm,
+         abs(cdf_train_ppm - cdf_test_ppm) AS diff
+  FROM ppm
+),
+best AS (
+  SELECT bucket, cdf_train_ppm, cdf_test_ppm, diff,
+         row_number() OVER (ORDER BY diff DESC, bucket) AS rn
+  FROM d
+)
+SELECT (SELECT sum(CASE WHEN split = 'train' THEN c ELSE 0 END) FROM f)::BIGINT
+         AS n_train,
+       (SELECT sum(CASE WHEN split = 'test' THEN c ELSE 0 END) FROM f)::BIGINT
+         AS n_test,
+       diff::BIGINT AS ks_ppm, bucket AS ks_bucket,
+       cdf_train_ppm, cdf_test_ppm
+FROM best WHERE rn = 1
+"""
+
+
+@q("split_drift_ks_check", _KS_SQL)
+def split_drift_ks_check(spark, sf_dir):
+    """Split-quality QA: a Kolmogorov-Smirnov-style check that the
+    train and test splits draw from the SAME length distribution —
+    KS = max over buckets of |cdf_train − cdf_test| (in ppm over the
+    fixed length-bucket schedule), reported with the bucket where the
+    distributions diverge most. A biased split (e.g. one that
+    accidentally sorts by length) shows up here before it shows up as
+    an eval artifact. CDFs are integer-truncated ppm over
+    length_bucket_padding's bucket schedule, so the statistic is
+    engine-exact; everything is two scan-speed aggregates + windows
+    over ≤ |splits|·|buckets| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    h = poly_hash(F.col("doc_id").cast("string")) % 100
+    n_tok = token_count(F.col("text")).cast("bigint")
+    eff = F.least(n_tok, F.lit(_LEN_CAP))
+    bucket = F.lit(_LEN_CAP)
+    for b in reversed(_LEN_BUCKETS):
+        bucket = F.when(eff <= b, F.lit(b)).otherwise(bucket)
+    lab = d.select(
+        F.when(h < _SPLIT_TEST_PCT, "test").otherwise("train").alias("split"),
+        bucket.cast("bigint").alias("bucket"),
+    )
+    per = lab.groupBy("split", "bucket").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    spine = lab.select("split").distinct().crossJoin(
+        per.select("bucket").distinct()
+    )
+    f = spine.join(per, ["split", "bucket"], "left").select(
+        "split", "bucket", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("split")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("split")
+    cdf = f.select(
+        "split",
+        "bucket",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("tot"),
+    )
+    ppm = cdf.groupBy("bucket").agg(
+        F.max(
+            F.when(
+                F.col("split") == "train",
+                F.expr("CAST((1000000 * cum) div tot AS BIGINT)"),
+            )
+        ).alias("cdf_train_ppm"),
+        F.max(
+            F.when(
+                F.col("split") == "test",
+                F.expr("CAST((1000000 * cum) div tot AS BIGINT)"),
+            )
+        ).alias("cdf_test_ppm"),
+    )
+    dd = ppm.select(
+        "bucket",
+        "cdf_train_ppm",
+        "cdf_test_ppm",
+        F.abs(F.col("cdf_train_ppm") - F.col("cdf_test_ppm")).alias("diff"),
+    )
+    wr = Window.orderBy(F.desc("diff"), F.asc("bucket"))
+    best = dd.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") == 1
+    )
+    totals = f.groupBy().agg(
+        F.sum(F.when(F.col("split") == "train", F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+    )
+    return totals.crossJoin(F.broadcast(best)).select(
+        "n_train",
+        "n_test",
+        F.col("diff").cast("bigint").alias("ks_ppm"),
+        F.col("bucket").alias("ks_bucket"),
+        "cdf_train_ppm",
+        "cdf_test_ppm",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -10895,6 +11170,10 @@ _RECHECK_FIRST = [
     "parts_abc_pareto",
     # new in round-2 batch 26
     "dedup_oph_pairs",
+    # new in round-2 batch 27
+    "vocab_coverage_curve",
+    "dedup_threshold_sweep",
+    "split_drift_ks_check",
 ]
 
 

@@ -615,3 +615,36 @@ def test_oph_signature_model_and_pair_properties(spark):
         )
         expect = best[1] + best[0] * OPH_C
         assert rows[(1, slot)] == expect, slot
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    """Higher coverage targets need monotonically larger vocabs; the
+    99% vocab never exceeds the total vocab."""
+    out = Q.QUERIES["vocab_coverage_curve"]["spark"](spark, sf_dir).collect()
+    assert [r["coverage_pct"] for r in out] == Q._VOCAB_COV_TARGETS
+    sizes = [r["vocab_size"] for r in out]
+    assert sizes == sorted(sizes)
+    assert all(0 < r["vocab_size"] <= r["total_vocab"] for r in out)
+
+
+def test_threshold_sweep_cumulative_consistent(spark, sf_dir):
+    """pairs_at_or_above is the suffix sum of n_pairs, and the decile
+    floor respects the candidate generator's threshold."""
+    out = Q.QUERIES["dedup_threshold_sweep"]["spark"](spark, sf_dir).collect()
+    assert out
+    rows = sorted(out, key=lambda r: -r["theta_tenths"])
+    run = 0
+    for r in rows:
+        run += r["n_pairs"]
+        assert r["pairs_at_or_above"] == run
+    assert all(0 <= r["theta_tenths"] <= 10 for r in out)
+
+
+def test_split_drift_ks_within_sanity(spark, sf_dir):
+    """A hash split cannot be length-biased: KS stays far from 1e6,
+    and the reported bucket belongs to the schedule."""
+    r = Q.QUERIES["split_drift_ks_check"]["spark"](spark, sf_dir).collect()[0]
+    assert r["n_train"] > 0 and r["n_test"] > 0
+    assert 0 <= r["ks_ppm"] < 500_000  # hash split: no systematic drift
+    assert r["ks_bucket"] in Q._LEN_BUCKETS
+    assert r["cdf_train_ppm"] <= 1_000_000 and r["cdf_test_ppm"] <= 1_000_000

@@ -154,7 +154,11 @@ PROBE_QUERIES = [
     "events_retention_cohorts",
     "parts_abc_pareto",
     # dedup_oph_pairs excluded like its pair-join siblings (replication
-    # grows genuine duplicate pairs quadratically)
+    # grows genuine duplicate pairs quadratically); dedup_threshold_sweep
+    # excluded for the same reason (it scans the pair list)
+    # round 2 batch 27 (vocab-bounded / scan-speed shapes)
+    "vocab_coverage_curve",
+    "split_drift_ks_check",
 ]
 
 SHIFT_KEYS = {
