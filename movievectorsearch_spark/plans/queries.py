@@ -10988,6 +10988,101 @@ def split_drift_ks_check(spark, sf_dir):
     )
 
 
+_PROBE_CURVE_HAMMINGS = [0, 1, 2]
+
+
+def _ann_probe_curve_sql() -> str:
+    from movievectorsearch_spark.operators.ann import (
+        _bucket_of,
+        _probe_buckets,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(8, len(QUERY_VEC), 42)
+    qb = _bucket_of(QUERY_VEC, planes)
+    score = cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), "embedding")
+    blocks = []
+    for h in _PROBE_CURVE_HAMMINGS:
+        probes = sorted(set(_probe_buckets(qb, 8, h)))
+        blocks.append(
+            f"""
+SELECT {h} AS max_hamming, {len(probes)} AS n_buckets,
+       count(*)::BIGINT AS n_overlap,
+       round(count(*) / 10.0, 6) AS recall
+FROM exact e JOIN (
+  SELECT vec_id FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+    AND ({_srp_bucket_sql('embedding', planes)})
+        IN ({', '.join(str(b) for b in probes)})
+  ORDER BY {score} DESC, vec_id LIMIT 10
+) a USING (vec_id)"""
+        )
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH exact AS (
+  SELECT vec_id FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+  ORDER BY {score} DESC, vec_id LIMIT 10
+)
+{union}
+ORDER BY max_hamming
+"""
+
+
+@q("ann_probe_recall_curve", _ann_probe_curve_sql())
+def ann_probe_recall_curve(spark, sf_dir):
+    """The ANN TUNING CURVE: recall@10 versus multiprobe radius
+    (hamming 0 = the query's bucket only, 1 = +8 neighbors, 2 = +28) —
+    the dedup_threshold_sweep of the vector tier, answering "how many
+    buckets must I probe for the recall I need" before committing a
+    serving config. Each point is the srp_search path (operators/
+    ann.py) at a different max_hamming over the SAME seeded
+    hyperplanes, joined against the exact top-10; the persisted-index
+    serve is plan-identical per point (tests/test_ann_index.py), so
+    the curve read off the base table is the curve the index serves.
+    Recall is monotone in the radius by construction (probe sets are
+    nested). Hash-checked via the literal-hyperplane oracle mirror."""
+    from movievectorsearch_spark.operators.ann import srp_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = (
+        e.filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+        .select(
+            "vec_id",
+            cosine_to_query(QUERY_VEC, F.col("embedding")).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    from movievectorsearch_spark.operators.ann import (
+        _bucket_of,
+        _probe_buckets,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(8, len(QUERY_VEC), 42)
+    qb = _bucket_of(QUERY_VEC, planes)
+    parts = []
+    for h in _PROBE_CURVE_HAMMINGS:
+        n_buckets = len(sorted(set(_probe_buckets(qb, 8, h))))
+        ann = srp_search(
+            e, QUERY_VEC, k=10, n_planes=8, max_hamming=h
+        ).select("vec_id")
+        parts.append(
+            exact.join(ann, "vec_id").agg(
+                F.lit(h).alias("max_hamming"),
+                F.lit(n_buckets).alias("n_buckets"),
+                F.count("*").cast("bigint").alias("n_overlap"),
+                F.round(F.count("*") / F.lit(10.0), 6).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("max_hamming")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -11174,6 +11269,7 @@ _RECHECK_FIRST = [
     "vocab_coverage_curve",
     "dedup_threshold_sweep",
     "split_drift_ks_check",
+    "ann_probe_recall_curve",
 ]
 
 

@@ -648,3 +648,15 @@ def test_split_drift_ks_within_sanity(spark, sf_dir):
     assert 0 <= r["ks_ppm"] < 500_000  # hash split: no systematic drift
     assert r["ks_bucket"] in Q._LEN_BUCKETS
     assert r["cdf_train_ppm"] <= 1_000_000 and r["cdf_test_ppm"] <= 1_000_000
+
+
+def test_ann_probe_curve_monotone_recall(spark, sf_dir):
+    """Probe sets are nested ⇒ recall is non-decreasing in the radius;
+    bucket counts follow 1, 1+8, 1+8+28 (dedup for colliding flips)."""
+    out = Q.QUERIES["ann_probe_recall_curve"]["spark"](spark, sf_dir).collect()
+    assert [r["max_hamming"] for r in out] == Q._PROBE_CURVE_HAMMINGS
+    recalls = [r["n_overlap"] for r in out]
+    assert recalls == sorted(recalls)
+    assert all(0 <= r["n_overlap"] <= 10 for r in out)
+    nb = [r["n_buckets"] for r in out]
+    assert nb[0] == 1 and nb == sorted(nb) and nb[-1] <= 1 + 8 + 28
