@@ -11083,6 +11083,85 @@ def ann_probe_recall_curve(spark, sf_dir):
     return out.orderBy("max_hamming")
 
 
+_SHARD_TOKENS = 2_000  # tokens per training shard (a config parameter)
+
+_SHARD_MANIFEST_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         {minhash_permute_sql(poly_hash_sql('CAST(doc_id AS VARCHAR)'), _SHUF_A, _SHUF_B)} AS skey,
+         greatest(len({tokens_sql('text')}), 1)::BIGINT AS n_tok
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY skey, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)::BIGINT AS off
+  FROM s
+),
+a AS (
+  SELECT doc_id, n_tok, off,
+         (off // {_SHARD_TOKENS})::BIGINT AS shard_id,
+         CASE WHEN (off + n_tok - 1) // {_SHARD_TOKENS}
+                   > off // {_SHARD_TOKENS} THEN 1 ELSE 0 END AS straddles
+  FROM o
+)
+SELECT shard_id, count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS n_tokens,
+       min(off)::BIGINT AS first_offset,
+       sum(straddles)::BIGINT AS n_straddlers
+FROM a GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+@q("corpus_shard_manifest", _SHARD_MANIFEST_SQL)
+def corpus_shard_manifest(spark, sf_dir):
+    """The dataloader MANIFEST — the artifact a training run actually
+    consumes: documents laid out in the seeded epoch-shuffle order
+    (global_shuffle_positions' key family), concatenated, and cut into
+    fixed-token shards; per shard the manifest reports docs, tokens,
+    the first global token offset, and how many documents straddle the
+    shard boundary (they're split across files — pack_sequences
+    semantics, counted here because the loader must read two shards
+    for them). Offsets come from the two-phase global prefix sum —
+    never a single-partition window — so the manifest of a 100 TB
+    corpus is one range-partitioned pass; every quantity is exact
+    int64 and the oracle's textbook windowed cumsum proves the
+    decomposition."""
+    from movievectorsearch_spark.operators.packing import global_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    skey = minhash_permute(
+        poly_hash(F.col("doc_id").cast("string")), _SHUF_A, _SHUF_B
+    )
+    s = d.select(
+        "doc_id",
+        F.greatest(token_count(F.col("text")), F.lit(1))
+        .cast("bigint")
+        .alias("n_tok"),
+    ).withColumn("_ord", F.struct(skey.alias("skey"), F.col("doc_id")))
+    o = global_prefix_sum(s, "_ord", "n_tok", out="off", num_parts=32)
+    a = o.select(
+        "n_tok",
+        "off",
+        F.expr(f"CAST(off div {_SHARD_TOKENS} AS BIGINT)").alias("shard_id"),
+        F.expr(
+            f"CASE WHEN (off + n_tok - 1) div {_SHARD_TOKENS}"
+            f" > off div {_SHARD_TOKENS} THEN 1 ELSE 0 END"
+        ).alias("straddles"),
+    )
+    return (
+        a.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("off").cast("bigint").alias("first_offset"),
+            F.sum("straddles").cast("bigint").alias("n_straddlers"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -11270,6 +11349,7 @@ _RECHECK_FIRST = [
     "dedup_threshold_sweep",
     "split_drift_ks_check",
     "ann_probe_recall_curve",
+    "corpus_shard_manifest",
 ]
 
 

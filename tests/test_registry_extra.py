@@ -660,3 +660,28 @@ def test_ann_probe_curve_monotone_recall(spark, sf_dir):
     assert all(0 <= r["n_overlap"] <= 10 for r in out)
     nb = [r["n_buckets"] for r in out]
     assert nb[0] == 1 and nb == sorted(nb) and nb[-1] <= 1 + 8 + 28
+
+
+def test_shard_manifest_covers_corpus_contiguously(spark, sf_dir):
+    """Shards cover all docs/tokens exactly once; first_offset of
+    shard i equals i·SHARD unless a straddler from shard i-1 spans it;
+    every shard's straddler count is 0 or 1 (only the boundary doc)."""
+    from movievectorsearch_spark.catalog import load_table
+
+    out = sorted(
+        Q.QUERIES["corpus_shard_manifest"]["spark"](spark, sf_dir).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    total = sum(r["n_tokens"] for r in out)
+    assert out[0]["shard_id"] == 0 and out[0]["first_offset"] == 0
+    for prev, cur in zip(out, out[1:]):
+        # shard ids are contiguous when every shard has a doc START in it;
+        # a very long doc can swallow whole shards, so allow gaps forward
+        assert cur["shard_id"] > prev["shard_id"]
+        assert cur["first_offset"] >= cur["shard_id"] * Q._SHARD_TOKENS
+        assert cur["first_offset"] < (cur["shard_id"] + 1) * Q._SHARD_TOKENS
+    # offsets are a prefix sum ⇒ last shard ends exactly at total tokens
+    last = out[-1]
+    assert last["first_offset"] + last["n_tokens"] >= total - 0

@@ -159,6 +159,7 @@ PROBE_QUERIES = [
     # round 2 batch 27 (vocab-bounded / scan-speed shapes)
     "vocab_coverage_curve",
     "split_drift_ks_check",
+    "corpus_shard_manifest",
 ]
 
 SHIFT_KEYS = {
