@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "split_drift_ks_check",
     "ann_probe_recall_curve",
     "corpus_shard_manifest",
+    "ivf_probe_recall_curve",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -11162,6 +11162,108 @@ def corpus_shard_manifest(spark, sf_dir):
     )
 
 
+_IVF_CURVE_NPROBES = [1, 2, 4]
+
+
+def _ivf_probe_curve_sql() -> str:
+    """Shares _ann_ivf_sql's derivations (seeded centroids, argmax
+    assignment, sequential-fold probe ranking); one UNION arm per
+    nprobe against the shared exact top-10."""
+    score = cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), "a.embedding")
+    escore = cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), "embedding")
+    cscore = cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), "c.cv")
+    cell_cos = cosine_sql("e.embedding", "c.cv")
+    step = "greatest((SELECT count(*) FROM embeddings) // 8, 1)"
+    arms = "\nUNION ALL\n".join(
+        f"""
+SELECT {n} AS nprobe, count(*)::BIGINT AS n_overlap,
+       round(count(*) / 10.0, 6) AS recall
+FROM exact x JOIN (
+  SELECT vec_id FROM asg a
+  WHERE cell IN (SELECT cell FROM cents c
+                 ORDER BY coalesce({cscore}, -1.0) DESC, cell LIMIT {n})
+  ORDER BY {score} DESC, vec_id LIMIT 10
+) a USING (vec_id)"""
+        for n in _IVF_CURVE_NPROBES
+    )
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         embedding::DOUBLE[] AS cv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+    AND vec_id % {step} = 0 AND vec_id / {step} < 8
+  ORDER BY vec_id LIMIT 8
+),
+e AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+asg AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY -1.0 * ({cell_cos}) ASC,
+                                       c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+exact AS (
+  SELECT vec_id FROM e
+  ORDER BY {escore} DESC, vec_id LIMIT 10
+)
+{arms}
+ORDER BY nprobe
+"""
+
+
+@q("ivf_probe_recall_curve", _ivf_probe_curve_sql())
+def ivf_probe_recall_curve(spark, sf_dir):
+    """recall@10 versus IVF probe count (1, 2, 4 of 8 cells) — the
+    coarse-quantizer twin of ann_probe_recall_curve, completing the
+    serving tuning-curve pair. Same seeded centroids, argmax
+    assignment, and sequential-fold probe ranking as ann_ivf_topk
+    (every step re-derived in the oracle); the assignment is computed
+    once and filtered three times, so the extra curve points cost only
+    probe-filtered rescans. Probed cell sets are nested by the shared
+    ranking, so recall is monotone in nprobe."""
+    from movievectorsearch_spark.operators.ann import (
+        ivf_assign,
+        ivf_search,
+        seeded_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(e, n_cells=8)
+    assigned = ivf_assign(e, cents).persist()
+    exact = (
+        e.filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+        .select(
+            "vec_id",
+            cosine_to_query(QUERY_VEC, F.col("embedding")).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    parts = []
+    for n in _IVF_CURVE_NPROBES:
+        ann = ivf_search(assigned, cents, QUERY_VEC, k=10, nprobe=n).select(
+            "vec_id"
+        )
+        parts.append(
+            exact.join(ann, "vec_id").agg(
+                F.lit(n).alias("nprobe"),
+                F.count("*").cast("bigint").alias("n_overlap"),
+                F.round(F.count("*") / F.lit(10.0), 6).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("nprobe")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -11350,6 +11452,7 @@ _RECHECK_FIRST = [
     "split_drift_ks_check",
     "ann_probe_recall_curve",
     "corpus_shard_manifest",
+    "ivf_probe_recall_curve",
 ]
 
 

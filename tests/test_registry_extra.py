@@ -685,3 +685,11 @@ def test_shard_manifest_covers_corpus_contiguously(spark, sf_dir):
     # offsets are a prefix sum ⇒ last shard ends exactly at total tokens
     last = out[-1]
     assert last["first_offset"] + last["n_tokens"] >= total - 0
+
+
+def test_ivf_probe_curve_monotone(spark, sf_dir):
+    out = Q.QUERIES["ivf_probe_recall_curve"]["spark"](spark, sf_dir).collect()
+    assert [r["nprobe"] for r in out] == Q._IVF_CURVE_NPROBES
+    overlaps = [r["n_overlap"] for r in out]
+    assert overlaps == sorted(overlaps)  # nested probe sets
+    assert all(0 <= r["n_overlap"] <= 10 for r in out)
