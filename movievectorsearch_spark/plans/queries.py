@@ -11264,6 +11264,163 @@ def ivf_probe_recall_curve(spark, sf_dir):
     return out.orderBy("nprobe")
 
 
+_PARALLEL_SQL = f"""
+WITH pairs AS ({_neardup_srp_sql()}),
+lp AS (
+  SELECT least(da.lang, db.lang) AS lang_a,
+         greatest(da.lang, db.lang) AS lang_b,
+         CAST(round(p.cos * 1000000, 0) AS BIGINT) AS cos_ppm
+  FROM pairs p JOIN documents da ON da.doc_id = p.a_id
+       JOIN documents db ON db.doc_id = p.b_id
+  WHERE da.lang <> db.lang
+)
+SELECT lang_a, lang_b, count(*)::BIGINT AS n_pairs,
+       (sum(cos_ppm) // count(*))::BIGINT AS mean_cos_ppm,
+       max(cos_ppm)::BIGINT AS max_cos_ppm
+FROM lp GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b
+"""
+
+
+@q("parallel_text_mining", _PARALLEL_SQL)
+def parallel_text_mining(spark, sf_dir):
+    """CROSS-LINGUAL near-dup mining — the parallel-corpus miner
+    behind translation training data (CCMatrix/LASER shape): the same
+    SRP-bucketed embedding candidate machinery as
+    dedup_embedding_cosine, but keeping only pairs whose documents
+    carry DIFFERENT language tags, aggregated into a language-pair
+    matrix (pair counts, mean and max cosine in exact ppm — per-pair
+    scores truncate to integers BEFORE summing, so group sums are
+    order-independent across engines). On aligned multilingual
+    embeddings the high-cosine cross-lang pairs ARE translation pairs;
+    on these synthetic embeddings the matrix is a deterministic
+    smoke-run of exactly that plan. Cost is the already-bounded
+    SRP block join plus two dimension joins."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_pairs_srp(
+        e,
+        dim=len(QUERY_VEC),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=_NEARDUP_THRESHOLD,
+        n_planes=_SRP_PLANES,
+        n_tables=_SRP_TABLES,
+        seed=_SRP_SEED,
+    )
+    lp = (
+        pairs.join(
+            d.select(F.col("doc_id").alias("a_id"), F.col("lang").alias("la")),
+            "a_id",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("b_id"), F.col("lang").alias("lb")),
+            "b_id",
+        )
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            F.least("la", "lb").alias("lang_a"),
+            F.greatest("la", "lb").alias("lang_b"),
+            F.round(F.col("cos") * 1_000_000, 0)
+            .cast("bigint")
+            .alias("cos_ppm"),
+        )
+    )
+    return (
+        lp.groupBy("lang_a", "lang_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.expr("CAST(sum(cos_ppm) div count(*) AS BIGINT)").alias(
+                "mean_cos_ppm"
+            ),
+            F.max("cos_ppm").cast("bigint").alias("max_cos_ppm"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+pairs AS ({_NGRAM_SELECT}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+ql AS (
+  SELECT doc_id, toks, text,
+         CAST(round(({_funnel_quality_sql()}) * 1000000, 0) AS BIGINT)
+           AS q_ppm
+  FROM (SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents)
+),
+memb AS (
+  SELECT c.doc_id, c.cluster_id, q.q_ppm
+  FROM cc c JOIN ql q USING (doc_id)
+),
+r AS (
+  SELECT doc_id, cluster_id, q_ppm,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY q_ppm DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM memb
+)
+SELECT cluster_id, doc_id AS keeper_id, cluster_size::BIGINT AS cluster_size,
+       q_ppm AS keeper_quality_ppm,
+       (doc_id = cluster_id) AS keeper_is_min_id
+FROM r WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
+@q("dedup_keep_best_rewrite", _KEEP_BEST_SQL)
+def dedup_keep_best_rewrite(spark, sf_dir):
+    """The KEEP-BEST dedup policy: each near-dup cluster keeps its
+    highest-QUALITY member (composite quality score in ppm, min
+    doc_id as the deterministic tiebreak) instead of the arbitrary
+    min-id canonical — the policy real pipelines prefer, because the
+    canonical duplicate is often the truncated/boilerplate variant.
+    One quality expression at scan speed, one rank window per cluster;
+    the keeper_is_min_id flag measures exactly how often the naive
+    rule would have kept a worse copy (the decision evidence for
+    switching policies). Quality truncates to int ppm BEFORE ranking,
+    so the argmax is engine-exact."""
+    from movievectorsearch_spark.operators.cluster import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", _SHINGLE_N, _NGRAM_THRESHOLD, ["lang"]
+    )
+    cc = connected_components(pairs, "a_id", "b_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+    ql = d.select(
+        "doc_id",
+        F.round(TA.quality_score(F.col("text")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("q_ppm"),
+    )
+    memb = cc.join(ql, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("q_ppm"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        memb.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(wc).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            "cluster_size",
+            F.col("q_ppm").alias("keeper_quality_ppm"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("keeper_is_min_id"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -11453,6 +11610,9 @@ _RECHECK_FIRST = [
     "ann_probe_recall_curve",
     "corpus_shard_manifest",
     "ivf_probe_recall_curve",
+    # new in round-2 batch 29
+    "parallel_text_mining",
+    "dedup_keep_best_rewrite",
 ]
 
 

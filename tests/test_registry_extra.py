@@ -693,3 +693,49 @@ def test_ivf_probe_curve_monotone(spark, sf_dir):
     overlaps = [r["n_overlap"] for r in out]
     assert overlaps == sorted(overlaps)  # nested probe sets
     assert all(0 <= r["n_overlap"] <= 10 for r in out)
+
+
+def test_parallel_mining_is_cross_lingual_subset(spark, sf_dir):
+    """Every row is an unordered distinct-lang pair and the pair total
+    never exceeds the unfiltered near-dup pair count."""
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.operators import dedup as D
+
+    out = Q.QUERIES["parallel_text_mining"]["spark"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    all_pairs = D.embedding_neardup_pairs_srp(
+        e, dim=64, id_col="vec_id", vec_col="embedding",
+        threshold=Q._NEARDUP_THRESHOLD, n_planes=Q._SRP_PLANES,
+        n_tables=Q._SRP_TABLES, seed=Q._SRP_SEED,
+    ).count()
+    assert sum(r["n_pairs"] for r in out) <= all_pairs
+    for r in out:
+        assert r["lang_a"] < r["lang_b"]
+        assert r["mean_cos_ppm"] <= r["max_cos_ppm"] <= 1_000_000
+
+
+def test_keep_best_beats_or_equals_min_id_quality(spark, sf_dir):
+    """The keeper's quality is ≥ the min-id member's quality in every
+    cluster (argmax by construction); keeper_is_min_id false means the
+    naive rule kept a strictly worse copy."""
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.operators import textanalysis as TA
+    from pyspark.sql import functions as F
+
+    out = Q.QUERIES["dedup_keep_best_rewrite"]["spark"](spark, sf_dir).collect()
+    assert out
+    d = load_table(spark, sf_dir, "documents")
+    q = {
+        r["doc_id"]: r["q"]
+        for r in d.select(
+            "doc_id",
+            F.round(TA.quality_score(F.col("text")) * 1_000_000, 0)
+            .cast("bigint")
+            .alias("q"),
+        ).collect()
+    }
+    for r in out:
+        assert r["keeper_quality_ppm"] >= q[r["cluster_id"]]
+        if not r["keeper_is_min_id"]:
+            assert r["keeper_quality_ppm"] > q[r["cluster_id"]]
+        assert r["cluster_size"] >= 2
