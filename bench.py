@@ -222,9 +222,10 @@ BENCH_QUERIES = [
     "parts_abc_pareto",
     # round 2 batch 26
     "dedup_oph_pairs",
-    # round 2 batch 27
+    # round 2 batch 27 (dedup_threshold_sweep not benched: it scans the
+    # exact n-gram pair list, which is the unbenched verify path — same
+    # policy as dedup_ngram_jaccard / ngram_containment_pairs)
     "vocab_coverage_curve",
-    "dedup_threshold_sweep",
     "split_drift_ks_check",
     "ann_probe_recall_curve",
     "corpus_shard_manifest",
