@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     # round 2 batch 29 (dedup_keep_best_rewrite not benched: CC loop,
     # same rationale as dedup_clusters)
     "parallel_text_mining",
+    "multimodal_exact_dedup",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -11421,6 +11421,66 @@ def dedup_keep_best_rewrite(spark, sf_dir):
     )
 
 
+_MM_DEDUP_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         sha256(text) AS h, octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+grp AS (
+  SELECT media_type, h, count(*)::BIGINT AS n_copies,
+         min(n_bytes)::BIGINT AS blob_bytes
+  FROM media GROUP BY media_type, h
+)
+SELECT media_type,
+       count(*)::BIGINT AS n_distinct_blobs,
+       sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+       sum(n_copies - 1)::BIGINT AS n_redundant_copies,
+       sum((n_copies - 1) * blob_bytes)::BIGINT AS bytes_saved
+FROM grp GROUP BY media_type ORDER BY media_type
+"""
+
+
+@q("multimodal_exact_dedup", _MM_DEDUP_SQL)
+def multimodal_exact_dedup(spark, sf_dir):
+    """Exact BINARY dedup for media blobs — the multimodal twin of
+    dedup_exact: group by content sha256 (computed JVM-side, the blob
+    never crosses to Python), keep one copy per hash, and report per
+    modality how many duplicate groups exist and how many bytes the
+    rewrite saves (the dedup business case, in bytes). At 100 TB this
+    is one scan hashing each blob once plus two count-sized
+    aggregates; the oracle hashes the same utf-8 bytes (the
+    multimodal_decode sha256 parity), so the dedup decision set is
+    bit-reproducible."""
+    from movievectorsearch_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.content_meta(MM.media_from_documents(d))
+    grp = media.groupBy("media_type", "sha256").agg(
+        F.count("*").cast("bigint").alias("n_copies"),
+        F.min("n_bytes").cast("bigint").alias("blob_bytes"),
+    )
+    return (
+        grp.groupBy("media_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_blobs"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_groups"),
+            F.sum(F.col("n_copies") - 1).cast("bigint").alias(
+                "n_redundant_copies"
+            ),
+            F.sum((F.col("n_copies") - 1) * F.col("blob_bytes"))
+            .cast("bigint")
+            .alias("bytes_saved"),
+        )
+        .orderBy("media_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -11613,6 +11673,7 @@ _RECHECK_FIRST = [
     # new in round-2 batch 29
     "parallel_text_mining",
     "dedup_keep_best_rewrite",
+    "multimodal_exact_dedup",
 ]
 
 

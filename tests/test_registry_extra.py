@@ -739,3 +739,22 @@ def test_keep_best_beats_or_equals_min_id_quality(spark, sf_dir):
         if not r["keeper_is_min_id"]:
             assert r["keeper_quality_ppm"] > q[r["cluster_id"]]
         assert r["cluster_size"] >= 2
+
+
+def test_multimodal_dedup_consistent_with_meta(spark, sf_dir):
+    """Distinct-blob counts agree with multimodal_meta's
+    count_distinct(sha256); redundant copies = rows − distinct."""
+    mm = {
+        r["media_type"]: r
+        for r in Q.QUERIES["multimodal_exact_dedup"]["spark"](
+            spark, sf_dir
+        ).collect()
+    }
+    meta = {
+        r["media_type"]: r
+        for r in Q.QUERIES["multimodal_meta"]["spark"](spark, sf_dir).collect()
+    }
+    for mt, r in mm.items():
+        assert r["n_distinct_blobs"] == meta[mt]["n_distinct"]
+        assert r["n_redundant_copies"] == meta[mt]["n"] - meta[mt]["n_distinct"]
+        assert r["bytes_saved"] >= 0

@@ -160,6 +160,7 @@ PROBE_QUERIES = [
     "vocab_coverage_curve",
     "split_drift_ks_check",
     "corpus_shard_manifest",
+    "multimodal_exact_dedup",
 ]
 
 SHIFT_KEYS = {
