@@ -583,3 +583,32 @@ def test_cusum_windows_share_one_partitioning(spark, sf_dir):
     ]
     assert len(window_exchanges) == 1, window_exchanges
     assert "BroadcastExchange" in p
+
+
+def _executed(spark, sf_dir, name):
+    df = Q.QUERIES[name]["spark"](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_shard_manifest_two_phase_not_global_window(spark, sf_dir):
+    """The token-offset prefix sum must be the two-phase range scan:
+    range partitioning present, and the only single-partition exchange
+    is the N-row per-partition offset table."""
+    p = _executed(spark, sf_dir, "corpus_shard_manifest")
+    assert "Exchange rangepartitioning" in p
+    assert p.count("Exchange SinglePartition") <= 1
+
+
+def test_retention_cohorts_no_window_functions(spark, sf_dir):
+    """Cohorts are pure agg+join — a window formulation would shuffle
+    per-user event history through rank machinery for nothing."""
+    p = _executed(spark, sf_dir, "events_retention_cohorts")
+    assert "Window" not in p
+
+
+def test_funnel_conversion_no_global_sort_no_window(spark, sf_dir):
+    """Stage chaining is MIN-aggregates + equi-joins: no window, no
+    range partitioning (a sessionize-style sort would be wasted)."""
+    p = _executed(spark, sf_dir, "funnel_conversion_windowed")
+    assert "Window" not in p
+    assert "Exchange rangepartitioning" not in p
