@@ -11481,6 +11481,137 @@ def multimodal_exact_dedup(spark, sf_dir):
     )
 
 
+_SEMANTIC_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_neardup_srp_sql()}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+sz AS (SELECT cluster_id, count(*)::BIGINT AS n FROM cc GROUP BY cluster_id)
+SELECT n AS cluster_size, count(*)::BIGINT AS n_clusters,
+       sum(n)::BIGINT AS n_vectors
+FROM sz GROUP BY n ORDER BY cluster_size
+"""
+
+
+@q("semantic_clusters", _SEMANTIC_CLUSTERS_SQL)
+def semantic_clusters(spark, sf_dir):
+    """SEMANTIC grouping: connected components over the
+    embedding-cosine near-dup graph (SRP-blocked candidates, exact
+    re-score) — the meaning-level counterpart of the lexical
+    dedup_clusters (n-gram Jaccard finds copied TEXT; this finds
+    restated CONTENT, which survives paraphrase). Same Pregel-style
+    min-label propagation, same size-histogram output shape as
+    dedup_graph_stats, so the two histograms diff directly: lexical
+    clusters ⊆ semantic clusters is the expected containment on a
+    corpus with paraphrases. Cost = the bounded SRP block join + CC
+    rounds over pair-graph-sized data."""
+    from movievectorsearch_spark.operators.cluster import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_pairs_srp(
+        e,
+        dim=len(QUERY_VEC),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=_NEARDUP_THRESHOLD,
+        n_planes=_SRP_PLANES,
+        n_tables=_SRP_TABLES,
+        seed=_SRP_SEED,
+    )
+    cc = connected_components(pairs, "a_id", "b_id")
+    sz = cc.groupBy("cluster_id").agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        sz.groupBy(F.col("n").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("n").cast("bigint").alias("n_vectors"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+_AB_SALT = "exp_checkout_v2"  # experiment name salts the assignment hash
+
+_AB_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN ({poly_hash_sql(f"'{_AB_SALT}:' || CAST(user_id AS VARCHAR)")} % 2) = 0
+              THEN 'control' ELSE 'treatment' END AS variant,
+         count(*)::BIGINT AS n_events,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS n_purchases
+  FROM events GROUP BY user_id, variant
+),
+v AS (
+  SELECT variant, count(*)::BIGINT AS n_users,
+         sum(n_events)::BIGINT AS n_events,
+         sum(n_purchases)::BIGINT AS n_purchases,
+         sum(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_converted
+  FROM u GROUP BY variant
+)
+SELECT variant, n_users, n_events, n_purchases, n_converted,
+       ((1000000 * n_converted) // n_users)::BIGINT AS conversion_ppm
+FROM v ORDER BY variant
+"""
+
+
+@q("ab_test_readout", _AB_SQL)
+def ab_test_readout(spark, sf_dir):
+    """The A/B experiment readout: users assigned to control/treatment
+    by a SALTED portable hash (the experiment name in the salt makes
+    assignments independent across concurrent experiments — the
+    standard bucketing-system trick), per-variant users/events/
+    purchases and user-level conversion in exact ppm. One user-keyed
+    aggregate + one 2-row rollup; at 100 TB this is the same two
+    shuffles regardless of experiment count because assignment is an
+    expression, not a lookup table. The significance test runs
+    downstream on the four integers this emits."""
+    e = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        poly_hash(
+            F.concat(F.lit(_AB_SALT + ":"), F.col("user_id").cast("string"))
+        )
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    u = e.groupBy("user_id", variant.alias("variant")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+    return (
+        u.groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("n_purchases").cast("bigint").alias("n_purchases"),
+            F.sum(F.when(F.col("n_purchases") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_converted"),
+        )
+        .select(
+            "variant",
+            "n_users",
+            "n_events",
+            "n_purchases",
+            "n_converted",
+            F.expr(
+                "CAST((1000000 * n_converted) div n_users AS BIGINT)"
+            ).alias("conversion_ppm"),
+        )
+        .orderBy("variant")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -11674,6 +11805,9 @@ _RECHECK_FIRST = [
     "parallel_text_mining",
     "dedup_keep_best_rewrite",
     "multimodal_exact_dedup",
+    # new in round-2 batch 30
+    "semantic_clusters",
+    "ab_test_readout",
 ]
 
 

@@ -758,3 +758,31 @@ def test_multimodal_dedup_consistent_with_meta(spark, sf_dir):
         assert r["n_distinct_blobs"] == meta[mt]["n_distinct"]
         assert r["n_redundant_copies"] == meta[mt]["n"] - meta[mt]["n_distinct"]
         assert r["bytes_saved"] >= 0
+
+
+def test_semantic_clusters_histogram_consistent(spark, sf_dir):
+    """size × n_clusters sums to n_vectors per row; all sizes ≥ 2
+    (components come from the pair graph)."""
+    out = Q.QUERIES["semantic_clusters"]["spark"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["cluster_size"] >= 2
+        assert r["n_vectors"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_ab_readout_covers_all_users_and_is_salt_stable(spark, sf_dir):
+    """Variants partition the user population; assignment is stable
+    across runs (pure hash, no RNG)."""
+    from movievectorsearch_spark.catalog import load_table
+
+    out1 = Q.QUERIES["ab_test_readout"]["spark"](spark, sf_dir).collect()
+    out2 = Q.QUERIES["ab_test_readout"]["spark"](spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in out1) == n_users
+    assert {r["variant"] for r in out1} <= {"control", "treatment"}
+    for r in out1:
+        assert r["n_converted"] <= r["n_users"]
+        assert 0 <= r["conversion_ppm"] <= 1_000_000

@@ -161,6 +161,7 @@ PROBE_QUERIES = [
     "split_drift_ks_check",
     "corpus_shard_manifest",
     "multimodal_exact_dedup",
+    "ab_test_readout",
 ]
 
 SHIFT_KEYS = {
