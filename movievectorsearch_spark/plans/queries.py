@@ -11612,6 +11612,103 @@ def ab_test_readout(spark, sf_dir):
     )
 
 
+# fixed RFM score boundaries — deterministic literals, not data-derived
+# quantiles (ntile would need a global window; thresholds are policy)
+_RFM_R_DAYS = [30, 365]        # recency ≤30d → 3, ≤365d → 2, else 1
+_RFM_F_ORDERS = [20, 8]        # ≥20 orders → 3, ≥8 → 2, else 1
+_RFM_M_CENTS = [100_000_000, 20_000_000]  # ≥$1M → 3, ≥$200k → 2, else 1
+
+_RFM_SQL = f"""
+WITH anchor AS (SELECT max(o_orderdate)::DATE AS d1 FROM orders),
+c AS (
+  SELECT o_custkey AS custkey,
+         (a.d1 - max(o_orderdate)::DATE) AS r_days,
+         count(*)::BIGINT AS f_orders,
+         sum({CENTS.format(col='o_totalprice')})::BIGINT AS m_cents
+  FROM orders, anchor a GROUP BY o_custkey, a.d1
+),
+s AS (
+  SELECT custkey, r_days, f_orders, m_cents,
+         CASE WHEN r_days <= {_RFM_R_DAYS[0]} THEN 3
+              WHEN r_days <= {_RFM_R_DAYS[1]} THEN 2 ELSE 1 END AS r,
+         CASE WHEN f_orders >= {_RFM_F_ORDERS[0]} THEN 3
+              WHEN f_orders >= {_RFM_F_ORDERS[1]} THEN 2 ELSE 1 END AS f,
+         CASE WHEN m_cents >= {_RFM_M_CENTS[0]} THEN 3
+              WHEN m_cents >= {_RFM_M_CENTS[1]} THEN 2 ELSE 1 END AS m
+  FROM c
+)
+SELECT (r::VARCHAR || f::VARCHAR || m::VARCHAR) AS rfm_segment,
+       count(*)::BIGINT AS n_customers,
+       sum(m_cents)::BIGINT AS total_cents,
+       min(r_days)::BIGINT AS min_recency_days,
+       max(f_orders)::BIGINT AS max_orders
+FROM s GROUP BY rfm_segment ORDER BY rfm_segment
+"""
+
+
+@q("customer_rfm_segments", _RFM_SQL)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — recency / frequency / monetary
+    scored 1-3 each against FIXED policy thresholds (quantile-based
+    scoring would need a global ntile window and make segment
+    boundaries drift with the data; fixed thresholds are how real
+    scoring rules ship), rolled up per segment with exact cents. One
+    customer-keyed aggregate + a 1-row anchor broadcast + a ≤27-row
+    rollup — two shuffles at any scale. Recency is integer DAY
+    arithmetic on the date type (both engines subtract dates to
+    days)."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("d1"))
+    c = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("custkey"), "d1")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("bigint").alias("f_orders"),
+            F.sum(_cents("o_totalprice")).cast("bigint").alias("m_cents"),
+        )
+        .select(
+            "custkey",
+            F.datediff("d1", "last_order").cast("bigint").alias("r_days"),
+            "f_orders",
+            "m_cents",
+        )
+    )
+    r = (
+        F.when(F.col("r_days") <= _RFM_R_DAYS[0], 3)
+        .when(F.col("r_days") <= _RFM_R_DAYS[1], 2)
+        .otherwise(1)
+    )
+    f_ = (
+        F.when(F.col("f_orders") >= _RFM_F_ORDERS[0], 3)
+        .when(F.col("f_orders") >= _RFM_F_ORDERS[1], 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("m_cents") >= _RFM_M_CENTS[0], 3)
+        .when(F.col("m_cents") >= _RFM_M_CENTS[1], 2)
+        .otherwise(1)
+    )
+    s = c.select(
+        F.concat(
+            r.cast("string"), f_.cast("string"), m.cast("string")
+        ).alias("rfm_segment"),
+        "r_days",
+        "f_orders",
+        "m_cents",
+    )
+    return (
+        s.groupBy("rfm_segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("m_cents").cast("bigint").alias("total_cents"),
+            F.min("r_days").cast("bigint").alias("min_recency_days"),
+            F.max("f_orders").cast("bigint").alias("max_orders"),
+        )
+        .orderBy("rfm_segment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -11808,6 +11905,7 @@ _RECHECK_FIRST = [
     # new in round-2 batch 30
     "semantic_clusters",
     "ab_test_readout",
+    "customer_rfm_segments",
 ]
 
 

@@ -786,3 +786,23 @@ def test_ab_readout_covers_all_users_and_is_salt_stable(spark, sf_dir):
     for r in out1:
         assert r["n_converted"] <= r["n_users"]
         assert 0 <= r["conversion_ppm"] <= 1_000_000
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    """Segments partition the ordering customers; codes are from the
+    3×3×3 grid; cents totals are positive."""
+    from movievectorsearch_spark.catalog import load_table
+
+    out = Q.QUERIES["customer_rfm_segments"]["spark"](spark, sf_dir).collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in out) == n_cust
+    for r in out:
+        assert len(r["rfm_segment"]) == 3
+        assert all(ch in "123" for ch in r["rfm_segment"])
+        assert r["total_cents"] > 0
+        assert r["min_recency_days"] >= 0

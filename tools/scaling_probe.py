@@ -162,6 +162,7 @@ PROBE_QUERIES = [
     "corpus_shard_manifest",
     "multimodal_exact_dedup",
     "ab_test_readout",
+    "customer_rfm_segments",
 ]
 
 SHIFT_KEYS = {
