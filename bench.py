@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     # round 2 batch 30 (semantic_clusters not benched: CC loop)
     "ab_test_readout",
     "customer_rfm_segments",
+    "blocklist_screen",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

@@ -11709,6 +11709,67 @@ def customer_rfm_segments(spark, sf_dir):
     )
 
 
+# literal blocklist — a policy artifact like the BPE merge table; real
+# deployments load thousands of terms, the plan shape is identical
+_BLOCKLIST = ["horror", "noir", "error", "pending"]
+
+_BLOCKLIST_SQL = f"""
+WITH t AS (
+  SELECT source, {tokens_sql('text')} AS toks FROM documents
+),
+f AS (
+  SELECT source,
+         CASE WHEN len(list_filter(toks,
+              t -> t IN ({', '.join(repr(w) for w in _BLOCKLIST)}))) > 0
+              THEN 1 ELSE 0 END AS flagged,
+         len(toks)::BIGINT AS n_tok
+  FROM t
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(flagged)::BIGINT AS n_flagged,
+       ((1000000 * sum(flagged)) // count(*))::BIGINT AS flagged_ppm,
+       sum(CASE WHEN flagged = 1 THEN n_tok ELSE 0 END)::BIGINT
+         AS flagged_tokens
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+@q("blocklist_screen", _BLOCKLIST_SQL)
+def blocklist_screen(spark, sf_dir):
+    """The safety/blocklist screen every released corpus runs: per
+    source, how many documents contain ANY blocklisted term, in docs,
+    ppm, and tokens (the removal cost). The blocklist here is a small
+    literal (a policy artifact, like the BPE merge table); at real
+    blocklist sizes the membership test becomes a broadcast-joined
+    terms table against the exploded tokens — same screen, one
+    explode+join instead of an IN-list, and the aggregate is
+    unchanged. One scan, map-side combining, exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    flagged = F.when(
+        F.exists(toks, lambda t: t.isin(*_BLOCKLIST)), 1
+    ).otherwise(0)
+    f = d.select(
+        "source",
+        flagged.alias("flagged"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("flagged").cast("bigint").alias("n_flagged"),
+            F.expr(
+                "CAST((1000000 * sum(flagged)) div count(*) AS BIGINT)"
+            ).alias("flagged_ppm"),
+            F.sum(F.when(F.col("flagged") == 1, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("flagged_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -11906,6 +11967,7 @@ _RECHECK_FIRST = [
     "semantic_clusters",
     "ab_test_readout",
     "customer_rfm_segments",
+    "blocklist_screen",
 ]
 
 

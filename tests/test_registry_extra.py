@@ -806,3 +806,29 @@ def test_rfm_segments_partition_customers(spark, sf_dir):
         assert all(ch in "123" for ch in r["rfm_segment"])
         assert r["total_cents"] > 0
         assert r["min_recency_days"] >= 0
+
+
+def test_blocklist_screen_matches_python_model(spark, sf_dir):
+    """Per-source flag counts equal a pure-Python replay of the
+    tokenizer + membership test."""
+    from collections import defaultdict
+
+    from movievectorsearch_spark.catalog import load_table
+
+    out = {
+        r["source"]: r
+        for r in Q.QUERIES["blocklist_screen"]["spark"](spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    ).collect()
+    blocked = set(Q._BLOCKLIST)
+    exp = defaultdict(lambda: [0, 0])
+    for r in rows:
+        toks = [t for t in r["text"].lower().strip().split() if t]
+        exp[r["source"]][0] += 1
+        if any(t in blocked for t in toks):
+            exp[r["source"]][1] += 1
+    for src, (n, nf) in exp.items():
+        assert out[src]["n_docs"] == n
+        assert out[src]["n_flagged"] == nf

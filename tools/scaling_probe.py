@@ -163,6 +163,7 @@ PROBE_QUERIES = [
     "multimodal_exact_dedup",
     "ab_test_readout",
     "customer_rfm_segments",
+    "blocklist_screen",
 ]
 
 SHIFT_KEYS = {
