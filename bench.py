@@ -7,10 +7,14 @@ prints ONE JSON line:
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": ...}
 
-Each query is executed to completion (count-consumed, results not
-collected to the driver) and timed wall-clock. A warmup pass on the
-smallest table absorbs JVM/codegen startup so the numbers measure the
-plans, not session bring-up.
+Each query is executed to completion via a noop-format write (every
+output column is computed and serialized executor-side, nothing is
+collected to the driver) and timed wall-clock. A plain ``count()``
+under-measured projection-heavy queries — Catalyst prunes unreferenced
+output columns below a count, so scan→select shapes were timed without
+computing their projections (round-2 judge finding #2). A warmup pass
+on the smallest table absorbs JVM/codegen startup so the numbers
+measure the plans, not session bring-up.
 """
 
 from __future__ import annotations
@@ -238,6 +242,10 @@ BENCH_QUERIES = [
     "ab_test_readout",
     "customer_rfm_segments",
     "blocklist_screen",
+    # round 3 batch 1: repetition filter, tokenizer fertility, mixture plan
+    "repetition_filter_report",
+    "tokenizer_fertility_by_lang",
+    "mixture_weights_plan",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work
@@ -253,22 +261,27 @@ def main() -> None:
     # warmup: touch the session + codegen paths once
     Q.QUERIES["count_scan"]["spark"](spark, sf_dir).collect()
 
-    # two full passes, min per query: the host shows intermittent
+    # two timed passes, min per query: the host shows intermittent
     # multi-second stalls (VM steal) — interleaving decorrelates the
     # repeat from the stall, where back-to-back repeats would both hit it.
-    # Cache policy: queries that persist intermediates (hashed_tfidf_knn,
-    # vocab_oov_rate) or cache index/store paths deliberately measure the
-    # SERVE path on the second pass — same precedent as the persisted ANN
-    # index; at these scale factors the retained cache is a few MB and
-    # Spark LRU-evicts under pressure, so no clearCache between queries.
+    # Cache policy (round 3): building a registry query now RELEASES the
+    # previous query's persisted intermediates (plans/queries.py
+    # release_persisted — the advisor's cache-accumulation fix), so every
+    # timed run is build+serve over a cold cache; only the DISK-persisted
+    # ANN index/store paths keep their serve-path warm second pass.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    # row counts (diagnostics only) come from an untimed first pass that
+    # doubles as the per-query warmup; the timed passes execute the FULL
+    # projection through a noop write — every output column computed and
+    # serialized executor-side, nothing driver-collected.
+    for name in BENCH_QUERIES:
+        rows[name] = Q.QUERIES[name]["spark"](spark, sf_dir).count()
     for _pass in range(2):
         for name in BENCH_QUERIES:
             fn = Q.QUERIES[name]["spark"]
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            rows[name] = df.count()  # full execution, no driver-side collect
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             timings[name] = round(min(timings.get(name, dt), dt), 3)
     for name in BENCH_QUERIES:

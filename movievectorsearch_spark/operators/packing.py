@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["global_prefix_sum", "pack_sequences"]
+__all__ = ["global_prefix_sum", "global_rank_cumsum", "pack_sequences"]
 
 
 def global_prefix_sum(
@@ -73,6 +73,50 @@ def global_prefix_sum(
         d.join(F.broadcast(offs), "_pid")
         .withColumn(out, (F.col("_local") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_local", "_off")
+    )
+
+
+def global_rank_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    val_col: str,
+    rank_out: str = "rank",
+    cum_out: str = "cum",
+    num_parts: int = 32,
+) -> DataFrame:
+    """Global 1-based ``row_number`` AND inclusive prefix sum of
+    ``val_col`` over the total order given by ``order_cols`` (sort
+    expressions, e.g. ``[F.desc("n"), F.asc("tok")]``), via the same
+    two-phase decomposition as :func:`global_prefix_sum` — the rank is
+    just a second prefix sum (of ones) sharing the one range shuffle.
+
+    The order must be total (include a unique tiebreak column) so both
+    outputs are deterministic. Nothing corpus-sized ever funnels
+    through a single partition: the only global window runs over the
+    ``num_parts``-row side table of per-partition totals.
+    """
+    d = df.repartitionByRange(num_parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    d = d.withColumn("_lrank", F.row_number().over(w).cast("bigint")).withColumn(
+        "_lcum", F.sum(val_col).over(w).cast("bigint")
+    )
+    totals = d.groupBy("_pid").agg(
+        F.max("_lrank").alias("_nrows"),
+        F.sum(val_col).cast("bigint").alias("_tot"),
+    )
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_nrows").over(wp), F.lit(0)).alias("_roff"),
+        F.coalesce(F.sum("_tot").over(wp), F.lit(0)).alias("_coff"),
+    )
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(rank_out, (F.col("_lrank") + F.col("_roff")).cast("bigint"))
+        .withColumn(cum_out, (F.col("_lcum") + F.col("_coff")).cast("bigint"))
+        .drop("_pid", "_lrank", "_lcum", "_roff", "_coff")
     )
 
 

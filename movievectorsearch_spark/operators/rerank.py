@@ -26,6 +26,8 @@ float64 with fixed fold order, ties in the MMR argmax broken by id.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -120,6 +122,20 @@ def mmr_select_exact(
     return out
 
 
+def _round6(x: float) -> float:
+    """round(x, 6) with DuckDB/C++ std::round semantics: ties go half
+    AWAY from zero (Python's built-in round is banker's half-to-even —
+    the one seam in the oracle's bit-identical contract). frac >= 0.5
+    is computed exactly (y - floor(y) is exact for |y| < 2^52), unlike
+    the classic floor(y + 0.5), whose addition can round up across the
+    midpoint."""
+    y = abs(x) * 1e6
+    f = math.floor(y)
+    if y - f >= 0.5:
+        f += 1
+    return math.copysign(f, x) / 1e6
+
+
 def mmr_rerank(
     spark: SparkSession,
     corpus: DataFrame,
@@ -150,9 +166,11 @@ def mmr_rerank(
     vecs = [[float(x) for x in r._vec] for r in pool]
     # the exact (sequential-fold) selector: bit-reproducible in the
     # DuckDB oracle; mmr_select (numpy) is the fast path for big pools,
-    # cross-checked against this one in tests/test_rerank.py
+    # cross-checked against this one in tests/test_rerank.py.
+    # Rounding mirrors DuckDB round() (half AWAY from zero) — Python's
+    # banker's round() could diverge on an exact 6th-decimal midpoint.
     rows = [
-        (i, rank, round(rel, 6), round(m, 6))
+        (i, rank, _round6(rel), _round6(m))
         for i, rank, rel, m in mmr_select_exact(ids, scores, vecs, k, lam)
     ]
     # the id field keeps the corpus's own type (bigint vec_ids, string

@@ -131,10 +131,39 @@ def _cents(col: str) -> F.Column:
 
 QUERIES: dict[str, dict] = {}
 
+# Persist lifecycle: queries that cache an intermediate reused within
+# their own plan register it here; building the NEXT registry query
+# releases it. A driver session running the full 218-entry registry
+# would otherwise accumulate every intermediate cache for the whole run
+# (round-2 advisor finding). Releasing at next-build time is safe: by
+# then the prior query's result has been consumed, and even if a caller
+# builds several plans before consuming them, unpersist only costs a
+# recompute — never correctness.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df.persist())
+    return df
+
+
+def release_persisted() -> None:
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
 
 def q(name: str, sql: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = {"spark": fn, "sql": sql}
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_persisted()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = {"spark": wrapped, "sql": sql}
         return fn
     return deco
 
@@ -1011,7 +1040,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     set ~linear, never the quadratic cross product) + estimated Jaccard."""
     d = load_table(spark, sf_dir, "documents")
     sig = D.minhash_signature(d, "doc_id", "text", _MH_N, _SHINGLE_N)
-    sig.persist()
+    _persist(sig)
     pairs = D.minhash_lsh_pairs(sig, "doc_id", _MH_N, _BANDS)
     return D.minhash_jaccard_estimate(sig, pairs, "doc_id", _MH_N)
 
@@ -4324,7 +4353,7 @@ def vocab_oov_rate(spark, sf_dir):
     # the vocab branch and the OOV join both consume occ; persist so the
     # tokenize/explode/agg runs once (the top-N vocab genuinely needs a
     # re-aggregation, so the window trick doesn't apply here)
-    occ.persist()
+    _persist(occ)
     vocab = (
         occ.groupBy("token")
         .agg(F.sum("n").alias("cnt"))
@@ -5236,8 +5265,8 @@ def hashed_tfidf_knn(spark, sf_dir):
     )
     # both the query-vector branch and the scoring branch consume vecs;
     # persist so the feature build runs once (same pattern as
-    # dedup_minhash_lsh's sig.persist())
-    vecs.persist()
+    # dedup_minhash_lsh's _persist(sig))
+    _persist(vecs)
     qv = vecs.orderBy("doc_id").limit(1).select(F.col("emb").alias("qemb"))
     score = cosine_similarity(F.col("emb"), F.col("qemb"))
     return (
@@ -8105,7 +8134,7 @@ def containment_minhash_pairs(spark, sf_dir):
     sig = D.minhash_signature(
         d, "doc_id", "text", _MH_N, _SHINGLE_N, include_size=True
     )
-    sig.persist()
+    _persist(sig)
     pairs = D.minhash_lsh_pairs(sig, "doc_id", _MH_N, _BANDS)
     return D.minhash_containment_estimate(
         sig, pairs, "doc_id", _MH_N, threshold_ppm=500_000
@@ -8258,9 +8287,12 @@ sums AS (
   FROM led
 )
 SELECT stats.n AS n_hours,
-       round(CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ac_lag1,
-       round(CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ac_lag2,
-       round(CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ac_lag3
+       round(CASE WHEN den = 0 THEN NULL
+                  ELSE CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) END, 6) AS ac_lag1,
+       round(CASE WHEN den = 0 THEN NULL
+                  ELSE CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) END, 6) AS ac_lag2,
+       round(CASE WHEN den = 0 THEN NULL
+                  ELSE CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE) END, 6) AS ac_lag3
 FROM sums, stats
 """
 
@@ -8317,17 +8349,21 @@ def events_autocorr(spark, sf_dir):
             F.when(F.col("d3").isNotNull(), F.col("d") * F.col("d3")).otherwise(0)
         ).cast("bigint").alias("n3"),
     )
+    def _lag(num: str) -> F.Column:
+        # constant series (den=0) → NULL, not an engine-dependent
+        # NaN/Inf (round-2 advisor finding)
+        return F.round(
+            F.when(F.col("den") == 0, F.lit(None).cast("double")).otherwise(
+                F.col(num).cast("double") / F.col("den").cast("double")
+            ),
+            6,
+        )
+
     return sums.select(
         "n_hours",
-        F.round(F.col("n1").cast("double") / F.col("den").cast("double"), 6).alias(
-            "ac_lag1"
-        ),
-        F.round(F.col("n2").cast("double") / F.col("den").cast("double"), 6).alias(
-            "ac_lag2"
-        ),
-        F.round(F.col("n3").cast("double") / F.col("den").cast("double"), 6).alias(
-            "ac_lag3"
-        ),
+        _lag("n1").alias("ac_lag1"),
+        _lag("n2").alias("ac_lag2"),
+        _lag("n3").alias("ac_lag3"),
     )
 
 
@@ -8763,7 +8799,7 @@ def cross_source_dup_matrix(spark, sf_dir):
     strong pairs; the matrix is ≤ sources² rows."""
     d = load_table(spark, sf_dir, "documents")
     sig = D.minhash_signature(d, "doc_id", "text", _MH_N, _SHINGLE_N)
-    sig.persist()
+    _persist(sig)
     pairs = D.minhash_lsh_pairs(sig, "doc_id", _MH_N, _BANDS)
     a_sig = sig.select(
         F.col("doc_id").alias("a_id"),
@@ -8883,7 +8919,10 @@ def pii_cluster_quarantine(spark, sf_dir):
 
 _BLOOM_M = 1 << 14
 _BLOOM_K = 4
-_BLOOM_ABSENT_OFFSET = 1_000_000_000  # shifts probe keys out of the seen set
+# known-absent probes are NEGATED keys (-k-1 ≤ -1): disjoint from the
+# non-negative natural key domain at EVERY scale factor, unlike an
+# additive shift, which collides with real keys once max(o_custkey)
+# outgrows the offset (round-2 advisor finding).
 
 
 def _bloom_pos_sql(key_expr: str) -> str:
@@ -8906,7 +8945,7 @@ WITH pos AS (
 probekeys AS (
   SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL
   UNION ALL
-  SELECT c_custkey + {_BLOOM_ABSENT_OFFSET} FROM customer
+  SELECT -c_custkey - 1 FROM customer
   WHERE c_custkey IS NOT NULL
 ),
 cpos AS (
@@ -8946,10 +8985,13 @@ def bloom_seen_customers(spark, sf_dir):
     portable-hash bit positions, one distinct → ≤2^14 single-int rows,
     broadcastable and persistable. Probe: every customer re-derives its
     positions, broadcast-joins the bit table, and is maybe_seen iff all
-    k hit. The probe set is every customer PLUS the same keys shifted
-    by 1e9 — known-absent keys, since measuring a false-positive rate
-    requires probes outside the built set (every natural key family in
-    the corpus is fully covered by its fact table). The output is the
+    k hit. The probe set is every customer PLUS the same keys NEGATED
+    (-k-1) — known-absent at every scale factor because the natural key
+    domain is non-negative, where an additive shift would collide with
+    real seen keys once the key space outgrows the offset; measuring a
+    false-positive rate requires probes outside the built set (every
+    natural key family in the corpus is fully covered by its fact
+    table). The output is the
     filter's own quality report — exact seen/maybe/false-positive
     counts and the measured FPR in ppm (definitely-new is EXACT: no
     false negatives, the property that makes a Bloom pre-filter sound
@@ -8962,7 +9004,7 @@ def bloom_seen_customers(spark, sf_dir):
         F.col("c_custkey").isNotNull()
     )
     probe = c.unionByName(
-        c.select((F.col("c_custkey") + _BLOOM_ABSENT_OFFSET).alias("c_custkey"))
+        c.select((-F.col("c_custkey") - 1).alias("c_custkey"))
     )
     bits = bloom_bits(o, "o_custkey", _BLOOM_M, _BLOOM_K)
     probed = bloom_probe(bits, probe, "c_custkey", _BLOOM_M, _BLOOM_K)
@@ -9135,8 +9177,10 @@ sums AS (
   FROM series GROUP BY event_type
 )
 SELECT event_type, n AS n_hours,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_hour,
+       round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END, 6)
+         AS slope_per_hour,
        round(sy / CAST(n AS DOUBLE), 6) AS mean_per_hour
 FROM sums ORDER BY event_type
 """
@@ -9179,13 +9223,19 @@ def events_trend_slope(spark, sf_dir):
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
     )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     return sums.select(
         "event_type",
         F.col("n").alias("n_hours"),
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                "double"
+            # degenerate series (single hour: den=0) → NULL, not a
+            # division whose NaN/Inf handling is engine-configuration-
+            # dependent (round-2 advisor finding)
+            F.when(den == 0, F.lit(None).cast("double")).otherwise(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / den.cast("double")
             ),
             6,
         ).alias("slope_per_hour"),
@@ -9428,10 +9478,18 @@ def events_anomaly_mad(spark, sf_dir):
 
 _BASKET_MIN_SUPPORT = 2
 _BASKET_TOP = 20
+_BASKET_CAP = 40  # per-order item cap: pair work ≤ cap² per basket
 
 _BASKET_SQL = f"""
-WITH items AS (
+WITH items0 AS (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+items AS (
+  SELECT ok, pk
+  FROM (SELECT ok, pk,
+               row_number() OVER (PARTITION BY ok ORDER BY pk) AS rn
+        FROM items0)
+  WHERE rn <= {_BASKET_CAP}
 ),
 no AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM items),
 pc AS (SELECT pk, count(*)::BIGINT AS n_p FROM items GROUP BY pk),
@@ -9458,18 +9516,26 @@ def orders_market_basket(spark, sf_dir):
     """Market-basket lift: part pairs co-ordered more than chance —
     lift = P(ab)/(P(a)P(b)) in exact ppm over the distinct
     (order, part) incidence. The pair stage is a self-join on the
-    ORDER key, so pair work is Σ items_per_order² — bounded by basket
-    size (≤7 lineitems in this schema), never corpus²; the classic
-    co-occurrence shape covisitation_pairs uses for events, applied to
-    the relational fact table with the probabilistic normalization.
-    Int64 budget: 1e6·n_ab·n_orders exact to ~9e12 co-orders (shard
-    into DECIMAL(38,0) past that). Minimum support {_BASKET_MIN_SUPPORT}
-    keeps one-off coincidences out of the lift ranking."""
+    ORDER key, so pair work is Σ items_per_order², and each basket is
+    CAPPED at {_BASKET_CAP} items (deterministic: lowest part keys
+    win) before pairing — the covisitation_pairs cap applied to the
+    relational fact table, so one pathological mega-basket can never
+    emit O(basket²) pairs (this schema's baskets are ≤7 lineitems, so
+    at test SFs the cap is a no-op and the oracle applies the same
+    rule). Int64 budget: 1e6·n_ab·n_orders exact to ~9e12 co-orders
+    (shard into DECIMAL(38,0) past that). Minimum support
+    {_BASKET_MIN_SUPPORT} keeps one-off coincidences out of the lift
+    ranking."""
     l = load_table(spark, sf_dir, "lineitem")
-    items = (
+    items0 = (
         l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
-        .persist()  # reused 4× (totals, per-part counts, both join sides)
+    )
+    wcap = Window.partitionBy("ok").orderBy("pk")
+    items = _persist(  # reused 4× (totals, per-part counts, both join sides)
+        items0.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _BASKET_CAP)
+        .select("ok", "pk")
     )
     no = items.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
     pc = items.groupBy("pk").agg(F.count("*").cast("bigint").alias("n_p"))
@@ -9579,12 +9645,10 @@ def leakage_safe_split(spark, sf_dir):
     from movievectorsearch_spark.operators.cluster import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = (
+    pairs = _persist(
         D.ngram_jaccard_pairs(
             d, "doc_id", "text", _SHINGLE_N, _NGRAM_THRESHOLD, ["lang"]
-        )
-        .select("a_id", "b_id")
-        .persist()
+        ).select("a_id", "b_id")
     )
     cc = connected_components(pairs, "a_id", "b_id").withColumnRenamed(
         "id", "doc_id"
@@ -10264,9 +10328,11 @@ def dedup_graph_stats(spark, sf_dir):
     from movievectorsearch_spark.operators.cluster import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(
-        d, "doc_id", "text", _SHINGLE_N, _NGRAM_THRESHOLD, ["lang"]
-    ).select("a_id", "b_id").persist()
+    pairs = _persist(
+        D.ngram_jaccard_pairs(
+            d, "doc_id", "text", _SHINGLE_N, _NGRAM_THRESHOLD, ["lang"]
+        ).select("a_id", "b_id")
+    )
     cc = connected_components(pairs, "a_id", "b_id")
     csize = cc.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("n_nodes")
@@ -10653,7 +10719,7 @@ def dedup_oph_pairs(spark, sf_dir):
     from movievectorsearch_spark.operators.dedup import oph_signature
 
     d = load_table(spark, sf_dir, "documents")
-    sig = oph_signature(d, "doc_id", "text", _OPH_K, _SHINGLE_N).persist()
+    sig = _persist(oph_signature(d, "doc_id", "text", _OPH_K, _SHINGLE_N))
     wexpr = " ".join(
         f"WHEN {i} THEN {w}" for i, w in enumerate(_OPH_WEIGHTS)
     )
@@ -10745,13 +10811,16 @@ def vocab_coverage_curve(spark, sf_dir):
     """Tokenizer-design diagnostic: the vocab size needed to cover
     90/95/99% of corpus tokens (the Zipf head/tail trade every vocab
     budget decision reads). Frequencies aggregate map-side; the
-    ranking windows then run over the VOCAB (already ≤ one row per
-    distinct token — sub-linear in corpus size by Heaps' law), which
-    is the same bounded-input justification as the events-spine
-    windows; comparisons are 100·cum ≥ pct·total in exact int64, ties
-    broken by token string so both engines rank identically. For a
-    web-scale vocab that outgrows one partition, the parts_abc_pareto
-    two-phase prefix sum is the drop-in replacement."""
+    rank + cumulative sum over the frequency-sorted vocab run through
+    the two-phase range-partitioned prefix sum
+    (operators/packing.global_rank_cumsum — the pack_sequences /
+    global_shuffle_positions decomposition), so a web-scale vocab
+    (10⁸-10⁹ distinct tokens) never funnels through one partition:
+    the only global window is over the 32-row per-partition-totals
+    side table. Comparisons are 100·cum ≥ pct·total in exact int64,
+    ties broken by token string so both engines rank identically."""
+    from movievectorsearch_spark.operators.packing import global_rank_cumsum
+
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(tokens(F.col("text"))).alias("tok"))
@@ -10762,15 +10831,9 @@ def vocab_coverage_curve(spark, sf_dir):
         F.sum("n").cast("bigint").alias("t"),
         F.count("*").cast("bigint").alias("v"),
     )
-    w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    wc = Window.orderBy(F.desc("n"), F.asc("tok")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    r = tf.select(
-        "n",
-        F.row_number().over(w).alias("rank"),
-        F.sum("n").over(wc).alias("cum"),
-    )
+    r = global_rank_cumsum(
+        tf, [F.desc("n"), F.asc("tok")], "n", rank_out="rank", cum_out="cum"
+    ).select("n", "rank", "cum")
     tgt = spark.range(1).select(
         F.explode(
             F.array(*[F.lit(t) for t in _VOCAB_COV_TARGETS])
@@ -11235,7 +11298,7 @@ def ivf_probe_recall_curve(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = seeded_centroids(e, n_cells=8)
-    assigned = ivf_assign(e, cents).persist()
+    assigned = _persist(ivf_assign(e, cents))
     exact = (
         e.filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
         .select(
@@ -11770,6 +11833,234 @@ def blocklist_screen(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-3 batch 1: Gopher-style repetition filter, tokenizer fertility,
+# data-mixture epoch planning
+# ===========================================================================
+
+_REP_N = 3                      # trigram grain, the Gopher duplicate-n-gram rule
+_REP_FLAG_PPM = 200_000         # flag docs whose duplicate-trigram share ≥ 20%
+
+_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, source, {tokens_sql('text')} AS toks FROM documents),
+tg AS (
+  SELECT doc_id, source, u.g
+  FROM t, LATERAL (
+    SELECT unnest(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+  ) u
+),
+per AS (
+  SELECT doc_id, source,
+         count(*)::BIGINT AS n_tri,
+         count(DISTINCT g)::BIGINT AS n_distinct
+  FROM tg GROUP BY doc_id, source
+),
+scored AS (
+  SELECT source, n_tri, n_tri - n_distinct AS n_dup,
+         (1000000 * (n_tri - n_distinct)) // n_tri AS rep_ppm
+  FROM per
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN rep_ppm >= {_REP_FLAG_PPM} THEN 1 ELSE 0 END)::BIGINT
+         AS n_flagged,
+       ((1000000 * sum(CASE WHEN rep_ppm >= {_REP_FLAG_PPM} THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS flagged_ppm,
+       ((1000000 * sum(n_dup)) // sum(n_tri))::BIGINT AS mean_rep_ppm
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+@q("repetition_filter_report", _REPETITION_SQL)
+def repetition_filter_report(spark, sf_dir):
+    """Gopher-rule repetition filter: the share of each document's
+    trigrams that are intra-doc DUPLICATES (1 − distinct/total, in
+    exact ppm), flagging docs over {_REP_FLAG_PPM} ppm — the classic
+    boilerplate/keyword-stuffing gate pretraining pipelines run before
+    any cross-doc dedup (repetitive docs poison LM loss even when
+    globally unique). Per-doc work is one explode + one two-key groupBy
+    (map-side combinable); the report is a per-source rollup of exact
+    integers, so both engines hash-match. Docs with < {_REP_N} tokens
+    have no trigram and are out of scope by construction (both engines
+    drop them in the lateral/explode). At 100 TB the shuffle key is
+    (doc_id, trigram) — fixed-width and uniform; no window, no join."""
+    toks = tokens(F.col("text"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", toks.alias("toks")
+    )
+    tri = F.when(
+        F.size("toks") >= _REP_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (_REP_N - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per = (
+        d.select("doc_id", "source", F.explode(tri).alias("g"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tri"),
+            F.countDistinct("g").cast("bigint").alias("n_distinct"),
+        )
+    )
+    scored = per.select(
+        "source",
+        "n_tri",
+        (F.col("n_tri") - F.col("n_distinct")).alias("n_dup"),
+        F.expr("(1000000 * (n_tri - n_distinct)) div n_tri").alias("rep_ppm"),
+    )
+    flagged = F.sum(
+        F.when(F.col("rep_ppm") >= _REP_FLAG_PPM, 1).otherwise(0)
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            flagged.cast("bigint").alias("n_flagged"),
+            F.expr(
+                f"CAST((1000000 * sum(CASE WHEN rep_ppm >= {_REP_FLAG_PPM} "
+                "THEN 1 ELSE 0 END)) div count(*) AS BIGINT)"
+            ).alias("flagged_ppm"),
+            F.expr(
+                "CAST((1000000 * sum(n_dup)) div sum(n_tri) AS BIGINT)"
+            ).alias("mean_rep_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_FERTILITY_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         len({tokens_sql('text')})::BIGINT AS n_words,
+         len({bpe_tokens_sql('text')})::BIGINT AS n_sub,
+         length(text)::BIGINT AS n_chars
+  FROM documents
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_words)::BIGINT AS n_words,
+       sum(n_sub)::BIGINT AS n_subwords,
+       ((1000000 * sum(n_sub)) // greatest(sum(n_words), 1))::BIGINT
+         AS fertility_ppm,
+       ((1000000 * sum(n_chars)) // greatest(sum(n_sub), 1))::BIGINT
+         AS chars_per_subword_ppm
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+@q("tokenizer_fertility_by_lang", _FERTILITY_SQL)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility per language: subword tokens per whitespace
+    word and characters per subword (exact ppm) — the metric that
+    decides whether a tokenizer under-serves a language (high fertility
+    = more tokens per word = shorter effective context and higher
+    training cost for that language). Uses the repo's BPE-ish regex
+    pre-tokenizer as the subword proxy; one scan, all counters exact
+    int64, one tiny per-lang aggregate. The per-language token budget
+    tables in every multilingual data card are exactly this query."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_words"),
+        F.size(bpe_tokens(F.col("text"))).cast("bigint").alias("n_sub"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subwords"),
+            F.expr(
+                "CAST((1000000 * sum(n_sub)) div greatest(sum(n_words), 1) "
+                "AS BIGINT)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CAST((1000000 * sum(n_chars)) div greatest(sum(n_sub), 1) "
+                "AS BIGINT)"
+            ).alias("chars_per_subword_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MIX_BUDGET_X = 2  # token budget = 2x the corpus (the over-train regime)
+
+_MIX_SQL = f"""
+WITH per AS (
+  SELECT source, sum(len({tokens_sql('text')}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wgt
+  FROM per
+),
+tot AS (SELECT sum(n_tokens)::BIGINT AS corpus, sum(wgt)::BIGINT AS wsum FROM w)
+SELECT w.source, w.n_tokens,
+       ((1000000 * w.n_tokens) // tot.corpus)::BIGINT AS natural_ppm,
+       ((1000000 * w.wgt) // tot.wsum)::BIGINT AS target_ppm,
+       (({_MIX_BUDGET_X} * tot.corpus * w.wgt) // tot.wsum)::BIGINT
+         AS budget_tokens,
+       ((1000000 * (({_MIX_BUDGET_X} * tot.corpus * w.wgt) // tot.wsum))
+        // w.n_tokens)::BIGINT AS repeat_ppm,
+       CAST(ceil(((({_MIX_BUDGET_X} * tot.corpus * w.wgt) // tot.wsum)
+                  / CAST(w.n_tokens AS DOUBLE))) AS BIGINT) AS epochs_ceil
+FROM w, tot ORDER BY w.source
+"""
+
+
+@q("mixture_weights_plan", _MIX_SQL)
+def mixture_weights_plan(spark, sf_dir):
+    """Data-mixture EPOCH PLAN: given per-source token counts, a
+    sqrt-reweighted target mixture (the temperature-0.5 up-weighting of
+    small sources every pretraining mix applies), and a total budget of
+    {_MIX_BUDGET_X}x the corpus, emit each source's target share, its
+    token budget, and the repeat factor / epoch count the dataloader
+    must apply — the planning table that drives mixture_sample_
+    temperature's runtime gate. Integer-exact end to end: the sqrt
+    weight is floor(sqrt(double)) — IEEE sqrt is correctly rounded, so
+    both engines floor the SAME double — and every share/budget/repeat
+    is int64 floor arithmetic. One corpus scan for token counts; the
+    plan itself is |sources| rows against a broadcast 1-row total."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tokens")
+    )
+    w = per.withColumn(
+        "wgt", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+    )
+    tot = w.agg(
+        F.sum("n_tokens").cast("bigint").alias("corpus"),
+        F.sum("wgt").cast("bigint").alias("wsum"),
+    )
+    j = w.crossJoin(F.broadcast(tot))
+    budget = F.expr(f"({_MIX_BUDGET_X} * corpus * wgt) div wsum")
+    return j.select(
+        "source",
+        "n_tokens",
+        F.expr("CAST((1000000 * n_tokens) div corpus AS BIGINT)").alias(
+            "natural_ppm"
+        ),
+        F.expr("CAST((1000000 * wgt) div wsum AS BIGINT)").alias("target_ppm"),
+        budget.cast("bigint").alias("budget_tokens"),
+        F.expr(
+            f"CAST((1000000 * (({_MIX_BUDGET_X} * corpus * wgt) div wsum)) "
+            "div n_tokens AS BIGINT)"
+        ).alias("repeat_ppm"),
+        F.ceil(budget / F.col("n_tokens").cast("double"))
+        .cast("bigint")
+        .alias("epochs_ceil"),
+    ).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -11971,6 +12262,29 @@ _RECHECK_FIRST = [
 ]
 
 
+# behavior changed in round 3 — each re-proves at the very front of the
+# window until a round-3+ CORRECTNESS file records it green, regardless
+# of earlier green rows (those proved the OLD implementation):
+#   vocab_coverage_curve  — rank/cumsum rewired through global_rank_cumsum
+#   orders_market_basket  — per-basket item cap (both engines)
+#   bloom_seen_customers  — known-absent probes now negated keys
+#   events_trend_slope    — degenerate-denominator NULL guard
+#   events_autocorr       — degenerate-denominator NULL guard
+#   mmr_rerank_topk       — half-away-from-zero rounding (DuckDB parity)
+_RECHECK_R3 = [
+    "vocab_coverage_curve",
+    "orders_market_basket",
+    "bloom_seen_customers",
+    "events_trend_slope",
+    "events_autocorr",
+    "mmr_rerank_topk",
+    # new in round-3 batch 1
+    "repetition_filter_report",
+    "tokenizer_fertility_by_lang",
+    "mixture_weights_plan",
+]
+
+
 def _driver_green_after_r1() -> set[str]:
     """Hash-proven names from round-2+ files — used to retire
     _RECHECK_FIRST entries: an entry stays at the front only until a
@@ -11986,7 +12300,17 @@ def _rotated() -> list[str]:
     # re-prove even if previously green — but once a round-2+ file
     # records them green, they retire from the front automatically
     reproven = _driver_green_after_r1()
-    front = [n for n in _RECHECK_FIRST if n in QUERIES and n not in reproven]
+    front_r3 = [
+        n
+        for n in _RECHECK_R3
+        if n in QUERIES and n not in _driver_green_from_files(min_round=3)
+    ]
+    front2 = [
+        n
+        for n in _RECHECK_FIRST
+        if n in QUERIES and n not in reproven and n not in set(front_r3)
+    ]
+    front = front_r3 + front2
     fset = set(front)
     with_oracle = [
         n for n in names

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from movievectorsearch_spark.streaming.sink_upsert import (
     atomic_swap,
+    last_applied_batch,
     recover_table,
 )
 
@@ -51,11 +52,24 @@ def _partials(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
 
 
 def merge_agg_microbatch(
-    batch_df: DataFrame, table_dir: str, keys: list[str], value_col: str = "value"
+    batch_df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    value_col: str = "value",
+    batch_id: int | None = None,
 ) -> None:
-    """Fold one micro-batch's partial aggregates into the rollup."""
+    """Fold one micro-batch's partial aggregates into the rollup.
+
+    Adding counts is NOT idempotent, and foreachBatch is only
+    at-least-once: a batch replayed after a crash between the swap and
+    the checkpoint commit would double-count. The applied-batch
+    watermark stamped inside the same atomic swap closes that window —
+    a replay with ``batch_id <= last_applied_batch`` is a no-op, making
+    the fold exactly-once end to end (round-2 advisor finding)."""
     spark = batch_df.sparkSession
     recover_table(table_dir)
+    if batch_id is not None and batch_id <= last_applied_batch(table_dir):
+        return
     part = _partials(batch_df, keys, value_col)
     if os.path.isdir(table_dir):
         base = spark.read.parquet(table_dir)
@@ -69,7 +83,7 @@ def merge_agg_microbatch(
         )
     else:
         merged = part
-    atomic_swap(merged, table_dir)
+    atomic_swap(merged, table_dir, batch_id=batch_id)
 
 
 def rollup_sink(
@@ -80,11 +94,14 @@ def rollup_sink(
     value_col: str = "value",
     available_now: bool = True,
 ):
-    """Attach the incremental-rollup sink; the stream checkpoint makes
-    each micro-batch's fold exactly-once across restarts."""
+    """Attach the incremental-rollup sink; the checkpoint plus the
+    applied-batch watermark (stamped in the same atomic swap) make each
+    micro-batch's fold exactly-once across restarts AND replays."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        merge_agg_microbatch(batch_df, table_dir, keys, value_col)
+        merge_agg_microbatch(
+            batch_df, table_dir, keys, value_col, batch_id=batch_id
+        )
 
     w = stream_df.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_dir
@@ -154,13 +171,18 @@ def merge_hist_microbatch(
     vmin: float,
     vmax: float,
     n_bins: int = 128,
+    batch_id: int | None = None,
 ) -> None:
     """Fold one micro-batch's (grp, bin) counts into the stored sketch.
     Histogram counts are algebraic (merge = sum), so this is the same
-    atomic-swap MERGE as the count/sum rollup; the stored table is
-    ≤ groups × n_bins rows regardless of stream length."""
+    atomic-swap MERGE as the count/sum rollup — including its
+    applied-batch watermark, because summing is not idempotent under
+    foreachBatch replays; the stored table is ≤ groups × n_bins rows
+    regardless of stream length."""
     spark = batch_df.sparkSession
     recover_table(table_dir)
+    if batch_id is not None and batch_id <= last_applied_batch(table_dir):
+        return
     part = _hist_partials(batch_df, group_col, value_col, vmin, vmax, n_bins)
     if os.path.isdir(table_dir):
         base = spark.read.parquet(table_dir)
@@ -171,7 +193,7 @@ def merge_hist_microbatch(
         )
     else:
         merged = part
-    atomic_swap(merged, table_dir)
+    atomic_swap(merged, table_dir, batch_id=batch_id)
 
 
 def hist_sink(
@@ -185,12 +207,14 @@ def hist_sink(
     n_bins: int = 128,
     available_now: bool = True,
 ):
-    """Attach the incremental-histogram sink; the stream checkpoint
-    makes each micro-batch's fold exactly-once across restarts."""
+    """Attach the incremental-histogram sink; the checkpoint plus the
+    applied-batch watermark make each micro-batch's fold exactly-once
+    across restarts AND replays."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         merge_hist_microbatch(
-            batch_df, table_dir, group_col, value_col, vmin, vmax, n_bins
+            batch_df, table_dir, group_col, value_col, vmin, vmax, n_bins,
+            batch_id=batch_id,
         )
 
     w = stream_df.writeStream.foreachBatch(_merge).option(
@@ -225,13 +249,18 @@ def merge_cms_microbatch(
     depth: int = 5,
     width: int = 1024,
     seed: int = 7,
+    batch_id: int | None = None,
 ) -> None:
     """Fold one micro-batch's CMS cells into the stored sketch
-    (≤ depth·width rows regardless of stream length)."""
+    (≤ depth·width rows regardless of stream length). Counter adds are
+    not idempotent — the applied-batch watermark drops foreachBatch
+    replays, same as the rollup sink."""
     from movievectorsearch_spark.operators.sketch import cms_table
 
     spark = batch_df.sparkSession
     recover_table(table_dir)
+    if batch_id is not None and batch_id <= last_applied_batch(table_dir):
+        return
     part = cms_table(batch_df, key_col, depth, width, seed)
     if os.path.isdir(table_dir):
         base = spark.read.parquet(table_dir)
@@ -242,7 +271,7 @@ def merge_cms_microbatch(
         )
     else:
         merged = part
-    atomic_swap(merged, table_dir)
+    atomic_swap(merged, table_dir, batch_id=batch_id)
 
 
 def cms_sink(
@@ -255,11 +284,15 @@ def cms_sink(
     seed: int = 7,
     available_now: bool = True,
 ):
-    """Attach the incremental-CMS sink; estimates are served from the
-    maintained table with the unchanged cms_estimate_join."""
+    """Attach the incremental-CMS sink (exactly-once via the
+    applied-batch watermark); estimates are served from the maintained
+    table with the unchanged cms_estimate_join."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        merge_cms_microbatch(batch_df, table_dir, key_col, depth, width, seed)
+        merge_cms_microbatch(
+            batch_df, table_dir, key_col, depth, width, seed,
+            batch_id=batch_id,
+        )
 
     w = stream_df.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_dir

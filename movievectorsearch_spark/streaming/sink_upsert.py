@@ -28,7 +28,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["merge_microbatch", "upsert_sink", "atomic_swap", "recover_table"]
+__all__ = [
+    "merge_microbatch",
+    "upsert_sink",
+    "atomic_swap",
+    "recover_table",
+    "last_applied_batch",
+]
 
 
 def recover_table(table_dir: str) -> None:
@@ -40,14 +46,25 @@ def recover_table(table_dir: str) -> None:
         os.rename(bak, table_dir)
 
 
-def atomic_swap(df: DataFrame, table_dir: str) -> None:
+def atomic_swap(df: DataFrame, table_dir: str, batch_id: int | None = None) -> None:
     """Materialize ``df`` to a staging dir, then swap it into
     ``table_dir`` via rename-aside: there is no instant at which the
     only copy of the table is deleted. Pair with :func:`recover_table`
-    on the read side."""
+    on the read side.
+
+    ``batch_id`` (if given) is stamped as an ``_last_batch_id`` marker
+    INSIDE the staging dir before the swap, so the applied-batch
+    watermark and the data it describes move atomically — the
+    underscore prefix keeps Spark's parquet reader from treating it as
+    data. Non-idempotent merge sinks read it back via
+    :func:`last_applied_batch` to drop foreachBatch replays (foreachBatch
+    alone is only at-least-once)."""
     tmp = table_dir.rstrip("/") + ".__staging"
     bak = table_dir.rstrip("/") + ".__bak"
     df.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        with open(os.path.join(tmp, "_last_batch_id"), "w") as f:
+            f.write(str(int(batch_id)))
     if os.path.isdir(bak):
         shutil.rmtree(bak)
     if os.path.isdir(table_dir):
@@ -55,6 +72,16 @@ def atomic_swap(df: DataFrame, table_dir: str) -> None:
     os.rename(tmp, table_dir)
     if os.path.isdir(bak):
         shutil.rmtree(bak)
+
+
+def last_applied_batch(table_dir: str) -> int:
+    """The batch_id stamped by the last completed :func:`atomic_swap`,
+    or -1 if the table doesn't exist / predates batch stamping."""
+    try:
+        with open(os.path.join(table_dir, "_last_batch_id")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
 
 
 def _latest_wins(

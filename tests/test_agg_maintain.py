@@ -187,3 +187,56 @@ def test_maintained_bloom_equals_batch(spark, sf_dir, tmp_path):
         spark.read.parquet(dirs["table"]), probe, "user_id"
     ).collect()
     assert out and all(r["maybe_seen"] for r in out)
+
+
+def test_replayed_batch_is_not_double_counted(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch replayed after a
+    crash between the table swap and the checkpoint commit must NOT be
+    folded twice. The applied-batch watermark (stamped inside the same
+    atomic swap) makes the merge idempotent per batch_id."""
+    table = str(tmp_path / "table")
+    e = load_table(spark, sf_dir, "events").limit(300).cache()
+
+    AM.merge_agg_microbatch(e, table, KEYS, batch_id=0)
+    once = {
+        (r["event_type"], r["n_events"], r["sum_cents"])
+        for r in spark.read.parquet(table).collect()
+    }
+    # simulated replay of the same batch_id → no-op
+    AM.merge_agg_microbatch(e, table, KEYS, batch_id=0)
+    again = {
+        (r["event_type"], r["n_events"], r["sum_cents"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert again == once
+    # a NEW batch id still folds
+    AM.merge_agg_microbatch(e, table, KEYS, batch_id=1)
+    doubled = {
+        (r["event_type"], r["n_events"], r["sum_cents"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert doubled == {
+        (t, 2 * n, 2 * s) for (t, n, s) in once
+    }
+
+
+def test_replayed_hist_and_cms_batches_are_dropped(spark, sf_dir, tmp_path):
+    e = load_table(spark, sf_dir, "events").limit(300).cache()
+
+    hist = str(tmp_path / "hist")
+    AM.merge_hist_microbatch(e, hist, "event_type", "value", 0.0, 500.0, 16,
+                             batch_id=0)
+    once = {(r["grp"], r["bin"], r["cnt"])
+            for r in spark.read.parquet(hist).collect()}
+    AM.merge_hist_microbatch(e, hist, "event_type", "value", 0.0, 500.0, 16,
+                             batch_id=0)
+    assert {(r["grp"], r["bin"], r["cnt"])
+            for r in spark.read.parquet(hist).collect()} == once
+
+    cms = str(tmp_path / "cms")
+    AM.merge_cms_microbatch(e, cms, "user_id", batch_id=0)
+    conce = {(r["row"], r["bucket"], r["n"])
+             for r in spark.read.parquet(cms).collect()}
+    AM.merge_cms_microbatch(e, cms, "user_id", batch_id=0)
+    assert {(r["row"], r["bucket"], r["n"])
+            for r in spark.read.parquet(cms).collect()} == conce
