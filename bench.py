@@ -246,6 +246,15 @@ BENCH_QUERIES = [
     "repetition_filter_report",
     "tokenizer_fertility_by_lang",
     "mixture_weights_plan",
+    # round 3 batch 2: IVF balance + triangle census (lsh_candidate_quality
+    # not benched — it scans the exact n-gram pair list, the verify path,
+    # same policy as dedup_ngram_jaccard / dedup_threshold_sweep)
+    "ivf_cell_balance_report",
+    "covisitation_triangles",
+    # round 3 batch 3: hubness census, retriever agreement, bootstrap CI
+    "knn_hubness_report",
+    "retrieval_rank_correlation",
+    "poisson_bootstrap_ci",
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work

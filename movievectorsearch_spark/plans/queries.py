@@ -12061,6 +12061,605 @@ def mixture_weights_plan(spark, sf_dir):
     ).orderBy("source")
 
 
+# ===========================================================================
+# Round-3 batch 2: LSH candidate-quality QA, IVF cell balance, triangle
+# census on the co-visitation graph
+# ===========================================================================
+
+_LSH_QA_THETA_PCT = 50  # truth = exact Jaccard >= 0.50 (dedup-grade dups)
+
+_LSH_QA_SQL = f"""
+WITH {_MINHASH_SIG_SQL_BODY},
+bands AS ({_BAND_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+{_NGRAM_CTES},
+truth AS (
+  SELECT i.a_id, i.b_id
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
+       JOIN sizes sb ON sb.doc_id = i.b_id
+  WHERE 100 * i.inter >= {_LSH_QA_THETA_PCT} * (sa.nsh + sb.nsh - i.inter)
+),
+hit AS (SELECT count(*)::BIGINT AS n_hit
+        FROM cand c JOIN truth t ON c.a_id = t.a_id AND c.b_id = t.b_id),
+nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth)
+SELECT nc.n_candidates, nt.n_truth, hit.n_hit,
+       ((1000000 * hit.n_hit) // greatest(nt.n_truth, 1))::BIGINT AS recall_ppm,
+       ((1000000 * hit.n_hit) // greatest(nc.n_candidates, 1))::BIGINT
+         AS efficiency_ppm
+FROM nc, nt, hit
+"""
+
+
+@q("lsh_candidate_quality", _LSH_QA_SQL)
+def lsh_candidate_quality(spark, sf_dir):
+    """QA of the MinHash-LSH candidate stage against exact truth: of
+    the pairs with exact shingle-Jaccard >= 0.5 (dedup-grade
+    duplicates), how many does the 16-hash/4-band blocking surface
+    (recall), and what fraction of surfaced candidates are real
+    (efficiency — the budget knob: low efficiency means wasted exact
+    re-scoring)? This is the measurement that justifies the band/row
+    knobs before trusting LSH at 100 TB, where the exact pair join
+    can only ever be run on a SAMPLE like this. The truth side is the
+    lang-blocked exact pair join (the verify-path semantics of
+    dedup_ngram_jaccard); the comparison is an exact-int threshold
+    (100·inter >= theta·union) and an equi-join on the pair key, so
+    the single-row report hash-matches."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = _persist(D.minhash_signature(d, "doc_id", "text", _MH_N, _SHINGLE_N))
+    cand = D.minhash_lsh_pairs(sig, "doc_id", _MH_N, _BANDS).select(
+        "a_id", "b_id"
+    )
+    exact = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", _SHINGLE_N, 0.0, ["lang"]
+    )
+    truth = exact.filter(
+        100 * F.col("inter")
+        >= _LSH_QA_THETA_PCT * (F.col("a_n") + F.col("b_n") - F.col("inter"))
+    ).select("a_id", "b_id")
+    hit = cand.join(truth, ["a_id", "b_id"]).agg(
+        F.count("*").cast("bigint").alias("n_hit")
+    )
+    nc = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(hit))
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_hit",
+            F.expr(
+                "CAST((1000000 * n_hit) div greatest(n_truth, 1) AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST((1000000 * n_hit) div greatest(n_candidates, 1) "
+                "AS BIGINT)"
+            ).alias("efficiency_ppm"),
+        )
+    )
+
+
+_IVF_BAL_CELLS = 8
+
+_IVF_BAL_SQL = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         embedding::DOUBLE[] AS cv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+    AND vec_id % greatest((SELECT count(*) FROM embeddings) // {_IVF_BAL_CELLS}, 1) = 0
+    AND vec_id / greatest((SELECT count(*) FROM embeddings) // {_IVF_BAL_CELLS}, 1)
+        < {_IVF_BAL_CELLS}
+  ORDER BY vec_id LIMIT {_IVF_BAL_CELLS}
+),
+e AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY -1.0 * ({cosine_sql('e.embedding', 'c.cv')}) ASC,
+                                       c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+per AS (SELECT cell, count(*)::BIGINT AS n_vecs FROM asg GROUP BY cell),
+tot AS (SELECT sum(n_vecs)::BIGINT AS n FROM per)
+SELECT p.cell::BIGINT AS cell, p.n_vecs,
+       ((1000000 * p.n_vecs) // tot.n)::BIGINT AS share_ppm,
+       ((1000000 * p.n_vecs * {_IVF_BAL_CELLS}) // tot.n)::BIGINT
+         AS load_vs_even_ppm
+FROM per p, tot ORDER BY cell
+"""
+
+
+@q("ivf_cell_balance_report", _IVF_BAL_SQL)
+def ivf_cell_balance_report(spark, sf_dir):
+    """IVF index health check: vectors per cell, each cell's corpus
+    share, and its load relative to a perfectly even spread (1e6 =
+    balanced; 3e6 = this cell holds 3x its fair share). Cell imbalance
+    is THE failure mode of IVF at scale — a hot cell turns every probe
+    of it into a near-full scan and skews the partition layout the
+    index is pruned by — so this report gates index deployment the way
+    partition_skew_report gates join keys. Same seeded centroids and
+    argmax-cosine assignment as ann_ivf_topk (re-derived by the
+    oracle); one assignment pass, one 8-row aggregate, exact-int
+    shares."""
+    from movievectorsearch_spark.operators.ann import (
+        ivf_assign,
+        seeded_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(e, n_cells=_IVF_BAL_CELLS)
+    per = (
+        ivf_assign(e, cents)
+        .groupBy(F.col("__cell").cast("bigint").alias("cell"))
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+    )
+    tot = per.agg(F.sum("n_vecs").cast("bigint").alias("n"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vecs",
+            F.expr("CAST((1000000 * n_vecs) div n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                f"CAST((1000000 * n_vecs * {_IVF_BAL_CELLS}) div n AS BIGINT)"
+            ).alias("load_vs_even_ppm"),
+        )
+        .orderBy("cell")
+    )
+
+
+_TRI_MIN_USERS = 2
+
+_TRIANGLE_SQL = f"""
+WITH ui AS (
+  SELECT user_id, {_K_EXTRACT} AS item, count(*)::BIGINT AS cnt
+  FROM events GROUP BY user_id, item
+),
+capped AS (
+  SELECT user_id, item
+  FROM (SELECT user_id, item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, item) AS rn
+        FROM ui)
+  WHERE rn <= {_COVIS_CAP}
+),
+edges AS (
+  SELECT a.item AS a, b.item AS b
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING count(*) >= {_TRI_MIN_USERS}
+),
+deg AS (
+  SELECT v, count(*)::BIGINT AS d
+  FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY v
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_tri
+  FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+       JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s AS (
+  SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+         (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+         (SELECT coalesce(sum(d * (d - 1) / 2), 0) FROM deg)::BIGINT AS n_wedges,
+         tri.n_tri
+  FROM tri
+)
+SELECT n_nodes, n_edges, n_wedges, n_tri AS n_triangles,
+       ((1000000 * 3 * n_tri) // greatest(n_wedges, 1))::BIGINT AS closure_ppm
+FROM s
+"""
+
+
+@q("covisitation_triangles", _TRIANGLE_SQL)
+def covisitation_triangles(spark, sf_dir):
+    """Triangle census + global clustering coefficient of the item
+    co-visitation graph — the community-structure diagnostic that
+    separates 'users browse coherent item clusters' (high closure)
+    from 'co-visits are noise' (closure near a random graph's). Uses
+    the classic distributed edge-iterator: edges stored once with
+    a < b, triangles = the two-hop equi-join e1(a,b) ⋈ e2(b,c) ⋈
+    e3(a,c), which counts each triangle exactly once and never
+    materializes neighborhoods. Edge creation is bounded by the same
+    per-user top-{_COVIS_CAP} cap as covisitation_pairs; at a real
+    100 TB the remaining risk is degree skew in the wedge join, where
+    the standard fix is splitting high-degree vertices (the cap keeps
+    degrees web-site-sized here). All counters exact int64."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = (
+        ev.select(
+            "user_id",
+            F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+            .cast("bigint")
+            .alias("item"),
+        )
+        .groupBy("user_id", "item")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("item"))
+    capped = (
+        ui.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _COVIS_CAP)
+        .select("user_id", "item")
+    )
+    a = capped.select("user_id", F.col("item").alias("a"))
+    b = capped.select("user_id", F.col("item").alias("b"))
+    edges = _persist(
+        a.join(b, "user_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_users"))
+        .filter(F.col("n_users") >= _TRI_MIN_USERS)
+        .select("a", "b")
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+    nn = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    ne = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        nn.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.coalesce("n_wedges", F.lit(0)).alias("n_wedges"),
+            F.col("n_tri").alias("n_triangles"),
+            F.expr(
+                "CAST((1000000 * 3 * n_tri) div "
+                "greatest(coalesce(n_wedges, 0), 1) AS BIGINT)"
+            ).alias("closure_ppm"),
+        )
+    )
+
+
+# ===========================================================================
+# Round-3 batch 3: kNN hubness census, retrieval rank correlation,
+# Poisson-bootstrap confidence interval
+# ===========================================================================
+
+_HUB_K = 10
+_HUB_SAMPLE_MOD = 20  # query sample: vec_id % 20 == 0 (~5% of the corpus)
+
+_HUBNESS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM e
+      WHERE vec_id % {_HUB_SAMPLE_MOD} = 0),
+top AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.vec_id AS cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {cosine_sql('q.qv', 'c.embedding')} DESC, c.vec_id
+           ) AS rn
+    FROM q CROSS JOIN e c WHERE c.vec_id <> q.qid
+  ) WHERE rn <= {_HUB_K}
+),
+occ AS (SELECT cid, count(*)::BIGINT AS k_occ FROM top GROUP BY cid),
+allv AS (
+  SELECT e.vec_id, coalesce(o.k_occ, 0) AS k_occ
+  FROM e LEFT JOIN occ o ON o.cid = e.vec_id
+)
+SELECT k_occ AS k_occurrence, count(*)::BIGINT AS n_vectors
+FROM allv GROUP BY k_occ ORDER BY k_occ
+"""
+
+
+@q("knn_hubness_report", _HUBNESS_SQL)
+def knn_hubness_report(spark, sf_dir):
+    """Hubness census of the embedding space: for a deterministic ~5%
+    query sample, how many sample queries retrieve each corpus vector
+    in their exact top-{_HUB_K} — reported as the k-occurrence
+    histogram. A long tail of hub vectors (retrieved by 'everyone')
+    is the high-dimensional pathology that silently wrecks kNN
+    relevance and overloads the ANN cells that hold the hubs, so this
+    report gates embedding-model changes the way ivf_cell_balance
+    gates the index. Sampling the QUERY side is the point: the scoring
+    work is |sample| x |corpus| (the brute-force knn_batch shape, not
+    corpus²), which is exactly how the census runs at 100 TB. Counts
+    are exact ints; cosine ties break by vec_id in both engines."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ).select("vec_id", "embedding")
+    q_side = e.filter(F.col("vec_id") % _HUB_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        q_side.crossJoin(e.select(F.col("vec_id").alias("cid"), "embedding"))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            cosine_similarity(F.col("qv"), F.col("embedding")).alias("c"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("cid"))
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HUB_K)
+        .select("qid", "cid")
+    )
+    occ = top.groupBy("cid").agg(F.count("*").cast("bigint").alias("k_occ"))
+    allv = e.select("vec_id").join(
+        occ, e.vec_id == occ.cid, "left"
+    ).select(F.coalesce("k_occ", F.lit(0)).alias("k_occurrence"))
+    return (
+        allv.groupBy("k_occurrence")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+        .orderBy("k_occurrence")
+    )
+
+
+_RANKCORR_POOL = 50
+
+_RANKCORR_SQL = f"""
+WITH {_BM25_CTES},
+vtop AS (
+  SELECT vec_id AS id,
+         round({cosine_to_query_sql(QUERY_VEC, vec_sql(QUERY_VEC), 'embedding')}, 6) AS c
+  FROM embeddings
+  ORDER BY c DESC, id LIMIT {_RANKCORR_POOL}
+),
+ktop AS (SELECT id, bm25_ppm FROM bm25
+         ORDER BY bm25_ppm DESC, id LIMIT {_RANKCORR_POOL}),
+shared AS (
+  SELECT v.id, v.c, k.bm25_ppm
+  FROM vtop v JOIN ktop k ON v.id = k.id
+),
+ranked AS (
+  SELECT id,
+         row_number() OVER (ORDER BY c DESC, id)::BIGINT AS rv,
+         row_number() OVER (ORDER BY bm25_ppm DESC, id)::BIGINT AS rk
+  FROM shared
+),
+s AS (
+  SELECT count(*)::BIGINT AS m,
+         coalesce(sum((rv - rk) * (rv - rk)), 0)::BIGINT AS sd2
+  FROM ranked
+),
+u AS (
+  SELECT (SELECT count(*) FROM vtop)::BIGINT AS nv,
+         (SELECT count(*) FROM ktop)::BIGINT AS nk, m, sd2
+  FROM s
+)
+SELECT m AS n_common, nv + nk - m AS n_union,
+       ((1000000 * m) // greatest(nv + nk - m, 1))::BIGINT AS overlap_ppm,
+       sd2 AS sum_d2,
+       CASE WHEN m >= 2
+            THEN round(1.0 - (6.0 * sd2) / CAST(m * (m * m - 1) AS DOUBLE), 6)
+            ELSE NULL END AS spearman_rho
+FROM u
+"""
+
+
+@q("retrieval_rank_correlation", _RANKCORR_SQL)
+def retrieval_rank_correlation(spark, sf_dir):
+    """Agreement between the two halves of hybrid retrieval: pool
+    overlap (Jaccard of the BM25 top-{_RANKCORR_POOL} and the vector
+    top-{_RANKCORR_POOL}) and Spearman's rho over the shared documents,
+    re-ranked contiguously within the intersection. This is the
+    decision metric for fusion design — rho near 1 means RRF adds
+    nothing (the retrievers agree), rho near 0 means fusion genuinely
+    widens coverage. Everything is exact integer ranks and counts; rho
+    itself is one 6·Σd²/(m(m²−1)) expression whose two float ops are
+    IEEE-identical in both engines (NULL when the intersection is too
+    small to rank). Both pools are TakeOrderedAndProject heaps; every
+    window here runs over ≤{_RANKCORR_POOL} rows."""
+    from movievectorsearch_spark.operators.retrieval import bm25_scores_ppm
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    vtop = (
+        e.select(
+            F.col("vec_id").alias("id"),
+            F.round(
+                cosine_to_query(QUERY_VEC, F.col("embedding")), 6
+            ).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("id"))
+        .limit(_RANKCORR_POOL)
+    )
+    ktop = (
+        bm25_scores_ppm(d, "doc_id", "text", _BM25_TERMS)
+        .orderBy(F.desc("bm25_ppm"), F.asc("id"))
+        .limit(_RANKCORR_POOL)
+    )
+    both = vtop.join(ktop, "id")
+    ranked = both.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("id")))
+        .cast("bigint")
+        .alias("rv"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_ppm"), F.asc("id")))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.coalesce(
+            F.sum((F.col("rv") - F.col("rk")) * (F.col("rv") - F.col("rk"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("sd2"),
+    )
+    nv = vtop.agg(F.count("*").cast("bigint").alias("nv"))
+    nk = ktop.agg(F.count("*").cast("bigint").alias("nk"))
+    return (
+        s.crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(nk))
+        .select(
+            F.col("m").alias("n_common"),
+            (F.col("nv") + F.col("nk") - F.col("m")).alias("n_union"),
+            F.expr(
+                "CAST((1000000 * m) div greatest(nv + nk - m, 1) AS BIGINT)"
+            ).alias("overlap_ppm"),
+            F.col("sd2").alias("sum_d2"),
+            F.when(
+                F.col("m") >= 2,
+                F.round(
+                    F.lit(1.0)
+                    - (F.lit(6.0) * F.col("sd2"))
+                    / (
+                        F.col("m") * (F.col("m") * F.col("m") - 1)
+                    ).cast("double"),
+                    6,
+                ),
+            ).alias("spearman_rho"),
+        )
+    )
+
+
+_BOOT_B = 32
+# Poisson(1) CDF thresholds in millionths: P(X<=k) for k = 0..6; a unit
+# uniform from the portable hash inverts this CDF, giving each event an
+# independent deterministic Poisson(1) resample weight per replicate.
+_BOOT_CDF_PPM = [367879, 735758, 919698, 981011, 996340, 999405, 999916]
+
+
+def _boot_weight_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF_PPM)
+    )
+    return f"CASE {cases} ELSE {len(_BOOT_CDF_PPM)} END"
+
+
+_BOOT_SQL = f"""
+WITH ev AS (
+  SELECT event_id, {CENTS.format(col='value')} AS cents
+  FROM events WHERE value IS NOT NULL
+),
+rep AS (
+  SELECT b.b, e.cents,
+         {_boot_weight_sql(
+             poly_hash_sql("CAST(event_id AS VARCHAR) || '#' || CAST(b.b AS VARCHAR)")
+             + " % 1000000"
+         )} AS w
+  FROM ev e, (SELECT unnest(range({_BOOT_B})) AS b) b
+),
+means AS (
+  SELECT b, round(sum(w * cents) / greatest(sum(w), 1) / 100.0, 6) AS m
+  FROM rep GROUP BY b
+),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means
+),
+pt AS (
+  SELECT round(sum(cents) / count(*) / 100.0, 6) AS point_mean FROM ev
+)
+SELECT {_BOOT_B}::BIGINT AS n_resamples, pt.point_mean,
+       (SELECT m FROM ranked WHERE rn = 2) AS ci_lo,
+       (SELECT m FROM ranked WHERE rn = {_BOOT_B - 1}) AS ci_hi
+FROM pt
+"""
+
+
+@q("poisson_bootstrap_ci", _BOOT_SQL)
+def poisson_bootstrap_ci(spark, sf_dir):
+    """Confidence interval for the mean event value by POISSON
+    BOOTSTRAP — the resampling scheme that actually works on a
+    cluster: instead of drawing N-with-replacement (which needs global
+    coordination), each row gets an independent Poisson(1) weight per
+    replicate, inverted from the portable hash so both engines draw
+    the SAME {_BOOT_B} deterministic resamples. One scan fans out
+    x{_BOOT_B} map-side (no extra shuffle rows beyond the {_BOOT_B}
+    partial means), the replicate means are exact-cents sums with one
+    final division, and the CI endpoints are exact order statistics
+    (2nd / {_BOOT_B - 1}th of {_BOOT_B}) — no percentile
+    interpolation to disagree on. This is the uncertainty layer
+    ab_test_zstat's normal approximation can't provide for skewed
+    value distributions."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("event_id", _cents("value").alias("cents"))
+    reps = ev.select(
+        "event_id",
+        "cents",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+        ).alias("b"),
+    )
+    u = (
+        poly_hash(
+            F.concat_ws(
+                "#", F.col("event_id").cast("string"), F.col("b").cast("string")
+            )
+        )
+        % 1_000_000
+    )
+    wexpr = F.lit(len(_BOOT_CDF_PPM))
+    for k in range(len(_BOOT_CDF_PPM) - 1, -1, -1):
+        wexpr = F.when(u < _BOOT_CDF_PPM[k], F.lit(k)).otherwise(wexpr)
+    means = (
+        reps.withColumn("w", wexpr)
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("cents"))
+                / F.greatest(F.sum("w"), F.lit(1))
+                / 100.0,
+                6,
+            ).alias("m")
+        )
+    )
+    rw = Window.orderBy("m", "b")
+    ranked = means.withColumn("rn", F.row_number().over(rw))
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == _BOOT_B - 1).select(
+        F.col("m").alias("ci_hi")
+    )
+    pt = ev.agg(
+        F.round(F.sum("cents") / F.count("*") / 100.0, 6).alias("point_mean")
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(_BOOT_B).cast("bigint").alias("n_resamples"),
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
@@ -12282,6 +12881,14 @@ _RECHECK_R3 = [
     "repetition_filter_report",
     "tokenizer_fertility_by_lang",
     "mixture_weights_plan",
+    # new in round-3 batch 2
+    "lsh_candidate_quality",
+    "ivf_cell_balance_report",
+    "covisitation_triangles",
+    # new in round-3 batch 3
+    "knn_hubness_report",
+    "retrieval_rank_correlation",
+    "poisson_bootstrap_ci",
 ]
 
 
