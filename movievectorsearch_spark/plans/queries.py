@@ -12660,6 +12660,236 @@ def poisson_bootstrap_ci(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-3 batch 4: shard balance QA, k-fold assignment audit, embedding
+# norm histogram
+# ===========================================================================
+
+_SHARD_BAL_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         {minhash_permute_sql(poly_hash_sql('CAST(doc_id AS VARCHAR)'), _SHUF_A, _SHUF_B)} AS skey,
+         greatest(len({tokens_sql('text')}), 1)::BIGINT AS n_tok
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY skey, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)::BIGINT AS off
+  FROM s
+),
+a AS (
+  SELECT (off // {_SHARD_TOKENS})::BIGINT AS shard_id, n_tok,
+         CASE WHEN (off + n_tok - 1) // {_SHARD_TOKENS}
+                   > off // {_SHARD_TOKENS} THEN 1 ELSE 0 END AS straddles
+  FROM o
+),
+per AS (
+  SELECT shard_id, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+         sum(straddles)::BIGINT AS n_straddlers
+  FROM a GROUP BY shard_id
+)
+SELECT count(*)::BIGINT AS n_shards,
+       sum(n_docs)::BIGINT AS total_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       min(n_docs)::BIGINT AS min_docs_per_shard,
+       max(n_docs)::BIGINT AS max_docs_per_shard,
+       ((1000000 * max(n_docs) * count(*)) // greatest(sum(n_docs), 1))::BIGINT
+         AS max_load_vs_even_ppm,
+       sum(n_straddlers)::BIGINT AS n_straddlers,
+       ((1000000 * sum(n_straddlers)) // greatest(sum(n_docs), 1))::BIGINT
+         AS straddler_ppm
+FROM per
+"""
+
+
+@q("shard_balance_report", _SHARD_BAL_SQL)
+def shard_balance_report(spark, sf_dir):
+    """QA over the training-shard layout that corpus_shard_manifest
+    emits: one summary row with shard count, docs-per-shard spread,
+    the hottest shard's load relative to an even spread, and the
+    boundary-straddler rate. Fixed-TOKEN shards are token-balanced by
+    construction, so the loader-relevant imbalance is DOCS per shard
+    (it drives per-shard open/seek counts and record-stream length) —
+    a corpus whose shuffle order clumps short docs shows up here
+    before it shows up as stragglers in step time. Same two-phase
+    prefix-sum offsets as the manifest (never a single-partition
+    window); the report aggregate is one pass over the ≤n_shards-row
+    manifest, all exact int64."""
+    from movievectorsearch_spark.operators.packing import global_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    skey = minhash_permute(
+        poly_hash(F.col("doc_id").cast("string")), _SHUF_A, _SHUF_B
+    )
+    s = d.select(
+        "doc_id",
+        F.greatest(token_count(F.col("text")), F.lit(1))
+        .cast("bigint")
+        .alias("n_tok"),
+    ).withColumn("_ord", F.struct(skey.alias("skey"), F.col("doc_id")))
+    o = global_prefix_sum(s, "_ord", "n_tok", out="off", num_parts=32)
+    a = o.select(
+        F.expr(f"off div {_SHARD_TOKENS}").cast("bigint").alias("shard_id"),
+        "n_tok",
+        F.expr(
+            f"CASE WHEN (off + n_tok - 1) div {_SHARD_TOKENS} "
+            f"> off div {_SHARD_TOKENS} THEN 1 ELSE 0 END"
+        ).alias("straddles"),
+    )
+    per = a.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("straddles").cast("bigint").alias("n_straddlers"),
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_shards"),
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_docs").cast("bigint").alias("min_docs_per_shard"),
+        F.max("n_docs").cast("bigint").alias("max_docs_per_shard"),
+        F.expr(
+            "CAST((1000000 * max(n_docs) * count(*)) div "
+            "greatest(sum(n_docs), 1) AS BIGINT)"
+        ).alias("max_load_vs_even_ppm"),
+        F.sum("n_straddlers").cast("bigint").alias("n_straddlers"),
+        F.expr(
+            "CAST((1000000 * sum(n_straddlers)) div "
+            "greatest(sum(n_docs), 1) AS BIGINT)"
+        ).alias("straddler_ppm"),
+    )
+
+
+_KFOLD_K = 5
+
+_KFOLD_SQL = f"""
+WITH f AS (
+  SELECT ({poly_hash_sql("CAST(doc_id AS VARCHAR) || '#fold'")} % {_KFOLD_K})
+           ::BIGINT AS fold,
+         len({tokens_sql('text')})::BIGINT AS n_tok
+  FROM documents
+),
+per AS (
+  SELECT fold, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+  FROM f GROUP BY fold
+),
+tot AS (SELECT sum(n_docs)::BIGINT AS td, sum(n_tokens)::BIGINT AS tt FROM per)
+SELECT p.fold, p.n_docs, p.n_tokens,
+       ((1000000 * p.n_docs) // tot.td)::BIGINT AS doc_share_ppm,
+       ((1000000 * p.n_tokens) // tot.tt)::BIGINT AS token_share_ppm,
+       ((1000000 * p.n_tokens * {_KFOLD_K}) // tot.tt)::BIGINT
+         AS token_load_vs_even_ppm
+FROM per p, tot ORDER BY p.fold
+"""
+
+
+@q("kfold_assignment_counts", _KFOLD_SQL)
+def kfold_assignment_counts(spark, sf_dir):
+    """{_KFOLD_K}-fold cross-validation assignment audit: folds come
+    from the salted portable hash of the doc id (replay-stable,
+    partitioning-independent — the train_test_split gate generalized
+    to k folds), and the report shows each fold's doc/token share and
+    token load vs an even split. Hash folds are only PROBABLY
+    balanced; this is the one-pass check that the draw didn't leave a
+    fold token-starved before anyone trains on it. Map-side gate +
+    {_KFOLD_K}-row aggregate; exact int64 shares."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        (
+            poly_hash(F.concat(F.col("doc_id").cast("string"), F.lit("#fold")))
+            % _KFOLD_K
+        )
+        .cast("bigint")
+        .alias("fold"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    per = f.groupBy("fold").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("td"),
+        F.sum("n_tokens").cast("bigint").alias("tt"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST((1000000 * n_docs) div td AS BIGINT)").alias(
+                "doc_share_ppm"
+            ),
+            F.expr("CAST((1000000 * n_tokens) div tt AS BIGINT)").alias(
+                "token_share_ppm"
+            ),
+            F.expr(
+                f"CAST((1000000 * n_tokens * {_KFOLD_K}) div tt AS BIGINT)"
+            ).alias("token_load_vs_even_ppm"),
+        )
+        .orderBy("fold")
+    )
+
+
+_NORM_HIST_BINS = 32
+_NORM_HIST_SCALE = 4  # bin width 0.25 over [0, 8)
+
+_NORM_HIST_SQL = f"""
+WITH e AS (
+  SELECT sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+              (a,b) -> a+b)) AS nrm
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+b AS (
+  SELECT least({_NORM_HIST_BINS - 1},
+               greatest(0, CAST(floor(nrm * {_NORM_HIST_SCALE}) AS BIGINT)))
+           AS bin
+  FROM e
+)
+SELECT bin, round(bin / {_NORM_HIST_SCALE}.0, 6) AS bin_lo,
+       count(*)::BIGINT AS n_vectors
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@q("embedding_norm_histogram", _NORM_HIST_SQL)
+def embedding_norm_histogram(spark, sf_dir):
+    """Histogram of embedding L2 norms (width-0.25 bins) — the
+    30-second embedding-health check: norm collapse (mass piling into
+    the low bins) breaks cosine ranking resolution, and a bimodal norm
+    profile usually means two different model versions wrote the
+    table, the failure mode a vector store can't see from metadata.
+    The norm is the same sequential-fold sqrt both engines share
+    everywhere else, binning is floor on a deterministic double
+    (clamped to the edge bins like the streaming histogram sketch),
+    and the output is ≤{_NORM_HIST_BINS} exact-count rows off one
+    map-side pass."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    nrm = l2_norm(F.col("embedding"))
+    b = e.select(
+        F.least(
+            F.lit(_NORM_HIST_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(nrm * _NORM_HIST_SCALE).cast("bigint"),
+            ),
+        ).alias("bin")
+    )
+    return (
+        b.groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+        .select(
+            "bin",
+            F.round(F.col("bin") / float(_NORM_HIST_SCALE), 6).alias("bin_lo"),
+            "n_vectors",
+        )
+        .orderBy("bin")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
