@@ -36,11 +36,11 @@ PPM = 1_000_000
 # term tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) multiplies out (by
 # 20*avgdl, with dl and avgdl both in centitokens) to:
 #     44*avgdl*tf / (20*avgdl*tf + 6*avgdl + 18*dl)
-# — pure int64. Headroom: the ppm numerator 44e6·avgdl_c·tf must stay
-# under 9.2e18, i.e. avgdl_c·tf < 2.1e11 — satisfied for any corpus
-# whose average doc is ≤ ~10k tokens with per-doc tf ≤ ~2e6; corpora of
-# book-length documents should divide the numerator by avgdl_c first
-# (integer-safe because the denominator carries the same factor).
+# The ppm numerators (1e6·(N−df) with corpus-sized N; 44e6·avgdl_c·tf
+# with unbounded per-doc tf) are widened to DECIMAL(38,0) before the
+# multiply — exact at any corpus size, and the integral `div` result is
+# back in int64 because the QUOTIENTS are bounded (idf ≤ 1e6,
+# sat ≤ 2.2e6), so the per-term score product stays pure int64.
 
 
 def bm25_scores_ppm(
@@ -82,10 +82,13 @@ def bm25_scores_ppm(
     # bounded by docs-containing-query-terms, so the window is cheap
     df_win = Window.partitionBy("term")
     sat_ppm = F.expr(
-        f"({PPM} * 44 * avgdl_c * tf) div "
-        "(20 * avgdl_c * tf + 6 * avgdl_c + 18 * dl_c)"
+        f"(CAST({PPM} AS DECIMAL(38,0)) * 44 * avgdl_c * tf) div "
+        "(CAST(20 AS DECIMAL(38,0)) * avgdl_c * tf"
+        " + 6 * avgdl_c + 18 * dl_c)"
     )
-    idf_ppm = F.expr(f"({PPM} * (n_docs - df)) div n_docs")
+    idf_ppm = F.expr(
+        f"(CAST({PPM} AS DECIMAL(38,0)) * (n_docs - df)) div n_docs"
+    )
     term_score = F.expr(f"(idf_ppm * sat_ppm) div {PPM}")
     return (
         tf.withColumn("df", F.count("*").over(df_win).cast("bigint"))

@@ -65,6 +65,14 @@ def atomic_swap(df: DataFrame, table_dir: str, batch_id: int | None = None) -> N
     if batch_id is not None:
         with open(os.path.join(tmp, "_last_batch_id"), "w") as f:
             f.write(str(int(batch_id)))
+    else:
+        # an UNSTAMPED swap over a stream-maintained table must not
+        # silently reset the replay watermark to -1 (round-3 advisor
+        # finding): carry the existing marker into the staging dir so
+        # last_applied_batch survives the swap unchanged
+        prev = os.path.join(table_dir, "_last_batch_id")
+        if os.path.isfile(prev):
+            shutil.copyfile(prev, os.path.join(tmp, "_last_batch_id"))
     if os.path.isdir(bak):
         shutil.rmtree(bak)
     if os.path.isdir(table_dir):

@@ -8,6 +8,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from movievectorsearch_spark.plans import queries as Q
 
@@ -647,6 +648,31 @@ def test_partitionless_windows_are_bounded(spark, sf_dir, name):
     df = Q.QUERIES[name]["spark"](spark, sf_dir)
     bad = unbounded_partitionless_windows(df)
     assert not bad, f"{name}: corpus-sized partition-less windows {bad}"
+
+
+def test_window_audit_sees_join_probe_side(spark, sf_dir):
+    """Round-3 advisor finding: the audit's tree parser read only '+-'
+    markers, so a join's ':-' left-branch subtree was dropped and a
+    partition-less window DIRECTLY over a join with an unbounded scan
+    probe side passed vacuously. Pin the fix with exactly that shape —
+    and its bounded twin (window over the join's aggregate) as the
+    negative control."""
+    from pyspark.sql.window import Window as W
+
+    from tools.window_audit import unbounded_partitionless_windows
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = e.join(F.broadcast(dim), e.user_id % 25 == dim.n_nationkey)
+    bad = unbounded_partitionless_windows(
+        j.withColumn("rn", F.row_number().over(W.orderBy("event_id")))
+    )
+    assert bad, "join-fed unbounded partition-less window must be flagged"
+    agg = j.groupBy("n_name").agg(F.count("*").alias("c"))
+    ok = unbounded_partitionless_windows(
+        agg.withColumn("rn", F.row_number().over(W.orderBy("c", "n_name")))
+    )
+    assert not ok, "window over the join's aggregate must NOT be flagged"
 
 
 def test_vocab_coverage_is_two_phase_not_global_window(spark, sf_dir):

@@ -69,3 +69,35 @@ def test_merge_across_microbatches_and_restart(spark, sf_dir, dirs):
 
     # key cardinality sanity: one row per live (user, type) pair
     assert got2.count() == e.select(*KEYS).distinct().count()
+
+
+def test_unstamped_swap_preserves_batch_watermark(spark, sf_dir, tmp_path):
+    """Round-3 advisor finding: an atomic_swap WITHOUT a batch_id over
+    a table that carries a _last_batch_id marker must not reset the
+    replay watermark to -1 — that would reopen the double-count replay
+    window the stamping closed. The marker must ride into the staging
+    dir and survive the swap."""
+    from movievectorsearch_spark.streaming.sink_upsert import (
+        atomic_swap,
+        last_applied_batch,
+    )
+
+    table = str(tmp_path / "t")
+    df = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    atomic_swap(df, table, batch_id=7)
+    assert last_applied_batch(table) == 7
+
+    # unstamped swap (e.g. a batch-side compaction/rewrite of the same
+    # maintained table): watermark must survive
+    atomic_swap(df.limit(3), table, batch_id=None)
+    assert last_applied_batch(table) == 7
+
+    # a stamped swap still advances it
+    atomic_swap(df, table, batch_id=9)
+    assert last_applied_batch(table) == 9
+
+    # and a fresh table without any marker stays -1
+    table2 = str(tmp_path / "t2")
+    atomic_swap(df, table2, batch_id=None)
+    assert last_applied_batch(table2) == -1

@@ -72,18 +72,25 @@ def _partitionless_window_ids(plan: str) -> list[int]:
 
 
 def _parse_tree(plan: str):
-    """-> {node_id: (depth, [child_ids], label)} from the tree section."""
+    """-> {node_id: (depth, [child_ids], label)} from the tree section.
+
+    Depth comes from the position of EITHER branch marker: ``+-``
+    (right/only child) or ``:-`` (a join's left child) — the round-3
+    advisor showed that reading only ``+-`` drops join probe-side
+    subtrees, making the audit pass vacuously on windows fed by a
+    join. The root line has no marker; its children sit at column 0,
+    so it gets depth -3 (one indent step above)."""
     nodes = {}
     order = []
     for line in plan.splitlines():
         if not line.strip():
             break  # tree section ends at the first blank line
-        m = re.search(r"([*+]-\s*|^)(\S[^(]*)\((\d+)\)\s*$", line)
+        m = re.search(r"([*+:]-\s*|^)(\S[^(]*)\((\d+)\)\s*$", line)
         if not m:
             continue
         nid = int(m.group(3))
-        marker = line.find("+-")
-        depth = marker if marker >= 0 else -1
+        marker = max(line.find("+-"), line.find(":-"))
+        depth = marker if marker >= 0 else -3
         nodes[nid] = (depth, [], m.group(2).strip())
         order.append(nid)
     # children: next nodes with depth == d+3 until depth <= d
