@@ -13,6 +13,8 @@ from movievectorsearch_spark.functions.vector import (  # noqa: F401
     vector_lit,
 )
 from movievectorsearch_spark.functions.hashing import (  # noqa: F401
+    int_mix,
+    int_mix_sql,
     poly_hash,
     poly_hash_sql,
     minhash_permute,

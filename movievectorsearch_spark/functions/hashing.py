@@ -39,6 +39,36 @@ def poly_hash_sql(expr: str) -> str:
     )
 
 
+def int_mix(col: Column) -> Column:
+    """Portable integer mixer: bigint → pseudo-uniform bigint in [0, P).
+
+    One LCG affine step then a modular square fold — the square supplies
+    the non-linearity a pure affine chain lacks (affine∘affine is still
+    affine, so consecutive inputs would land on an arithmetic
+    progression). All intermediates stay below 2^62: operands are < P <
+    2^31, so h*1103515245 < 2.4e18 and h*h < 4.7e18, both inside int64
+    in Spark and DuckDB alike. This is the integer-domain replacement
+    for ``poly_hash(concat_ws(...))`` in hot per-row paths — no string
+    materialization, same cross-engine determinism.
+    """
+    h = (((col % F.lit(P)) + F.lit(P)) % F.lit(P)) * F.lit(
+        1_103_515_245
+    ) + F.lit(12_345)
+    h = h % F.lit(P)
+    return (h * h + h * F.lit(31)) % F.lit(P)
+
+
+def int_mix_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`int_mix` (the LCG step is repeated
+    textually because the square needs it twice and this must stay a
+    single scalar expression usable inside any clause)."""
+    h = (
+        f"((((CAST({expr} AS BIGINT) % {P}) + {P}::BIGINT) % {P})"
+        f" * 1103515245::BIGINT + 12345) % {P}"
+    )
+    return f"((({h}) * ({h}) + ({h}) * 31) % {P})"
+
+
 # Affine permutation coefficients for MinHash: deterministic, odd A.
 def minhash_coeffs(n: int, seed: int = 42) -> list[tuple[int, int]]:
     """n (A, B) pairs from a tiny deterministic LCG (no RNG dependency)."""

@@ -61,6 +61,11 @@ def atomic_swap(df: DataFrame, table_dir: str, batch_id: int | None = None) -> N
     alone is only at-least-once)."""
     tmp = table_dir.rstrip("/") + ".__staging"
     bak = table_dir.rstrip("/") + ".__bak"
+    # a prior swap that crashed between its two renames leaves the live
+    # table in .__bak; restore it FIRST (idempotent) so the unstamped
+    # watermark carry below reads the real marker instead of silently
+    # resetting to -1 (advisor finding, round 4)
+    recover_table(table_dir)
     df.write.mode("overwrite").parquet(tmp)
     if batch_id is not None:
         with open(os.path.join(tmp, "_last_batch_id"), "w") as f:

@@ -37,6 +37,49 @@ def test_poly_hash_matches_python_model(spark):
         assert got[s] == py_poly_hash(s), s
 
 
+def py_int_mix(x: int) -> int:
+    h = ((x % P) + P) % P
+    h = (h * 1_103_515_245 + 12_345) % P
+    return (h * h + h * 31) % P
+
+
+def test_int_mix_matches_python_model_and_duckdb(spark):
+    """int_mix is the integer-domain portable hash (poisson bootstrap
+    draws): Spark expression, DuckDB SQL mirror, and the Python model
+    must agree exactly, including negatives and values past P."""
+    import duckdb
+
+    from movievectorsearch_spark.functions import int_mix, int_mix_sql
+
+    vals = [0, 1, 42, -7, -P, P - 1, P, P + 5, 10**12, 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "x BIGINT")
+    got = {
+        r["x"]: r["h"]
+        for r in df.select("x", int_mix(F.col("x")).alias("h")).collect()
+    }
+    duck = list(
+        duckdb.sql(
+            "SELECT " + ", ".join(int_mix_sql(str(v)) for v in vals)
+        ).fetchall()[0]
+    )
+    for v, d in zip(vals, duck):
+        assert got[v] == py_int_mix(v) == d, v
+
+
+def test_int_mix_uniform_enough_for_bootstrap(spark):
+    """The Poisson-bootstrap inversion needs u = int_mix(id*37+b) % 1e6
+    to look uniform: over 20k draws the empirical Poisson(1) weight
+    frequencies must sit near the true pmf (a pure-affine mixer fails
+    this badly for consecutive ids)."""
+    from movievectorsearch_spark.functions import int_mix
+
+    df = spark.range(20000).select(
+        (int_mix((F.col("id") % P) * 37 + F.col("id") % 32) % 1_000_000).alias("u")
+    )
+    p0 = df.filter(F.col("u") < 367879).count() / 20000
+    assert abs(p0 - 0.3679) < 0.02
+
+
 def test_minhash_coeffs_deterministic_and_odd():
     c1 = minhash_coeffs(16)
     c2 = minhash_coeffs(16)

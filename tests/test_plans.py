@@ -690,3 +690,37 @@ def test_market_basket_caps_baskets_before_pairing(spark, sf_dir):
     p = plan_of(spark, sf_dir, "orders_market_basket")
     assert "WindowGroupLimit" in p or "row_number" in p
     assert "CartesianProduct" not in p
+
+
+def exec_plan_of(spark, sf_dir, name: str) -> str:
+    """Simple (tree-form) executed-plan string — root first, each last
+    branch's text strictly after its parent, which lets a gate assert
+    about everything BELOW a named node by splitting the string."""
+    df = Q.QUERIES[name]["spark"](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hubness_first_exchange_candidate_sized(spark, sf_dir):
+    """Round-4 weak item: knn_hubness_report's phase-1 top-k must run
+    INSIDE the scan task (mapInPandas bounded carry), so NO hash
+    exchange sits between the broadcast-NL scoring pass and candidate
+    emission — the old Window.partitionBy(qid, _pid) form shuffled all
+    sample·|corpus| scored rows (a ~PB exchange at the 100 TB design
+    point). The scoring subtree is the last branch under the join, so
+    everything after the MapInPandas line is its child subtree."""
+    p = exec_plan_of(spark, sf_dir, "knn_hubness_report")
+    assert "MapInPandas" in p
+    below = p.split("MapInPandas", 1)[1]
+    assert "Exchange hashpartitioning" not in below
+    assert "Exchange rangepartitioning" not in below
+    assert "BroadcastNestedLoopJoin" in below  # scoring stays broadcast-NL
+
+
+def test_market_basket_no_self_join(spark, sf_dir):
+    """Round-4 item: pair enumeration happens in-task from the sorted
+    basket array — the plan must contain a single join at most (none:
+    pc/no attach by broadcast), no SortMergeJoin of the incidence list
+    against itself, and a Generate (explode) feeding the pair count."""
+    p = exec_plan_of(spark, sf_dir, "orders_market_basket")
+    assert "Generate explode" in p
+    assert "SortMergeJoin" not in p.split("Generate explode", 1)[1]

@@ -101,3 +101,27 @@ def test_unstamped_swap_preserves_batch_watermark(spark, sf_dir, tmp_path):
     table2 = str(tmp_path / "t2")
     atomic_swap(df, table2, batch_id=None)
     assert last_applied_batch(table2) == -1
+
+
+def test_unstamped_swap_recovers_crashed_table_first(spark, sf_dir, tmp_path):
+    """Round-4 advisor finding: if a prior swap crashed between its two
+    renames (live table sitting in .__bak), a direct unstamped
+    atomic_swap must recover the table BEFORE reading the watermark —
+    otherwise the marker is missed and the watermark silently resets
+    to -1 in exactly the crash path recover_table exists for."""
+    import os
+
+    from movievectorsearch_spark.streaming.sink_upsert import (
+        atomic_swap,
+        last_applied_batch,
+    )
+
+    table = str(tmp_path / "t")
+    df = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    atomic_swap(df, table, batch_id=7)
+
+    # simulate the crash window: table renamed aside, new one not yet in
+    os.rename(table, table + ".__bak")
+
+    atomic_swap(df.limit(3), table, batch_id=None)
+    assert last_applied_batch(table) == 7

@@ -150,7 +150,12 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     src_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     # optional explicit query names (dev/targeted runs); a partial run
-    # never overwrites SCALING.json
+    # never overwrites SCALING.json. Unknown names are a hard error —
+    # silently dropping them could leave `only` empty and fall through
+    # to a FULL run that overwrites SCALING.json (advisor finding).
+    unknown = [a for a in sys.argv[3:] if a not in Q.QUERIES]
+    if unknown:
+        sys.exit(f"unknown query name(s): {unknown} — not in Q.QUERIES")
     only = [a for a in sys.argv[3:] if a in Q.QUERIES]
     probe_set = only or PROBE_QUERIES
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
