@@ -10,7 +10,7 @@ from difflib import SequenceMatcher
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
-from movievectorsearch_spark.functions.hashing import P, poly_hash
+from movievectorsearch_spark.functions.hashing import P, int_mix, int_mix_sql, poly_hash
 from movievectorsearch_spark.functions.text import clean_text, tokens, word_shingles
 from movievectorsearch_spark.operators.dedup import levenshtein_ratio
 
@@ -26,6 +26,35 @@ def py_poly_hash(s: str) -> int:
     for ch in s:
         acc = (acc * 31 + ord(ch)) % P
     return acc
+
+
+def py_int_mix(x: int) -> int:
+    h = ((x % P) + P) % P
+    h = (h * 1_103_515_245 + 12_345) % P
+    return (h * h + h * 31) % P
+
+
+@FEW
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=20))
+def test_int_mix_matches_model_everywhere(spark, xs):
+    """int_mix (the integer-domain portable hash behind the Poisson
+    bootstrap draws): Spark expression, DuckDB mirror, and the Python
+    model agree on arbitrary int64 input, and outputs stay in [0, P)."""
+    import duckdb
+
+    df = spark.createDataFrame([(x,) for x in xs], "x BIGINT")
+    got = {
+        r["x"]: r["h"]
+        for r in df.select("x", int_mix(F.col("x")).alias("h")).collect()
+    }
+    duck = list(
+        duckdb.sql(
+            "SELECT " + ", ".join(int_mix_sql(str(x)) for x in xs)
+        ).fetchall()[0]
+    )
+    for x, d in zip(xs, duck):
+        assert got[x] == py_int_mix(x) == d
+        assert 0 <= got[x] < P
 
 
 def _lev(a: str, b: str) -> int:
