@@ -724,3 +724,37 @@ def test_market_basket_no_self_join(spark, sf_dir):
     p = exec_plan_of(spark, sf_dir, "orders_market_basket")
     assert "Generate explode" in p
     assert "SortMergeJoin" not in p.split("Generate explode", 1)[1]
+
+
+def test_q18_topk_no_global_sort(spark, sf_dir):
+    """Q18 shape: the final ORDER BY + LIMIT must fuse to
+    TakeOrderedAndProject (per-partition heaps), and the big-order
+    HAVING filter must not force a nested-loop anywhere."""
+    p = plan_of(spark, sf_dir, "q18_big_orders")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_q19_disjunction_pushed_to_part_scan(spark, sf_dir):
+    """Q19's whole point: the three-way OR of (brand AND size-band)
+    predicates must reach the part parquet scan as ONE pushed Or
+    filter — a plan that scans all parts and filters post-join reads
+    the full dimension at 100 TB."""
+    p = plan_of(spark, sf_dir, "q19_disjunctive_predicates")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any(
+        "Or(" in l and "p_brand" in l and "p_size" in l for l in pushed
+    ), pushed
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q20_no_cartesian_broadcast_dims(spark, sf_dir):
+    """Q20 (dominant suppliers): the part→lineitem→supplier chain must
+    stay hash/broadcast joins — the share-threshold compare must never
+    degrade to a nested loop."""
+    p = plan_of(spark, sf_dir, "q20_dominant_suppliers")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
