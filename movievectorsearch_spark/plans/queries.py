@@ -13085,6 +13085,423 @@ def embedding_norm_histogram(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-5 batch: corpus-quality surprisal, eval decontamination,
+# relational closed-form OLS, embedding drift
+# ===========================================================================
+
+_RARE_DENOM = 100  # "rare" = corpus frequency below 1/100 of all tokens
+
+_RARE_PROFILE_SQL = f"""
+WITH occ AS (
+  SELECT doc_id, u.token, count(*)::BIGINT AS tf
+  FROM documents d, LATERAL (SELECT unnest({tokens_sql('d.text')}) AS token) u
+  GROUP BY doc_id, u.token
+),
+cnt AS (SELECT token, sum(tf)::BIGINT AS cnt FROM occ GROUP BY token),
+tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM cnt),
+tokstats AS (
+  SELECT c.token,
+         CAST(c.cnt::HUGEINT * 1000000 // t.n_total AS BIGINT) AS freq_ppm,
+         (c.cnt::HUGEINT * {_RARE_DENOM} < t.n_total) AS is_rare
+  FROM cnt c, tot t
+),
+per_doc AS (
+  SELECT o.doc_id,
+         sum(o.tf)::BIGINT AS n_tok,
+         count(*)::BIGINT AS n_distinct,
+         coalesce(sum(o.tf) FILTER (WHERE s.is_rare), 0)::BIGINT AS n_rare_occ,
+         sum(o.tf::HUGEINT * s.freq_ppm) AS wsum
+  FROM occ o JOIN tokstats s ON o.token = s.token
+  GROUP BY o.doc_id
+)
+SELECT doc_id, n_tok, n_distinct,
+       CAST(n_rare_occ::HUGEINT * 1000000 // n_tok AS BIGINT) AS rare_ppm,
+       CAST(wsum // n_tok AS BIGINT) AS mean_freq_ppm
+FROM per_doc
+ORDER BY rare_ppm DESC, mean_freq_ppm ASC, doc_id
+LIMIT 50
+"""
+
+
+@q("doc_rare_token_profile", _RARE_PROFILE_SQL)
+def doc_rare_token_profile(spark, sf_dir):
+    """Per-document token-rarity profile — the corpus-statistics
+    quality signal surface heuristics can't see (quality_filter_funnel
+    scores stopword/alpha ratios; THIS scores each doc against the
+    global unigram distribution): rare_ppm = share of the doc's token
+    occurrences whose corpus frequency is below 1/{_RARE_DENOM} of all
+    tokens, mean_freq_ppm = tf-weighted mean corpus frequency — a
+    mean-surprisal proxy in exact integer arithmetic (no logs: ln()
+    is not correctly-rounded in either engine, so log-domain scores
+    can't hash-match; ppm frequencies under floor division can).
+    Scale-free rule: the rarity cutoff is a corpus FRACTION, not an
+    absolute count. Plan: one explode into (doc, token, tf) partials,
+    a vocab-sized re-agg for corpus counts, a 1-row total broadcast
+    onto the vocab, then an equi-join of occurrences to token stats
+    keyed by token and a per-doc re-agg; the ranking is
+    TakeOrderedAndProject (top-50, never a global sort). freq products
+    run in DECIMAL(38,0)/HUGEINT: cnt·1e6 is ~1e19 at 100 TB corpus
+    size — past int64, exactly the widened-arithmetic class."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    cnt = occ.groupBy("token").agg(F.sum("tf").cast("bigint").alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    tokstats = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.expr(
+            "CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000) div n_total AS BIGINT)"
+        ).alias("freq_ppm"),
+        F.expr(
+            f"CAST(cnt AS DECIMAL(38,0)) * {_RARE_DENOM} < n_total"
+        ).alias("is_rare"),
+    )
+    per_doc = (
+        occ.join(tokstats, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tok"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_rare"), F.col("tf"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_rare_occ"),
+            F.sum(
+                F.col("tf").cast("decimal(38,0)") * F.col("freq_ppm")
+            ).alias("wsum"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tok",
+            "n_distinct",
+            F.expr(
+                "CAST((CAST(n_rare_occ AS DECIMAL(38,0)) * 1000000)"
+                " div n_tok AS BIGINT)"
+            ).alias("rare_ppm"),
+            F.expr("CAST(wsum div n_tok AS BIGINT)").alias("mean_freq_ppm"),
+        )
+        .orderBy(F.desc("rare_ppm"), "mean_freq_ppm", "doc_id")
+        .limit(50)
+    )
+
+
+def _decontam_sql() -> str:
+    from movievectorsearch_spark.operators.ann import random_hyperplanes
+
+    table_selects = []
+    for t in range(_SRP_TABLES):
+        planes = random_hyperplanes(_SRP_PLANES, len(QUERY_VEC), _SRP_SEED + t)
+        table_selects.append(
+            f"SELECT vec_id, nv, {t} AS tbl,\n"
+            f"{_srp_bucket_sql('nv', planes)} AS bkt FROM e"
+        )
+    buckets = "\nUNION ALL\n".join(table_selects)
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         CASE WHEN {_NORM_EMB} <> 0
+              THEN list_transform(embedding::DOUBLE[], x -> x / {_NORM_EMB}) END AS nv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND {_NORM_EMB} <> 0
+),
+buckets AS (
+{buckets}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.a_id, c.b_id, {dot_sql('ea.nv', 'eb.nv')} AS cos
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.a_id
+  JOIN e eb ON eb.vec_id = c.b_id
+  WHERE {dot_sql('ea.nv', 'eb.nv')} >= {_NEARDUP_THRESHOLD}
+),
+cross_split AS (
+  SELECT CASE WHEN a_id % 5 = 4 THEN a_id ELSE b_id END AS test_id,
+         CASE WHEN a_id % 5 = 4 THEN b_id ELSE a_id END AS train_id,
+         cos
+  FROM scored
+  WHERE (a_id % 5 = 4) <> (b_id % 5 = 4)
+),
+r AS (
+  SELECT test_id, train_id, cos,
+         row_number() OVER (PARTITION BY test_id
+                            ORDER BY cos DESC, train_id) AS rn
+  FROM cross_split
+)
+SELECT test_id, train_id, round(cos, 6) AS best_cos
+FROM r WHERE rn = 1 ORDER BY test_id
+"""
+
+
+@q("semantic_decontamination", _decontam_sql())
+def semantic_decontamination(spark, sf_dir):
+    """Eval-set decontamination by EMBEDDING similarity — the semantic
+    twin of contamination_ngram_overlap (which catches verbatim leaks;
+    this catches paraphrases n-grams miss): split vectors into train
+    (vec_id % 5 < 4) and held-out test (% 5 = 4), and report every test
+    vector whose cosine against ANY train vector clears the near-dup
+    threshold, with its best-matching train row (ties on the exact
+    IEEE cosine break to the smallest train id). Candidate generation
+    is the SAME SRP-LSH bucket blocking as dedup_embedding_cosine —
+    never a train×test cross join; at 100 TB bucket size stays
+    N / 2^n_planes per table, a tuning knob. The per-test argmax is a
+    window over candidate pairs only (hash-partitioned by test_id,
+    candidate-sized input). Ordering compares RAW doubles (bit-equal
+    across engines); rounding happens only on output."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_pairs_srp(
+        e,
+        dim=len(QUERY_VEC),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=_NEARDUP_THRESHOLD,
+        n_planes=_SRP_PLANES,
+        n_tables=_SRP_TABLES,
+        seed=_SRP_SEED,
+    )
+    a_test = (F.col("a_id") % 5) == 4
+    b_test = (F.col("b_id") % 5) == 4
+    cross = pairs.filter(a_test != b_test).select(
+        F.when(a_test, F.col("a_id")).otherwise(F.col("b_id")).alias("test_id"),
+        F.when(a_test, F.col("b_id")).otherwise(F.col("a_id")).alias("train_id"),
+        "cos",
+    )
+    w = Window.partitionBy("test_id").orderBy(F.desc("cos"), "train_id")
+    return (
+        cross.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("test_id", "train_id", F.round("cos", 6).alias("best_cos"))
+        .orderBy("test_id")
+    )
+
+
+# Cramer's rule over the 3x3 normal equations, cofactor expansion along
+# the first row. The formula TEXT is shared verbatim by both engines
+# (identical association order => identical IEEE doubles); the inputs
+# are exact DECIMAL(38,0)/HUGEINT sufficient statistics cast to DOUBLE.
+_OLS_D = {
+    k: f"CAST({k} AS DOUBLE)"
+    for k in ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y")
+}
+_OLS_DET = (
+    "({n} * ({s11} * {s22} - {s12} * {s12})"
+    " - {s1} * ({s1} * {s22} - {s12} * {s2})"
+    " + {s2} * ({s1} * {s12} - {s11} * {s2}))"
+).format(**_OLS_D)
+_OLS_B0 = (
+    "({sy} * ({s11} * {s22} - {s12} * {s12})"
+    " - {s1} * ({s1y} * {s22} - {s12} * {s2y})"
+    " + {s2} * ({s1y} * {s12} - {s11} * {s2y}))"
+).format(**_OLS_D)
+_OLS_B1 = (
+    "({n} * ({s1y} * {s22} - {s12} * {s2y})"
+    " - {sy} * ({s1} * {s22} - {s12} * {s2})"
+    " + {s2} * ({s1} * {s2y} - {s1y} * {s2}))"
+).format(**_OLS_D)
+_OLS_B2 = (
+    "({n} * ({s11} * {s2y} - {s1y} * {s12})"
+    " - {s1} * ({s1} * {s2y} - {s1y} * {s2})"
+    " + {sy} * ({s1} * {s12} - {s11} * {s2}))"
+).format(**_OLS_D)
+
+
+def _ols_coef_sql(num: str) -> str:
+    return (
+        f"round(CASE WHEN {_OLS_DET} <> 0"
+        f" THEN {num} / {_OLS_DET} END, 6)"
+    )
+
+
+_OLS_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         hour(ts)::BIGINT AS x1,
+         (dayofweek(ts) + 1)::BIGINT AS x2,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+sums AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(x1)::BIGINT AS s1,
+         sum(x2)::BIGINT AS s2,
+         sum(y::HUGEINT) AS sy,
+         sum(x1::HUGEINT * x1) AS s11,
+         sum(x1::HUGEINT * x2) AS s12,
+         sum(x2::HUGEINT * x2) AS s22,
+         sum(x1::HUGEINT * y) AS s1y,
+         sum(x2::HUGEINT * y) AS s2y
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n,
+       {_ols_coef_sql(_OLS_B0)} AS intercept_cents,
+       {_ols_coef_sql(_OLS_B1)} AS slope_cents_per_hour,
+       {_ols_coef_sql(_OLS_B2)} AS slope_cents_per_dow
+FROM sums ORDER BY event_type
+"""
+
+
+@q("events_ols_hour_dow", _OLS_SQL)
+def events_ols_hour_dow(spark, sf_dir):
+    """Closed-form multivariate OLS inside the engine: per event type,
+    regress value (cents) on hour-of-day and day-of-week via the 3x3
+    normal equations — the relational-ML pattern (kmeans_relational_
+    step, power_iteration_matvec) extended from one regressor
+    (events_trend_slope) to a design matrix. Nine sufficient
+    statistics per group (n, Σx₁, Σx₂, Σy, Σx₁², Σx₁x₂, Σx₂², Σx₁y,
+    Σx₂y) combine losslessly in partial aggregation — one map-side-
+    combined shuffle of 9 numbers per group, no iteration, no driver
+    loop. The quadratic/y sums run in DECIMAL(38,0)/HUGEINT (Σx₁y ~
+    23·10⁶cents·10¹³rows ~ 10²¹ at 100 TB — past int64); Cramer's
+    rule then runs in DOUBLE from the exact stats with formula text
+    shared verbatim by both engines (products of three corpus-sized
+    sums reach ~10⁵⁷ — past DECIMAL(38), so the determinant stage is
+    deliberately IEEE, where identical expression order makes it
+    bit-deterministic). Degenerate design (det=0) yields NULLs, not an
+    engine-dependent Inf. Day-of-week is aligned to Spark's
+    dayofweek() (Sunday=1): DuckDB's dayofweek() is Sunday=0, hence
+    the +1 in the oracle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x1"),
+        F.dayofweek("ts").cast("bigint").alias("x2"),
+        _cents("value").alias("y"),
+    )
+    x1d = F.col("x1").cast("decimal(38,0)")
+    x2d = F.col("x2").cast("decimal(38,0)")
+    sums = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(x1d * F.col("x1")).alias("s11"),
+        F.sum(x1d * F.col("x2")).alias("s12"),
+        F.sum(x2d * F.col("x2")).alias("s22"),
+        F.sum(x1d * F.col("y")).alias("s1y"),
+        F.sum(x2d * F.col("y")).alias("s2y"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.expr(_ols_coef_sql(_OLS_B0)).alias("intercept_cents"),
+        F.expr(_ols_coef_sql(_OLS_B1)).alias("slope_cents_per_hour"),
+        F.expr(_ols_coef_sql(_OLS_B2)).alias("slope_cents_per_dow"),
+    ).orderBy("event_type")
+
+
+_DRIFT_SCALE = 1_000_000  # fixed-point: component -> round(x * 1e6)
+
+
+def _l2_list_sql(v: str) -> str:
+    return f"sqrt(list_reduce(list_transform({v}, x -> x*x), (a,b) -> a+b))"
+
+
+_CENTROID_DRIFT_SQL = f"""
+WITH j AS (
+  SELECT d.source, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0
+),
+comp AS (
+  SELECT source, u.i AS pos,
+         CAST(round(embedding[u.i]::DOUBLE * {_DRIFT_SCALE}, 0) AS BIGINT) AS qx
+  FROM j, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+),
+src AS (
+  SELECT source, pos, sum(qx::HUGEINT) AS s FROM comp GROUP BY source, pos
+),
+nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM j GROUP BY source),
+glob AS (SELECT pos, sum(s) AS g FROM src GROUP BY pos),
+sv AS (
+  SELECT source, list(CAST(s AS DOUBLE) ORDER BY pos) AS av
+  FROM src GROUP BY source
+),
+gv AS (SELECT list(CAST(g AS DOUBLE) ORDER BY pos) AS bv FROM glob)
+SELECT sv.source, nd.n_docs,
+       round({cosine_sql('sv.av', 'gv.bv')}, 6) AS centroid_cos
+FROM sv, gv JOIN nd ON nd.source = sv.source
+ORDER BY sv.source
+"""
+
+
+@q("embedding_source_centroid_drift", _CENTROID_DRIFT_SQL)
+def embedding_source_centroid_drift(spark, sf_dir):
+    """Per-source embedding centroid vs the global centroid — the
+    domain-drift health check of a multi-source embedding table (the
+    vector-space twin of split_drift_ks_check: a source whose centroid
+    cosine sags is embedding a different distribution — wrong model
+    version, language skew, or a poisoned crawl). Centroid sums are
+    EXACT: components are fixed-point-quantized (round(x·1e6), the
+    int8-quantization recipe at higher precision) and summed as
+    DECIMAL(38,0)/HUGEINT — float sums over a group are
+    order-nondeterministic in a distributed agg, integer sums are not;
+    at 100 TB (10¹⁰ docs/source · 10⁶ scale ~ 10¹⁶) the sums stay
+    exact where int64 would still hold but DECIMAL keeps the 100×
+    audit margin. Plan: posexplode to (source, pos) partial sums —
+    the shuffle carries dim·n_sources rows, not vectors — a dim-sized
+    re-agg for the global centroid broadcast to every source row, and
+    the cosine is the house sequential fold over pos-ordered arrays,
+    bit-equal in both engines."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    j = d.join(e, d["doc_id"] == e["vec_id"]).select("source", "embedding")
+    comp = j.select(
+        "source",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "x"
+        ),
+    ).select(
+        "source",
+        # 1-based to mirror the oracle's list indexing
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x") * _DRIFT_SCALE, 0).cast("bigint").alias("qx"),
+    )
+    src = comp.groupBy("source", "pos").agg(
+        F.sum(F.col("qx").cast("decimal(38,0)")).alias("s")
+    )
+    nd = j.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    glob = src.groupBy("pos").agg(F.sum("s").alias("g"))
+    sv = src.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda t: t["s"].cast("double"),
+        ).alias("av")
+    )
+    gv = glob.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "g"))),
+            lambda t: t["g"].cast("double"),
+        ).alias("bv")
+    )
+    return (
+        sv.crossJoin(F.broadcast(gv))
+        .join(nd, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                cosine_similarity(F.col("av"), F.col("bv")), 6
+            ).alias("centroid_cos"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
