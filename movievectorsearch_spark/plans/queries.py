@@ -5744,6 +5744,13 @@ def _moviegen_cte() -> str:
 def _moviegen_df(spark):
     from movievectorsearch_spark.sources import moviegen
 
+    # MovieGenReader implements pushFilters(); Spark 4 refuses to
+    # initialize such a reader (DATA_SOURCE_PUSHDOWN_DISABLED) when
+    # spark.sql.python.filterPushdown.enabled is false — which is the
+    # default in sessions we don't build ourselves (e.g. the harness).
+    # The conf is runtime-settable, so enable it on whatever session we
+    # were handed before the read.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     moviegen.register(spark)
     return (
         spark.read.format("moviegen")
@@ -12579,10 +12586,18 @@ def knn_hubness_report(spark, sf_dir):
     # Arrow as exact IEEE doubles; ties break (c desc, cid asc) exactly
     # as the oracle's window does.
     def _partition_topk(batches):
+        import numpy as np
         import pandas as pd
 
         carry = None
         for pdf in batches:
+            # Drop NULL (zero-norm guard) and non-finite cosines BEFORE
+            # the top-k: pandas sorts NaN last (would silently drop
+            # them) while Spark's final window ranks NaN first (NaN >
+            # any double) — filtering keeps the two phases consistent
+            # by construction rather than by coincidence.
+            pdf = pdf[np.isfinite(pdf["c"].to_numpy(dtype="float64",
+                                                    na_value=np.nan))]
             frame = (
                 pdf
                 if carry is None
@@ -12591,7 +12606,6 @@ def knn_hubness_report(spark, sf_dir):
             frame = frame.sort_values(
                 ["qid", "c", "cid"],
                 ascending=[True, False, True],
-                kind="mergesort",
             )
             carry = frame.groupby("qid", sort=False).head(_HUB_K)
         if carry is not None and len(carry):
@@ -13424,12 +13438,12 @@ src AS (
   SELECT source, pos, sum(qx::HUGEINT) AS s FROM comp GROUP BY source, pos
 ),
 nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM j GROUP BY source),
-glob AS (SELECT pos, sum(s) AS g FROM src GROUP BY pos),
+gsum AS (SELECT pos, sum(s) AS g FROM src GROUP BY pos),
 sv AS (
   SELECT source, list(CAST(s AS DOUBLE) ORDER BY pos) AS av
   FROM src GROUP BY source
 ),
-gv AS (SELECT list(CAST(g AS DOUBLE) ORDER BY pos) AS bv FROM glob)
+gv AS (SELECT list(CAST(g AS DOUBLE) ORDER BY pos) AS bv FROM gsum)
 SELECT sv.source, nd.n_docs,
        round({cosine_sql('sv.av', 'gv.bv')}, 6) AS centroid_cos
 FROM sv, gv JOIN nd ON nd.source = sv.source

@@ -159,3 +159,27 @@ def test_read_between_offsets_returns_iterator():
     drained, off = r.read({"index": 10})
     assert iter(drained) is drained  # drained poll: also a real iterator
     assert off == {"index": 10}
+
+
+def test_moviegen_reads_when_session_disables_filter_pushdown(spark):
+    """Regression for CORRECTNESS_r05's only reds: the driver harness
+    builds its own session with spark.sql.python.filterPushdown.enabled
+    left false, and Spark 4 then refuses to initialize any Python
+    DataSource reader that implements pushFilters()
+    (DATA_SOURCE_PUSHDOWN_DISABLED). _moviegen_df must flip the conf on
+    the session it is handed, not rely on our own session factory."""
+    from movievectorsearch_spark.plans.queries import _moviegen_df
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")  # simulate the driver's session
+        df = _moviegen_df(spark)
+        assert df.limit(5).count() == 5
+        assert spark.conf.get(key) == "true"  # _moviegen_df enabled it
+        # and the pushed-filter path itself works under the repaired conf
+        spark.conf.set(key, "false")
+        n = _moviegen_df(spark).filter("gen_id < 100").count()
+        assert n == 100
+    finally:
+        spark.conf.set(key, prev)
