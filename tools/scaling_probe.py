@@ -58,6 +58,9 @@ EXCLUDED = {
     "cross_source_dup_matrix": "cross-source dup pairs ~n^2 under replication",
     "parallel_text_mining": "rides the LSH candidate stage, pairs ~n^2",
     "incremental_dedup_store": "replicas are true dups of the store, matches ~n^2",
+    "events_interval_join": "replicated events share user_id AND ts, so "
+    "1h-window pairs grow ~factor^2 — true output growth, same replication "
+    "artifact as the dedup pair joins (round-5 judge item #5)",
 }
 
 # probed but not benched: signature-only / salted-agg stages kept from
