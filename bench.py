@@ -258,6 +258,11 @@ BENCH_QUERIES = [
     # dedup_end_to_end intentionally not benched: like dedup_clusters, the
     # iterative CC rounds are fixed job-scheduling overhead on local[32]
     # that would swamp the per-query timing without measuring data work
+    # round 6: model-based data selection (operators/dsir.py)
+    "dsir_importance_topk",
+    "dsir_gumbel_resample",
+    "quality_classifier_funnel",
+    "lm_bigram_xent_by_lang",
 ]
 
 

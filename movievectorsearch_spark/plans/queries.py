@@ -13579,6 +13579,257 @@ def embedding_source_centroid_drift(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Model-based data selection (operators/dsir.py): DSIR importance
+# resampling, hashed linear quality classifier, bigram-LM perplexity
+# proxy — round-6 additions to the LLM-pipeline tier.
+# ---------------------------------------------------------------------------
+
+_DSIR_DIM = 128
+_CLF_DIM = 64
+
+
+def _dsir_cte() -> str:
+    """Shared DuckDB CTE chain computing (doc_id, dsir_ppm): hashed
+    unigram buckets, densified per-bucket target/raw counts, add-one
+    smoothed quantized log-ratio λ, exact integer dot product."""
+    d = _DSIR_DIM
+    return f"""
+td AS (
+  SELECT doc_id, {poly_hash_sql('u.tok')} % {d} AS bucket, count(*) AS tf
+  FROM documents, LATERAL (SELECT unnest({tokens_sql('text')}) AS tok) u
+  GROUP BY doc_id, bucket
+),
+tl AS (SELECT td.doc_id, td.bucket, td.tf, d.lang
+       FROM td JOIN documents d USING (doc_id)),
+stats AS (
+  SELECT b.bucket,
+         coalesce(sum(tl.tf), 0) AS c_r,
+         coalesce(sum(CASE WHEN tl.lang = 'en' THEN tl.tf END), 0) AS c_t
+  FROM (SELECT unnest(range(0, {d})) AS bucket) b
+  LEFT JOIN tl ON tl.bucket = b.bucket
+  GROUP BY b.bucket
+),
+tot AS (SELECT sum(c_r) AS t_r, sum(c_t) AS t_t FROM stats),
+lam AS (
+  SELECT bucket,
+         CAST(floor((ln((c_t + 1)::DOUBLE / (t_t + {d}))
+                     - ln((c_r + 1)::DOUBLE / (t_r + {d})))
+                    * 1000000) AS BIGINT) AS lam_ppm
+  FROM stats CROSS JOIN tot
+),
+w AS (
+  SELECT td.doc_id, CAST(sum(td.tf * lam.lam_ppm) AS BIGINT) AS dsir_ppm
+  FROM td JOIN lam USING (bucket) GROUP BY td.doc_id
+)"""
+
+
+_DSIR_TOPK_SQL = f"""
+WITH {_dsir_cte()}
+SELECT w.doc_id, d.lang, d.source, w.dsir_ppm
+FROM w JOIN documents d USING (doc_id)
+ORDER BY w.dsir_ppm DESC, w.doc_id LIMIT 20
+"""
+
+
+@q("dsir_importance_topk", _DSIR_TOPK_SQL)
+def dsir_importance_topk(spark, sf_dir):
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169), the public recipe for picking pretraining
+    data that RESEMBLES a target distribution: hashed unigram features,
+    per-bucket add-one-smoothed log probability ratio between the
+    target slice (lang='en') and the raw corpus, per-document
+    importance = Σ_b tf_b·λ_b. λ is quantized ONCE per bucket
+    (floor(·1e6), ≤128 model rows), so each document's score is an
+    EXACT int64 dot product — the only float surface is 2·DIM ln()
+    calls in the model build (the hashed_tfidf_knn parity precedent).
+    Plan shape at 100 TB: the model table is bucket-bounded and
+    broadcast; scoring is a map-side join + groupBy(doc_id) — no
+    corpus-sized shuffle wider than (doc_id, bucket). Top-20 via
+    TakeOrderedAndProject."""
+    from movievectorsearch_spark.operators.dsir import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(docs, dim=_DSIR_DIM, target_lang="en")
+    # top-20 FIRST (TakeOrderedAndProject), then a broadcast join of
+    # the 20 winners back to docs for display columns — never a
+    # corpus-by-corpus join for labels
+    top = w.orderBy(F.desc("dsir_ppm"), F.asc("doc_id")).limit(20)
+    return (
+        F.broadcast(top)
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "dsir_ppm")
+        .orderBy(F.desc("dsir_ppm"), F.asc("doc_id"))
+    )
+
+
+_DSIR_GUMBEL_SQL = f"""
+WITH {_dsir_cte()},
+keyed AS (
+  SELECT doc_id, dsir_ppm,
+         dsir_ppm + CAST(floor(-ln(-ln(
+             (CAST({int_mix_sql('doc_id')} AS DOUBLE) + 0.5) / 2147483647
+         )) * 1000000) AS BIGINT) AS key_ppm
+  FROM w
+)
+SELECT doc_id, dsir_ppm, key_ppm
+FROM keyed ORDER BY key_ppm DESC, doc_id LIMIT 20
+"""
+
+
+@q("dsir_gumbel_resample", _DSIR_GUMBEL_SQL)
+def dsir_gumbel_resample(spark, sf_dir):
+    """The RESAMPLE half of DSIR via the Gumbel-top-k trick (Kool et
+    al. 2019): sampling k documents with probability ∝ exp(log-weight)
+    equals taking the top-k of log-weight + Gumbel noise. The noise is
+    the deterministic hash-uniform draw u = (int_mix(doc_id)+0.5)/P
+    pushed through the Gumbel quantile −ln(−ln u) — no RNG, so the
+    sample is reproducible, shard-stable (a document's key never
+    depends on partitioning), and oracle-checkable. Distributed shape:
+    map-side key computation over the weight table, then one
+    TakeOrderedAndProject — the pattern for sampling 10⁹ docs from
+    10¹⁰ without a sort of the full corpus."""
+    from movievectorsearch_spark.operators.dsir import (
+        dsir_weights,
+        gumbel_ppm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(docs, dim=_DSIR_DIM, target_lang="en")
+    return (
+        w.select(
+            "doc_id",
+            "dsir_ppm",
+            (F.col("dsir_ppm") + gumbel_ppm(F.col("doc_id"))).alias(
+                "key_ppm"
+            ),
+        )
+        .orderBy(F.desc("key_ppm"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _clf_weight_sql(bucket_expr: str) -> str:
+    a, b = minhash_coeffs(1, 13)[0]
+    return f"({minhash_permute_sql(bucket_expr, a, b)}) % 2001 - 1000"
+
+
+_CLF_SQL = f"""
+WITH td AS (
+  SELECT doc_id, {poly_hash_sql('u.tok')} % {_CLF_DIM} AS bucket,
+         count(*) AS tf
+  FROM documents, LATERAL (SELECT unnest({tokens_sql('text')}) AS tok) u
+  GROUP BY doc_id, bucket
+),
+z AS (
+  SELECT doc_id,
+         CAST(sum(tf * ({_clf_weight_sql('bucket')})) AS BIGINT) AS z
+  FROM td GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN z.z >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(z.z) AS BIGINT) AS sum_z
+FROM z JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+@q("quality_classifier_funnel", _CLF_SQL)
+def quality_classifier_funnel(spark, sf_dir):
+    """Model-based quality filtering — the fastText/linear-classifier
+    gate of CCNet/DCLM-style pipelines, distinct from the heuristic
+    quality_filter_funnel: score = Σ_b tf_b·w_b over hashed unigram
+    buckets, keep documents with z ≥ 0, report the per-source funnel.
+    The weight vector here is a deterministic affine permutation of
+    the bucket id (zero float surface, exact int64 end-to-end); a real
+    exported model swaps in a broadcast (bucket, weight) table with
+    the IDENTICAL plan — tiny model side broadcast, map-side dot
+    product, one bounded groupBy(source). That plan is partition-count
+    invariant, so it survives 1000 executors unchanged."""
+    from movievectorsearch_spark.operators.dsir import classifier_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    # source is carried through the explode (functionally dependent on
+    # doc_id) — no corpus-by-corpus label join
+    z = classifier_scores(docs, dim=_CLF_DIM, carry=["source"])
+    return (
+        z.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("z") >= 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass"),
+            F.sum("z").alias("sum_z"),
+        )
+        .orderBy("source")
+    )
+
+
+_BG = (
+    "list_transform(range(1, len(string_split(text, ''))), "
+    "i -> string_split(text, '')[i] || string_split(text, '')[i + 1])"
+)
+
+_LM_XENT_SQL = f"""
+WITH bg AS (
+  SELECT doc_id, u.bg, count(*) AS cnt
+  FROM documents, LATERAL (SELECT unnest({_BG}) AS bg) u
+  GROUP BY doc_id, u.bg
+),
+model AS (SELECT bg, sum(cnt) AS c_bg FROM bg GROUP BY bg),
+prefix AS (SELECT substr(bg, 1, 1) AS c1, sum(c_bg) AS c_prefix
+           FROM model GROUP BY 1),
+vocab AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM model),
+lam AS (
+  SELECT m.bg,
+         CAST(floor(-ln((m.c_bg + 1)::DOUBLE / (p.c_prefix + v.v))
+                    * 1000000) AS BIGINT) AS lam_ppm
+  FROM model m JOIN prefix p ON substr(m.bg, 1, 1) = p.c1
+  CROSS JOIN vocab v
+),
+xd AS (
+  SELECT bg.doc_id, CAST(sum(bg.cnt) AS BIGINT) AS n_bigrams,
+         CAST(sum(bg.cnt * lam.lam_ppm) AS BIGINT) AS sum_ppm
+  FROM bg JOIN lam USING (bg) GROUP BY bg.doc_id
+),
+x AS (SELECT doc_id, n_bigrams, sum_ppm // n_bigrams AS xent_ppm FROM xd)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(x.xent_ppm) // count(*) AS BIGINT) AS avg_xent_ppm
+FROM x JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@q("lm_bigram_xent_by_lang", _LM_XENT_SQL)
+def lm_bigram_xent_by_lang(spark, sf_dir):
+    """Perplexity-proxy quality scoring — the KenLM-filter pattern of
+    CCNet at char-bigram order: train an add-one-smoothed p(c₂|c₁) on
+    the corpus in one aggregation pass (model ≤ |charset|² rows), then
+    score every document's mean negative log-likelihood. Per-bigram
+    λ = floor(−ln p̂·1e6) is quantized once in the model table, so each
+    document's cross-entropy is an exact integer sum `div` its bigram
+    count, and the per-lang rollup is exact integer arithmetic
+    end-to-end. At 100 TB the model is kilobytes and broadcast; the
+    only corpus-sized shuffle is the (doc_id, bigram) count — the
+    train-then-score two-pass shape every n-gram LM filter needs."""
+    from movievectorsearch_spark.operators.dsir import bigram_xent
+
+    docs = load_table(spark, sf_dir, "documents")
+    # lang carried through the explode — no corpus-by-corpus label join
+    x = bigram_xent(docs, carry=["lang"])
+    return (
+        x.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("sum(xent_ppm) div count(*)")
+            .cast("bigint")
+            .alias("avg_xent_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #
 # The verify driver hash-checks the FIRST 50 entries of ``queries()`` each

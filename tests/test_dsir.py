@@ -1,0 +1,100 @@
+"""Model-based data selection (operators/dsir.py): DSIR importance
+weights, Gumbel resampling keys, the hashed linear classifier, and the
+char-bigram LM cross-entropy — semantics, determinism, and partition
+invariance (the properties oracle hash-compares can't see alone)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movievectorsearch_spark.catalog import load_table
+from movievectorsearch_spark.operators.dsir import (
+    CLF_DIM,
+    DSIR_DIM,
+    bigram_xent,
+    char_bigrams,
+    classifier_scores,
+    classifier_weight,
+    dsir_weights,
+    gumbel_ppm,
+)
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    """The whole point of DSIR: documents FROM the target distribution
+    (lang='en') should score higher on average than raw documents —
+    the log-ratio model is literally fit to separate them."""
+    docs = _docs(spark, sf_dir)
+    w = dsir_weights(docs, dim=DSIR_DIM, target_lang="en").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    means = dict(
+        w.groupBy(F.col("lang") == "en")
+        .agg(F.avg("dsir_ppm").alias("m"))
+        .collect()
+    )
+    assert means[True] > means[False]
+
+
+def test_dsir_weights_partition_invariant(spark, sf_dir):
+    """Exact-integer scores must not depend on partitioning — the
+    reason λ is quantized once in the model table instead of summing
+    floats per document."""
+    docs = _docs(spark, sf_dir)
+    a = dsir_weights(docs, dim=DSIR_DIM)
+    b = dsir_weights(docs.repartition(13), dim=DSIR_DIM)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_gumbel_key_deterministic_and_finite(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    g = docs.select("doc_id", gumbel_ppm(F.col("doc_id")).alias("g"))
+    rows = {r.doc_id: r.g for r in g.collect()}
+    again = {r.doc_id: r.g for r in g.collect()}
+    assert rows == again  # hash-derived, no RNG
+    # Gumbel(0,1) quantiles of u in (0,1): finite, and not constant
+    assert len(set(rows.values())) > 1
+    assert all(abs(v) < 50 * 10**6 for v in rows.values())
+
+
+def test_classifier_weight_range_and_score_exactness(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    w = spark.range(CLF_DIM).select(
+        classifier_weight(F.col("id")).alias("w")
+    )
+    vals = [r.w for r in w.collect()]
+    assert all(-1000 <= v <= 1000 for v in vals)
+    assert len(set(vals)) > CLF_DIM // 2  # affine permutation spreads
+    z1 = classifier_scores(docs, dim=CLF_DIM)
+    z2 = classifier_scores(docs.repartition(7), dim=CLF_DIM)
+    assert z1.exceptAll(z2).count() == 0
+
+
+def test_char_bigrams_edges(spark):
+    df = spark.createDataFrame(
+        [("abca",), ("x",), ("",)], ["text"]
+    ).select(char_bigrams(F.col("text")).alias("bg"))
+    rows = [r.bg for r in df.collect()]
+    assert rows[0] == ["ab", "bc", "ca"]
+    assert rows[1] == [] and rows[2] == []
+
+
+def test_bigram_xent_scores_repetition_lower(spark):
+    """A maximally repetitive string must have lower cross-entropy
+    under the corpus model than a one-off jumble — the property the
+    perplexity filter exists to measure."""
+    rows = [(i, "ab" * 50) for i in range(20)] + [(99, "qzkwjvxf" * 2)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    x = {r.doc_id: r.xent_ppm for r in bigram_xent(docs).collect()}
+    assert x[0] < x[99]
+    assert all(v >= 0 for v in x.values())  # -ln(p) >= 0 for p <= 1
+
+
+def test_bigram_xent_counts(spark):
+    docs = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    row = bigram_xent(docs).collect()[0]
+    assert row.n_bigrams == 4  # len-1

@@ -758,3 +758,22 @@ def test_q20_no_cartesian_broadcast_dims(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dsir_no_corpus_joins(spark, sf_dir):
+    """The DSIR/classifier/LM-xent family must never join corpus to
+    corpus: model tables broadcast, label columns are carried through
+    the explode (functionally dependent on doc_id), and the top-k is
+    TakeOrderedAndProject — no SortMergeJoin, no cartesian anywhere."""
+    for name in (
+        "dsir_importance_topk",
+        "dsir_gumbel_resample",
+        "quality_classifier_funnel",
+        "lm_bigram_xent_by_lang",
+    ):
+        p = plan_of(spark, sf_dir, name)
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+    for name in ("dsir_importance_topk", "dsir_gumbel_resample"):
+        p = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in p, name
