@@ -263,6 +263,9 @@ BENCH_QUERIES = [
     "dsir_gumbel_resample",
     "quality_classifier_funnel",
     "lm_bigram_xent_by_lang",
+    # round 6: compressed-index recall gates (PQ-ADC + binary sign)
+    "pq_adc_knn_recall",
+    "binary_hamming_knn_recall",
 ]
 
 

@@ -777,3 +777,15 @@ def test_dsir_no_corpus_joins(spark, sf_dir):
     for name in ("dsir_importance_topk", "dsir_gumbel_resample"):
         p = plan_of(spark, sf_dir, name)
         assert "TakeOrderedAndProject" in p, name
+
+
+def test_pq_and_hamming_map_only_scoring(spark, sf_dir):
+    """Compressed-index recall gates: encode+score must be a map-only
+    projection (codebook/query bits inlined as literals) feeding
+    TakeOrderedAndProject — no SortMergeJoin, no cartesian; the only
+    joins are 20/100-row broadcast overlaps."""
+    for name in ("pq_adc_knn_recall", "binary_hamming_knn_recall"):
+        p = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in p, name
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
