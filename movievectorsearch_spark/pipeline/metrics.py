@@ -92,3 +92,50 @@ def embed_with_accounting(
             yield pdf
 
     return docs.mapInPandas(run, schema)
+
+
+def observed_qc_row(docs: DataFrame):
+    """Single-pass QC metrics via ``Dataset.observe`` — the third leg
+    of the telemetry tier next to accumulators (TokenCostTracker) and
+    StreamingQueryListener: named aggregate expressions are evaluated
+    INSIDE the running job (no second scan of the corpus), then read
+    on the driver after the action completes. At 100 TB this is how an
+    ingest writes its output AND its datasheet row in one pass.
+
+    Returns ``(observed_df, finish)``: run any full action on
+    ``observed_df`` (write, count), then call ``finish()`` for a
+    one-row DataFrame of the exact-integer metrics — creating it from
+    the observed dict is driver-side but bounded (one row).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("qc")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(
+            F.when(F.length(F.trim("text")) == 0, 1).otherwise(0)
+        ).cast("bigint").alias("n_empty"),
+        # DISTINCT aggregates are rejected in observed metrics
+        # (INVALID_OBSERVED_METRICS) — stick to plain folds
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+    def finish():
+        got = obs.get
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [
+                (
+                    int(got["n_docs"]),
+                    int(got["sum_chars"]),
+                    int(got["n_empty"]),
+                    int(got["max_chars"]),
+                )
+            ],
+            "n_docs bigint, sum_chars bigint, n_empty bigint, max_chars bigint",
+        )
+
+    return observed, finish

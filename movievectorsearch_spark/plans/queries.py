@@ -14121,6 +14121,39 @@ def binary_hamming_knn_recall(spark, sf_dir):
     )
 
 
+_OBSERVED_QC_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+"""
+
+
+@q("observed_ingest_qc", _OBSERVED_QC_SQL)
+def observed_ingest_qc(spark, sf_dir):
+    """Single-pass pipeline QC via ``Dataset.observe`` (pipeline/
+    metrics.observed_qc_row) — the Spark-native way an ingest job
+    emits its datasheet row WITHOUT a second corpus scan: named
+    aggregate expressions ride the job that writes the output, and
+    the driver reads them after the action. Here the action is a
+    noop-format write (full projection executed executor-side, the
+    bench.py convention) and the observed metrics come back as a
+    one-row DataFrame whose exact-integer values hash-match the
+    oracle's plain aggregates — proving observe() computes the same
+    answer as a dedicated aggregation pass while costing zero extra
+    reads. Accumulators (TokenCostTracker) cover per-stage telemetry;
+    observe() covers per-job QC; StreamingQueryListener covers
+    streams."""
+    from movievectorsearch_spark.pipeline.metrics import observed_qc_row
+
+    docs = load_table(spark, sf_dir, "documents")
+    observed, finish = observed_qc_row(docs)
+    observed.write.format("noop").mode("overwrite").save()
+    return finish()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #

@@ -43,3 +43,25 @@ def test_schema_probe_passes_on_testdata(spark, sf_dir):
 def test_schema_probe_rejects_wrong_dim(spark, sf_dir):
     with pytest.raises(ValueError, match="dim"):
         assert_embedding_schema(spark, sf_dir, expected_dim=128)
+
+
+def test_observed_qc_matches_direct_aggregate(spark, sf_dir):
+    """observe() metrics ride the job — they must equal a dedicated
+    aggregation pass over the same data."""
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.pipeline.metrics import observed_qc_row
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    observed, finish = observed_qc_row(docs)
+    observed.write.format("noop").mode("overwrite").save()
+    got = finish().collect()[0]
+    want = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.max("n_chars").alias("mx"),
+    ).collect()[0]
+    assert (got.n_docs, got.sum_chars, got.max_chars) == (
+        want.n, want.s, want.mx
+    )
+    assert got.n_empty == 0  # fixture has no blank docs
