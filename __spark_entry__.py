@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents (omitted for non-SQL-
-    expressible ops, which get rows-only checks)."""
+    """DuckDB-runnable ANSI SQL equivalents — one per registered
+    query (as of round 6 every entry has one; engine-specific values
+    like sketch estimates are gated via bound/invariant columns the
+    oracle emits as constants)."""
     return Q.oracle_sql()

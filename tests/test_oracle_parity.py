@@ -37,3 +37,18 @@ def test_entry_smoke(spark):
     assert len(rows) >= 0
     assert df.columns  # stable schema
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_bench_names_are_registered():
+    from bench import BENCH_QUERIES
+
+    missing = [n for n in BENCH_QUERIES if n not in Q.QUERIES]
+    assert not missing, missing
+
+
+def test_zero_rows_only_entries():
+    """Round 6 converted the last two rows-only entries to
+    oracle-backed bound checks — every registry entry must now carry
+    an oracle_sql so the driver hash-compares all of them."""
+    rows_only = [n for n in NAMES if Q.QUERIES[n]["sql"] is None]
+    assert rows_only == []
