@@ -13976,11 +13976,26 @@ def pq_adc_knn_recall(spark, sf_dir):
     for s in range(_PQ_M):
         lo = s * _PQ_SUB
         sub = F.slice(F.col("qx"), lo + 1, _PQ_SUB)
-        dists = F.array(
+        # one nested-array literal + transform per subspace instead of
+        # 16 separate fold subtrees: the distances are identical but
+        # the expression tree is ~16× smaller, which is what bounds
+        # Catalyst analysis time on a 128-codeword plan (first cut
+        # benched 5.5s at sf0.1, dominated by plan work, not data)
+        cw2d = F.array(
             *[
-                _pq_sqdist(sub, cwords[j][lo : lo + _PQ_SUB])
+                F.array(
+                    *[F.lit(int(c)) for c in cwords[j][lo : lo + _PQ_SUB]]
+                )
                 for j in range(_PQ_CW)
             ]
+        )
+        dists = F.transform(
+            cw2d,
+            lambda cw: F.aggregate(
+                F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
         )
         # first occurrence of the min → lowest codeword index on ties,
         # matching the oracle's arg_min(j, d*16 + j)
@@ -13997,18 +14012,17 @@ def pq_adc_knn_recall(spark, sf_dir):
         )
         dist = term if dist is None else dist + term
     adc = base.select("vec_id", dist.alias("dist"))
+    # ONE TakeOrderedAndProject over the scored scan; the top-20 is a
+    # re-sort of the 100-row candidate set (same total order), so the
+    # ADC expression appears once in the plan, not three times
+    cand = adc.orderBy(F.asc("dist"), F.asc("vec_id")).limit(_PQ_OVERFETCH)
     pq_top = (
-        adc.orderBy(F.asc("dist"), F.asc("vec_id"))
+        cand.orderBy(F.asc("dist"), F.asc("vec_id"))
         .limit(_MAT_K)
         .select("vec_id")
     )
-    cand = (
-        adc.orderBy(F.asc("dist"), F.asc("vec_id"))
-        .limit(_PQ_OVERFETCH)
-        .select("vec_id")
-    )
     rerank_top = (
-        F.broadcast(cand)
+        F.broadcast(cand.select("vec_id"))
         .join(e, "vec_id")
         .select(
             "vec_id", cosine_to_query(QUERY_VEC, F.col("embedding")).alias("c")
@@ -14025,13 +14039,25 @@ def pq_adc_knn_recall(spark, sf_dir):
         .limit(_MAT_K)
         .select("vec_id")
     )
-    adc_hit = full_top.join(pq_top, "vec_id").agg(
-        F.count("*").cast("bigint").alias("n_overlap_adc")
+    # union-tag the two 20-row candidate sets so the exact top-20
+    # subtree runs ONCE and both overlaps come out of a single join
+    tagged = pq_top.select(
+        "vec_id", F.lit("adc").alias("which")
+    ).unionByName(rerank_top.select("vec_id", F.lit("rerank").alias("which")))
+    hits = full_top.join(tagged, "vec_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("which") == "adc", 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_overlap_adc"),
+        F.coalesce(
+            F.sum(F.when(F.col("which") == "rerank", 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_overlap_rerank"),
     )
-    rr_hit = full_top.join(rerank_top, "vec_id").agg(
-        F.count("*").cast("bigint").alias("n_overlap_rerank")
-    )
-    return adc_hit.crossJoin(rr_hit).select(
+    return hits.select(
         F.lit(_MAT_K).alias("k"),
         "n_overlap_adc",
         F.round(F.col("n_overlap_adc") / F.lit(float(_MAT_K)), 6).alias(
