@@ -118,7 +118,10 @@ def dsir_lambda_table(
 
 
 def dsir_weights(
-    docs: DataFrame, dim: int = DSIR_DIM, target_lang: str = "en"
+    docs: DataFrame,
+    dim: int = DSIR_DIM,
+    target_lang: str = "en",
+    persist=None,
 ) -> DataFrame:
     """(doc_id, dsir_ppm): exact-integer per-document DSIR importance
     Σ_b tf_b·λ_b. tf is per-document (≤ doc length) and |λ| ≤ ~20e6,
@@ -126,6 +129,11 @@ def dsir_weights(
     operands are document-sized, not corpus-sized, so the DECIMAL
     widening rule (ROUND4 notes) does not apply."""
     tf = doc_bucket_tf(docs, dim, carry=["lang"])
+    if persist is not None:
+        # tf feeds BOTH the model build and the scoring join — persist
+        # through the caller's cache registry so the explode+groupBy
+        # runs once (released after the query, bench cache policy)
+        tf = persist(tf)
     lam = dsir_lambda_table(tf, dim, target_lang)
     return (
         tf.join(F.broadcast(lam), "bucket")
@@ -183,7 +191,7 @@ def char_bigrams(text: Column) -> Column:
 
 
 def bigram_xent(
-    docs: DataFrame, carry: list[str] | None = None
+    docs: DataFrame, carry: list[str] | None = None, persist=None
 ) -> DataFrame:
     """(doc_id, *carry, n_bigrams, xent_ppm): per-document cross-entropy under
     the corpus's add-one-smoothed char-bigram model, as an exact
@@ -203,6 +211,9 @@ def bigram_xent(
         .groupBy("doc_id", *carry, "bg")
         .agg(F.count("*").alias("cnt"))
     )
+    if persist is not None:
+        # bg feeds both the model build and the scoring join
+        bg = persist(bg)
     model = bg.groupBy("bg").agg(F.sum("cnt").alias("c_bg"))
     prefix = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
         F.sum("c_bg").alias("c_prefix")

@@ -13649,7 +13649,7 @@ def dsir_importance_topk(spark, sf_dir):
     from movievectorsearch_spark.operators.dsir import dsir_weights
 
     docs = load_table(spark, sf_dir, "documents")
-    w = dsir_weights(docs, dim=_DSIR_DIM, target_lang="en")
+    w = dsir_weights(docs, dim=_DSIR_DIM, target_lang="en", persist=_persist)
     # top-20 FIRST (TakeOrderedAndProject), then a broadcast join of
     # the 20 winners back to docs for display columns — never a
     # corpus-by-corpus join for labels
@@ -13694,7 +13694,7 @@ def dsir_gumbel_resample(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    w = dsir_weights(docs, dim=_DSIR_DIM, target_lang="en")
+    w = dsir_weights(docs, dim=_DSIR_DIM, target_lang="en", persist=_persist)
     return (
         w.select(
             "doc_id",
@@ -13816,7 +13816,7 @@ def lm_bigram_xent_by_lang(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     # lang carried through the explode — no corpus-by-corpus label join
-    x = bigram_xent(docs, carry=["lang"])
+    x = bigram_xent(docs, carry=["lang"], persist=_persist)
     return (
         x.groupBy("lang")
         .agg(
