@@ -266,6 +266,8 @@ BENCH_QUERIES = [
     # round 6: compressed-index recall gates (PQ-ADC + binary sign)
     "pq_adc_knn_recall",
     "binary_hamming_knn_recall",
+    # round 6: unigram-LM Viterbi segmentation (mapInPandas DP)
+    "viterbi_segment_cost",
 ]
 
 

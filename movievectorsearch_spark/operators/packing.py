@@ -151,3 +151,98 @@ def pack_sequences(
             "n_chunks", (F.col("chunk_last") - F.col("chunk_first") + 1).cast("bigint")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) Viterbi segmentation — the E-step of
+# tokenizer training (Kudo 2018, arXiv:1804.10959), restricted to piece
+# lengths {1, 2} so the optimum is a two-term recurrence both engines
+# can express exactly (the DuckDB oracle is a recursive CTE carrying
+# the previous two DP states — plans/queries.py viterbi_segment_cost).
+# ---------------------------------------------------------------------------
+
+VIT_PACK = 1024  # packed DP key = cost_ppm * 1024 + n_pieces
+VIT_INF = 4_611_686_018_427_387_904  # 2^62: safe +lam headroom in int64
+
+
+def ngram_cost_table(docs, n: int):
+    """(gram, lam): add-one-smoothed quantized negative log-prob
+    floor(−ln((cnt+1)/(T+V))·1e6) for every character n-gram of the
+    corpus — the unigram-LM piece costs. Bounded by |charset|^n rows,
+    computed in-engine (the ln-parity recipe) and small enough to
+    collect and broadcast into the Viterbi workers."""
+    from pyspark.sql import functions as F
+
+    from movievectorsearch_spark.operators.dsir import char_bigrams
+
+    if n == 1:
+        grams = docs.select(
+            F.explode(F.split(F.col("text"), "")).alias("g")
+        ).filter(F.col("g") != "")
+    else:
+        grams = docs.select(
+            F.explode(char_bigrams(F.col("text"))).alias("g")
+        )
+    cnt = grams.groupBy("g").agg(F.count("*").alias("cnt"))
+    tot = cnt.agg(
+        F.sum("cnt").alias("tot"), F.count("*").alias("v")
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "g",
+        F.floor(
+            -F.log((F.col("cnt") + 1) / (F.col("tot") + F.col("v")))
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("lam"),
+    )
+
+
+def viterbi_segment(sample, lam1: dict, lam2: dict):
+    """mapInPandas Viterbi: per document, the minimum-cost segmentation
+    into single chars and bigrams under the quantized piece costs,
+    ties broken by fewer pieces (the packed (cost, n_pieces) key makes
+    that one integer min). Sequential per document — exactly the shape
+    Spark's built-ins cannot express and the designated Pandas-UDF
+    tier handles: embarrassingly parallel across documents, model
+    broadcast in the closure (bounded by |charset|²), Arrow-batched.
+
+    ``sample`` must have (doc_id, lang, text); returns
+    (doc_id, lang, cost_ppm, n_pieces) with pure-int arithmetic, so
+    results are partition-invariant and oracle-exact."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, lang, text in zip(
+                pdf["doc_id"], pdf["lang"], pdf["text"]
+            ):
+                s = text or ""
+                n = len(s)
+                prev_p, curr_p = None, 0  # packed states at i-1, i
+                for i in range(1, n + 1):
+                    cand = curr_p + lam1[s[i - 1]] * VIT_PACK + 1
+                    if i >= 2:
+                        c2 = prev_p + lam2[s[i - 2 : i]] * VIT_PACK + 1
+                        if c2 < cand:
+                            cand = c2
+                    prev_p, curr_p = curr_p, cand
+                out.append(
+                    (
+                        int(doc_id),
+                        lang,
+                        curr_p // VIT_PACK,
+                        curr_p % VIT_PACK,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "lang", "cost_ppm", "n_pieces"]
+            )
+
+    return sample.mapInPandas(
+        run,
+        schema="doc_id bigint, lang string, cost_ppm bigint, "
+        "n_pieces bigint",
+    )

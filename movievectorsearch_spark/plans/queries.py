@@ -14180,6 +14180,113 @@ def observed_ingest_qc(spark, sf_dir):
     return finish()
 
 
+_VIT_SAMPLE = 128
+
+_VITERBI_SQL = f"""
+WITH RECURSIVE
+ch AS (
+  SELECT doc_id, string_split(text, '') AS cs,
+         len(string_split(text, '')) AS n
+  FROM documents
+),
+u1 AS (
+  SELECT t.c, count(*) AS cnt
+  FROM ch, LATERAL (SELECT unnest(cs) AS c) t GROUP BY t.c
+),
+t1 AS (SELECT sum(cnt) AS tot, count(*) AS v FROM u1),
+l1 AS (
+  SELECT c, CAST(floor(-ln((cnt + 1)::DOUBLE / (tot + v)) * 1000000)
+               AS BIGINT) AS lam
+  FROM u1 CROSS JOIN t1
+),
+u2 AS (
+  SELECT t.b, count(*) AS cnt
+  FROM ch, LATERAL (
+    SELECT unnest(list_transform(range(1, n), i -> cs[i] || cs[i+1])) AS b
+  ) t
+  GROUP BY t.b
+),
+t2 AS (SELECT sum(cnt) AS tot, count(*) AS v FROM u2),
+l2 AS (
+  SELECT b, CAST(floor(-ln((cnt + 1)::DOUBLE / (tot + v)) * 1000000)
+               AS BIGINT) AS lam
+  FROM u2 CROSS JOIN t2
+),
+samp AS (
+  SELECT doc_id, lang FROM documents
+  ORDER BY {int_mix_sql('doc_id')}, doc_id LIMIT {_VIT_SAMPLE}
+),
+dp AS (
+  SELECT ch.doc_id, 0 AS i, CAST(NULL AS BIGINT) AS prev_p,
+         0::BIGINT AS curr_p
+  FROM ch JOIN samp USING (doc_id)
+  UNION ALL
+  SELECT d.doc_id, d.i + 1, d.curr_p,
+         least(d.curr_p + a.lam * 1024 + 1,
+               coalesce(d.prev_p + g.lam * 1024 + 1,
+                        4611686018427387904))
+  FROM dp d
+  JOIN ch ON ch.doc_id = d.doc_id
+  JOIN l1 a ON a.c = ch.cs[d.i + 1]
+  LEFT JOIN l2 g ON d.i >= 1 AND g.b = ch.cs[d.i] || ch.cs[d.i + 1]
+  WHERE d.i < ch.n
+),
+fin AS (
+  SELECT dp.doc_id, dp.curr_p // 1024 AS cost_ppm,
+         dp.curr_p % 1024 AS n_pieces
+  FROM dp JOIN ch ON ch.doc_id = dp.doc_id AND dp.i = ch.n
+)
+SELECT s.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f.cost_ppm) AS BIGINT) AS sum_cost_ppm,
+       CAST(sum(f.n_pieces) AS BIGINT) AS sum_pieces
+FROM fin f JOIN samp s USING (doc_id)
+GROUP BY s.lang ORDER BY s.lang
+"""
+
+
+@q("viterbi_segment_cost", _VITERBI_SQL)
+def viterbi_segment_cost(spark, sf_dir):
+    """Unigram-LM Viterbi segmentation — the E-step of SentencePiece
+    tokenizer training (Kudo 2018, arXiv:1804.10959), restricted to
+    piece lengths {1,2} so both engines express the exact optimum:
+    per document, the minimum-cost split into chars and bigrams under
+    add-one-smoothed quantized piece costs, ties broken by fewer
+    pieces (one packed-integer min). This is the repo's showcase for
+    an INHERENTLY SEQUENTIAL custom operator with a full oracle: Spark
+    runs the DP as Arrow-batched mapInPandas (embarrassingly parallel
+    across documents, piece-cost model — bounded by |charset|² —
+    broadcast in the closure), while DuckDB reproduces it with a
+    recursive CTE that carries the previous two DP states, and the
+    pure-integer arithmetic makes them bit-equal. The DP runs on a
+    fixed 128-doc hash sample (the knn_hubness sampling pattern) while
+    the cost model trains on the FULL corpus; at 100 TB the sample
+    becomes the corpus — per-doc work is O(len), model stays
+    kilobytes, no shuffle beyond the model build."""
+    from movievectorsearch_spark.operators.packing import (
+        ngram_cost_table,
+        viterbi_segment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lam1 = {r.g: r.lam for r in ngram_cost_table(docs, 1).collect()}
+    lam2 = {r.g: r.lam for r in ngram_cost_table(docs, 2).collect()}
+    sample = (
+        docs.orderBy(int_mix(F.col("doc_id")), F.col("doc_id"))
+        .limit(_VIT_SAMPLE)
+        .select("doc_id", "lang", "text")
+    )
+    seg = viterbi_segment(sample, lam1, lam2)
+    return (
+        seg.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("cost_ppm").alias("sum_cost_ppm"),
+            F.sum("n_pieces").alias("sum_pieces"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering for the driver's bounded CORRECTNESS window.
 #

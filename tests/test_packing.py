@@ -87,3 +87,56 @@ def test_global_shuffle_positions_is_permutation(spark, sf_dir):
     assert {(r["doc_id"], r["position"]) for r in rows} == {
         (r["doc_id"], r["position"]) for r in rows2
     }
+
+
+def test_viterbi_segment_optimality_and_invariance(spark):
+    """The DP must return the true minimum over all char/bigram
+    segmentations (brute-force checked on short strings) and be
+    partition-invariant."""
+    from itertools import product
+
+    from movievectorsearch_spark.operators.packing import (
+        VIT_PACK,
+        viterbi_segment,
+    )
+
+    lam1 = {c: (ord(c) % 7 + 1) * 1_000_00 for c in "abcdef"}
+    lam2 = {
+        a + b: (ord(a) * 3 + ord(b)) % 11 * 1_000_00 + 50_000
+        for a in "abcdef"
+        for b in "abcdef"
+    }
+
+    def brute(s):
+        best = None
+        # enumerate segmentations: binary choices at each position
+        def rec(i, cost, pieces):
+            nonlocal best
+            if i == len(s):
+                key = (cost, pieces)
+                if best is None or key < best:
+                    best = key
+                return
+            rec(i + 1, cost + lam1[s[i]], pieces + 1)
+            if i + 1 < len(s):
+                rec(i + 2, cost + lam2[s[i : i + 2]], pieces + 1)
+
+        rec(0, 0, 0)
+        return best
+
+    texts = ["abcdef", "aabbcc", "fedcba", "abab", "a", "ab"]
+    docs = spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(texts)],
+        ["doc_id", "lang", "text"],
+    )
+    got = {
+        r.doc_id: (r.cost_ppm, r.n_pieces)
+        for r in viterbi_segment(docs, lam1, lam2).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == brute(t), t
+    again = {
+        r.doc_id: (r.cost_ppm, r.n_pieces)
+        for r in viterbi_segment(docs.repartition(5), lam1, lam2).collect()
+    }
+    assert got == again
