@@ -2326,13 +2326,13 @@ def pack_sequences_query(spark, sf_dir):
     f"""
     WITH s AS (
       SELECT doc_id, n_chars,
-             CAST(n_chars AS DOUBLE)
-               / ((({poly_hash_sql("CAST(doc_id AS VARCHAR)")}) + 1)
-                  / {float(P + 1)!r}) AS prio
+             CAST((n_chars::HUGEINT * {(P + 1) * 1_000_000})
+                  // (({poly_hash_sql("CAST(doc_id AS VARCHAR)")}) + 1)
+               AS BIGINT) AS prio_ppm
       FROM documents
     )
-    SELECT doc_id, n_chars, round(prio, 6) AS prio
-    FROM s ORDER BY s.prio DESC, doc_id LIMIT 50
+    SELECT doc_id, n_chars, prio_ppm
+    FROM s ORDER BY prio_ppm DESC, doc_id LIMIT 50
     """,
 )
 def weighted_sample_priority(spark, sf_dir):
@@ -2340,20 +2340,29 @@ def weighted_sample_priority(spark, sf_dir):
     proportional top-k sample with priorities ``w / u``, where ``u`` is
     a deterministic hash-derived uniform in (0,1] — longer documents
     are proportionally likelier to be kept, and the sample is
-    reproducible across runs AND engines (both sides compute the same
-    two IEEE-exact divisions; no transcendentals, unlike the
-    exp-sort formulation). The corpus-rebalancing primitive a training
-    pipeline uses when strata are continuous (length, quality score)
-    rather than categorical (cf. stratified_sample). Plan: scan →
-    per-row arithmetic → TakeOrderedAndProject — no shuffle at all."""
+    reproducible across runs AND engines. The priority ships as the
+    EXACT scaled integer ``w·(P+1)·1e6 div (h+1)`` (DECIMAL/HUGEINT
+    division, floor ties broken by doc_id): the earlier double form
+    ``round(w/u, 6)`` sat at the representability edge of ~1e9-scale
+    doubles, where Spark's BigDecimal HALF_UP and DuckDB's round can
+    disagree by one final digit — a last-ulp hash mismatch the sf0.1
+    parity sweep caught (round-6; sf0.01 had passed by luck). The
+    corpus-rebalancing primitive a training pipeline uses when strata
+    are continuous (length, quality score) rather than categorical
+    (cf. stratified_sample). Plan: scan → per-row integer arithmetic →
+    TakeOrderedAndProject — no shuffle at all."""
     d = load_table(spark, sf_dir, "documents")
-    u = (poly_hash(F.col("doc_id").cast("string")) + 1) / F.lit(float(P + 1))
-    prio = F.col("n_chars").cast("double") / u
+    h1 = poly_hash(F.col("doc_id").cast("string")) + 1
+    num = F.col("n_chars").cast("decimal(38,0)") * F.lit((P + 1) * 1_000_000)
     return (
-        d.select("doc_id", "n_chars", prio.alias("_prio"))
-        .orderBy(F.desc("_prio"), "doc_id")
+        d.select("doc_id", "n_chars", num.alias("_num"), h1.alias("_h1"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr("_num div _h1").cast("bigint").alias("prio_ppm"),
+        )
+        .orderBy(F.desc("prio_ppm"), "doc_id")
         .limit(50)
-        .select("doc_id", "n_chars", F.round("_prio", 6).alias("prio"))
     )
 
 
