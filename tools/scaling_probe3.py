@@ -60,6 +60,14 @@ def default_names(n: int = 10) -> list[str]:
     return [k for k, _ in rows[:n]]
 
 
+# Run-to-run noise on identical code is ~0.1-0.15s per query
+# (DRIFT_r5.json: median ratio 1.02, p90 1.10 on ~1s queries); a stage
+# delta below this floor carries no slope information and the exact
+# fit would amplify it into a spurious exponent (observed: a 0.06s
+# d21 fitting e=1.77 on a query whose 2-point bound is 0.2).
+NOISE_FLOOR_S = 0.15
+
+
 def fit(t1: float, t2: float, t3: float, r: int) -> dict:
     """Exact 3-parameter fit of t(n) = c + k*n^e at n = 1, r, r^2."""
     d21, d32 = t2 - t1, t3 - t2
@@ -70,6 +78,14 @@ def fit(t1: float, t2: float, t3: float, r: int) -> dict:
         e_tail = math.log(max(t3, 1e-3) / max(t2, 1e-3)) / math.log(r)
         return {"exp_fit": None, "const_c": None,
                 "exp_tail": round(e_tail, 2), "note": "non-monotone"}
+    if d21 < NOISE_FLOOR_S:
+        # the first delta is inside the noise floor: the query is
+        # constant-dominated at these scales and the exponent is not
+        # identifiable — report flat, keep the (bounded) 2pt numbers
+        e_tail = math.log(max(t3, 1e-3) / max(t2, 1e-3)) / math.log(r)
+        return {"exp_fit": None, "const_c": round(t1, 3),
+                "exp_tail": round(e_tail, 2),
+                "note": "delta-below-noise (constant-dominated)"}
     e = math.log(d32 / d21) / math.log(r)
     k = d21 / (r ** e - 1)
     c = t1 - k
