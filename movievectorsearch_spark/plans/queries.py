@@ -166,6 +166,7 @@ def q(name: str, sql: str | None = None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # fingerprint.py walks the real builder
         QUERIES[name] = {"spark": wrapped, "sql": sql}
         return fn
     return deco
@@ -14651,6 +14652,17 @@ def _driver_green_after_r1() -> set[str]:
 def _rotated() -> list[str]:
     names = list(QUERIES)
     proven = _driver_green_from_files() | _DRIVER_GREEN_R1
+    # AUTOMATED recheck front (round-6 judge item #3, replaces the
+    # hand-maintained _RECHECK_R{N} pattern for round 7+): any query
+    # whose implementation fingerprint (builder source + referenced
+    # constants + transitive operator-module hashes + oracle SQL,
+    # plans/fingerprint.py) differs from its stamp at last driver-green
+    # (QUERY_FPRINTS.json, updated from each round's CORRECTNESS file by
+    # tools/update_fprints.py) fronts the window — added or modified
+    # queries re-prove without anyone maintaining a list.
+    from . import fingerprint as _fp
+
+    front_auto = _fp.changed_since_green(QUERIES)
     # queries whose implementation changed or were added this round
     # re-prove even if previously green — but once a round-2+ file
     # records them green, they retire from the front automatically
@@ -14658,7 +14670,9 @@ def _rotated() -> list[str]:
     front_r5 = [
         n
         for n in _RECHECK_R5
-        if n in QUERIES and n not in _driver_green_from_files(min_round=5)
+        if n in QUERIES
+        and n not in _driver_green_from_files(min_round=5)
+        and n not in set(front_auto)
     ]
     front_r4 = [
         n
@@ -14688,7 +14702,11 @@ def _rotated() -> list[str]:
         and n not in reproven
         and n not in set(front_r5) | set(front_r4) | set(prio) | set(front_r3)
     ]
-    front = front_r5 + front_r4 + prio + front_r3 + front2
+    front = list(
+        dict.fromkeys(
+            front_auto + front_r5 + front_r4 + prio + front_r3 + front2
+        )
+    )
     fset = set(front)
     with_oracle = [
         n for n in names
