@@ -155,14 +155,36 @@ def pack_sequences(
 
 # ---------------------------------------------------------------------------
 # Unigram-LM (SentencePiece-style) Viterbi segmentation — the E-step of
-# tokenizer training (Kudo 2018, arXiv:1804.10959), restricted to piece
-# lengths {1, 2} so the optimum is a two-term recurrence both engines
-# can express exactly (the DuckDB oracle is a recursive CTE carrying
-# the previous two DP states — plans/queries.py viterbi_segment_cost).
+# tokenizer training (Kudo 2018, arXiv:1804.10959) with a CONFIGURABLE
+# max piece length L (round 7; rounds <=6 hard-coded L=2): the optimum
+# is an L-term recurrence both engines express exactly (the DuckDB
+# oracle is a generated recursive CTE carrying the previous L DP
+# states — plans/queries.py _viterbi_sql). The piece-cost model stays
+# bounded: one table per length k, truncated to OBSERVED k-grams
+# (<= min(|charset|^k, corpus positions) rows), so at real
+# SentencePiece lengths (~16) the model is still collect-and-broadcast
+# sized.
 # ---------------------------------------------------------------------------
 
 VIT_PACK = 1024  # packed DP key = cost_ppm * 1024 + n_pieces
 VIT_INF = 4_611_686_018_427_387_904  # 2^62: safe +lam headroom in int64
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """array of n-char shingles (n >= 2) — element_at gather over the
+    char split, linear like char_bigrams (dsir.py:178) which is the
+    n=2 special case."""
+    ch = F.split(text, "")
+    m = F.size(ch) - (n - 1)
+
+    def gram(x: Column, i: Column) -> Column:
+        return F.concat(
+            x, *[F.element_at(ch, i + k + 1) for k in range(1, n)]
+        )
+
+    return F.when(
+        m >= 1, F.transform(F.slice(ch, 1, m), gram)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_cost_table(docs, n: int):
@@ -179,9 +201,13 @@ def ngram_cost_table(docs, n: int):
         grams = docs.select(
             F.explode(F.split(F.col("text"), "")).alias("g")
         ).filter(F.col("g") != "")
-    else:
+    elif n == 2:
         grams = docs.select(
             F.explode(char_bigrams(F.col("text"))).alias("g")
+        )
+    else:
+        grams = docs.select(
+            F.explode(char_ngrams(F.col("text"), n)).alias("g")
         )
     cnt = grams.groupBy("g").agg(F.count("*").alias("cnt"))
     tot = cnt.agg(
@@ -198,18 +224,33 @@ def ngram_cost_table(docs, n: int):
     )
 
 
-def viterbi_segment(sample, lam1: dict, lam2: dict):
+def viterbi_segment(sample, *lams: dict):
     """mapInPandas Viterbi: per document, the minimum-cost segmentation
-    into single chars and bigrams under the quantized piece costs,
+    into pieces of length 1..len(lams) under the quantized piece costs
+    (``lams[k-1]`` is the length-k cost table from ngram_cost_table),
     ties broken by fewer pieces (the packed (cost, n_pieces) key makes
     that one integer min). Sequential per document — exactly the shape
     Spark's built-ins cannot express and the designated Pandas-UDF
     tier handles: embarrassingly parallel across documents, model
-    broadcast in the closure (bounded by |charset|²), Arrow-batched.
+    broadcast in the closure (bounded by observed k-grams), Arrow-
+    batched.
+
+    A k-gram absent from its table (possible when the model trained on
+    a different corpus than the sample) contributes no candidate —
+    mirroring the oracle's LEFT JOIN + coalesce(…, VIT_INF). Length-1
+    grams must be present (same-corpus training guarantees it).
+
+    Documents must be shorter than VIT_PACK (1024) characters: the
+    packed key reserves log2(VIT_PACK) bits for the piece count, and a
+    longer doc would silently overflow the count into cost_ppm in BOTH
+    engines — identically, so the hash gate could never catch it
+    (round-6 advisor). Asserted per document; callers segmenting longer
+    corpora should chunk first (chunk_documents) or widen VIT_PACK.
 
     ``sample`` must have (doc_id, lang, text); returns
     (doc_id, lang, cost_ppm, n_pieces) with pure-int arithmetic, so
     results are partition-invariant and oracle-exact."""
+    max_len = len(lams)
 
     def run(batches):
         import pandas as pd
@@ -221,20 +262,29 @@ def viterbi_segment(sample, lam1: dict, lam2: dict):
             ):
                 s = text or ""
                 n = len(s)
-                prev_p, curr_p = None, 0  # packed states at i-1, i
+                if n >= VIT_PACK:
+                    raise ValueError(
+                        f"viterbi_segment: doc {doc_id} has {n} chars; "
+                        f"max supported is {VIT_PACK - 1} (packed-key "
+                        "piece-count width) — chunk longer docs first"
+                    )
+                dp = [0] * (n + 1)  # packed (cost*VIT_PACK + pieces)
                 for i in range(1, n + 1):
-                    cand = curr_p + lam1[s[i - 1]] * VIT_PACK + 1
-                    if i >= 2:
-                        c2 = prev_p + lam2[s[i - 2 : i]] * VIT_PACK + 1
-                        if c2 < cand:
-                            cand = c2
-                    prev_p, curr_p = curr_p, cand
+                    best = VIT_INF
+                    for k in range(1, min(max_len, i) + 1):
+                        lam = lams[k - 1].get(s[i - k : i])
+                        if lam is None:
+                            continue
+                        cand = dp[i - k] + lam * VIT_PACK + 1
+                        if cand < best:
+                            best = cand
+                    dp[i] = best
                 out.append(
                     (
                         int(doc_id),
                         lang,
-                        curr_p // VIT_PACK,
-                        curr_p % VIT_PACK,
+                        dp[n] // VIT_PACK,
+                        dp[n] % VIT_PACK,
                     )
                 )
             yield pd.DataFrame(

@@ -113,3 +113,33 @@ def test_scaling3_fit_recovers_exact_parameters():
     # non-monotone timings degrade to the tail exponent, not a crash
     nm = fit(1.0, 0.9, 1.1, 4)
     assert nm["exp_fit"] is None and "exp_tail" in nm
+
+
+def test_gumbel_ppm_far_from_floor_boundaries():
+    """Round-6 advisor: floor(−ln(−ln(u))·1e6) is a cross-engine float
+    surface — Spark's Math.log and DuckDB's ln may disagree in the last
+    ulp, so a pre-floor value sitting within a few ulps of an integer
+    boundary could floor differently and flip the hash gate. Assert
+    every doc_id the fixtures can produce (both engines see the same
+    hash-uniform u) lands >= 64 ulps away from its nearest boundary.
+    Hash-uniform boundary distance is ~U(0,1)·1, so the expected min
+    over 2e5 ids is ~5e-6 — four orders of magnitude above the ulp
+    scale; a failure here means the draw recipe itself must change."""
+    import math
+
+    P = 2_147_483_647
+
+    def int_mix(x: int) -> int:
+        h = (((x % P) + P) % P) * 1103515245 + 12345
+        h %= P
+        return (h * h + h * 31) % P
+
+    worst = math.inf
+    for doc_id in range(1, 200_001):
+        u = (int_mix(doc_id) + 0.5) / P
+        g = -math.log(-math.log(u)) * 1_000_000
+        dist = abs(g - round(g))
+        margin = dist / math.ulp(g)
+        if margin < worst:
+            worst = margin
+    assert worst >= 64, f"gumbel value within {worst:.0f} ulps of a boundary"

@@ -140,3 +140,93 @@ def test_viterbi_segment_optimality_and_invariance(spark):
         for r in viterbi_segment(docs.repartition(5), lam1, lam2).collect()
     }
     assert got == again
+
+
+def test_viterbi_segment_max_len3_optimality(spark):
+    """Round 7: configurable max piece length — brute-force check at
+    L=3 (the shipped _VIT_MAX_PIECE), including grams missing from the
+    length-3 table (must contribute no candidate, like the oracle's
+    LEFT JOIN)."""
+    from movievectorsearch_spark.operators.packing import viterbi_segment
+
+    lam1 = {c: (ord(c) % 7 + 1) * 1_000_00 for c in "abcdef"}
+    lam2 = {
+        a + b: (ord(a) * 3 + ord(b)) % 11 * 1_000_00 + 50_000
+        for a in "abcdef"
+        for b in "abcdef"
+    }
+    # deliberately SPARSE trigram table: only every third trigram exists
+    lam3 = {
+        a + b + c: (ord(a) + ord(b) * 2 + ord(c)) % 5 * 1_000_00 + 20_000
+        for i, (a, b, c) in enumerate(
+            (a, b, c) for a in "abcdef" for b in "abcdef" for c in "abcdef"
+        )
+        if i % 3 == 0
+    }
+
+    def brute(s):
+        best = None
+
+        def rec(i, cost, pieces):
+            nonlocal best
+            if i == len(s):
+                key = (cost, pieces)
+                if best is None or key < best:
+                    best = key
+                return
+            rec(i + 1, cost + lam1[s[i]], pieces + 1)
+            if i + 1 < len(s):
+                rec(i + 2, cost + lam2[s[i : i + 2]], pieces + 1)
+            if i + 2 < len(s) and s[i : i + 3] in lam3:
+                rec(i + 3, cost + lam3[s[i : i + 3]], pieces + 1)
+
+        rec(0, 0, 0)
+        return best
+
+    texts = ["abcdef", "aabbccdd", "fedcba", "ababab", "abc", "a"]
+    docs = spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(texts)],
+        ["doc_id", "lang", "text"],
+    )
+    got = {
+        r.doc_id: (r.cost_ppm, r.n_pieces)
+        for r in viterbi_segment(docs, lam1, lam2, lam3).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == brute(t), t
+
+
+def test_viterbi_segment_rejects_overlong_docs(spark):
+    """Docs >= VIT_PACK chars would silently overflow the packed
+    piece-count into cost_ppm in BOTH engines (round-6 advisor) — the
+    operator must refuse instead."""
+    import pytest
+
+    from movievectorsearch_spark.operators.packing import (
+        VIT_PACK,
+        viterbi_segment,
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    lam1 = {"a": 1_000_000}
+    docs = spark.createDataFrame(
+        [(1, "en", "a" * VIT_PACK)], ["doc_id", "lang", "text"]
+    )
+    with pytest.raises((PythonException, Py4JJavaError)) as ei:
+        viterbi_segment(docs, lam1).collect()
+    assert "chunk longer docs first" in str(ei.value)
+
+
+def test_char_ngrams(spark):
+    from movievectorsearch_spark.operators.packing import char_ngrams
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("abcd",), ("ab",), ("a",), ("",)], ["t"]
+    ).select(char_ngrams(F.col("t"), 3).alias("g"))
+    rows = [r.g for r in df.collect()]
+    assert rows[0] == ["abc", "bcd"]
+    assert rows[1] == []
+    assert rows[2] == []
+    assert rows[3] == []
