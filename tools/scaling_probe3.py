@@ -146,9 +146,22 @@ def main() -> None:
               f"fit exp={row.get('exp_fit')} c={row.get('const_c')} "
               f"(2pt bound {row['exp_2pt_bound']})", file=sys.stderr)
 
-    with open(os.path.join(REPO, "SCALING3PT.json"), "w") as f:
+    # MERGE into the existing artifact (round 7): extending the fit set
+    # to new queries must not drop the rows already measured
+    out_path = os.path.join(REPO, "SCALING3PT.json")
+    merged = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+            if prior.get("r") == r:
+                merged = prior.get("queries", {})
+        except (OSError, ValueError):
+            pass
+    merged.update(table)
+    with open(out_path, "w") as f:
         json.dump({"r": r, "factors": [1, r, r * r], "src": src_dir,
-                   "queries": table}, f, indent=1, sort_keys=True)
+                   "queries": merged}, f, indent=1, sort_keys=True)
     print(json.dumps({"r": r, "n_queries": len(table),
                       "flagged": [n for n, v in table.items()
                                   if v["flag"]]}))
