@@ -171,20 +171,21 @@ VIT_INF = 4_611_686_018_427_387_904  # 2^62: safe +lam headroom in int64
 
 
 def char_ngrams(text: Column, n: int) -> Column:
-    """array of n-char shingles (n >= 2) — element_at gather over the
-    char split, linear like char_bigrams (dsir.py:178) which is the
-    n=2 special case."""
+    """array of n-char shingles (n >= 2) — n-way zipped slices, the
+    char_bigrams (dsir.py:178) construction generalized. NOT an
+    element_at gather inside the lambda: interpreted higher-order
+    functions do no CSE, so a lambda referencing the outer char split
+    re-evaluates it per ELEMENT — O(len²) per row (measured: the first
+    cut sent viterbi_segment_cost from ~1.6s to 38s at sf0.1). Zipped
+    slices evaluate the split once per slice — O(n·len)."""
     ch = F.split(text, "")
     m = F.size(ch) - (n - 1)
-
-    def gram(x: Column, i: Column) -> Column:
-        return F.concat(
-            x, *[F.element_at(ch, i + k + 1) for k in range(1, n)]
+    out = F.slice(ch, 1, m)
+    for k in range(1, n):
+        out = F.zip_with(
+            out, F.slice(ch, k + 1, m), lambda a, b: F.concat(a, b)
         )
-
-    return F.when(
-        m >= 1, F.transform(F.slice(ch, 1, m), gram)
-    ).otherwise(F.array().cast("array<string>"))
+    return F.when(m >= 1, out).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_cost_table(docs, n: int):

@@ -61,6 +61,16 @@ EXCLUDED = {
     "events_interval_join": "replicated events share user_id AND ts, so "
     "1h-window pairs grow ~factor^2 — true output growth, same replication "
     "artifact as the dedup pair joins (round-5 judge item #5)",
+    # round-7 bench promotions with the same artifact: the benchmark /
+    # eval side of the screen replicates as TRUE matches of the corpus
+    # side, so join hits grow ~factor^2. Both get rows on the
+    # replication-AWARE fixture instead (tools/scaling_probe_cc.py ->
+    # SCALING_CC.json), where cross-replica overlap is zero by
+    # construction.
+    "contamination_ngram_overlap": "bench-side 5-gram replicas are true "
+    "matches under replication, hits ~n^2 — probed in SCALING_CC.json",
+    "semantic_decontamination": "replicated eval embeddings are true "
+    "semantic matches, pairs ~n^2 — probed in SCALING_CC.json",
 }
 
 # probed but not benched: signature-only / salted-agg stages kept from

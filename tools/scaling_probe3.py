@@ -78,10 +78,11 @@ def fit(t1: float, t2: float, t3: float, r: int) -> dict:
         e_tail = math.log(max(t3, 1e-3) / max(t2, 1e-3)) / math.log(r)
         return {"exp_fit": None, "const_c": None,
                 "exp_tail": round(e_tail, 2), "note": "non-monotone"}
-    if d21 < NOISE_FLOOR_S:
-        # the first delta is inside the noise floor: the query is
-        # constant-dominated at these scales and the exponent is not
-        # identifiable — report flat, keep the (bounded) 2pt numbers
+    if d21 < NOISE_FLOOR_S or d32 < NOISE_FLOOR_S:
+        # either delta inside the noise floor: the exponent is not
+        # identifiable at these scales — report flat, keep the
+        # (bounded) 2pt numbers. (d32 too: a sub-noise tail delta
+        # produced a spurious exp=-1.8 for dsir_gumbel_resample.)
         e_tail = math.log(max(t3, 1e-3) / max(t2, 1e-3)) / math.log(r)
         return {"exp_fit": None, "const_c": round(t1, 3),
                 "exp_tail": round(e_tail, 2),

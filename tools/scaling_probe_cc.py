@@ -209,11 +209,22 @@ def main() -> None:
               f"fit exp={row.get('exp_fit')} c={row.get('const_c')}",
               file=sys.stderr)
 
-    with open(os.path.join(REPO, "SCALING_CC.json"), "w") as f:
+    out_path = os.path.join(REPO, "SCALING_CC.json")
+    merged = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+            if prior.get("r") == r:
+                merged = prior.get("queries", {})
+        except (OSError, ValueError):
+            pass
+    merged.update(table)
+    with open(out_path, "w") as f:
         json.dump({"r": r, "factors": [1, r, r * r], "src": src_dir,
                    "fixture": "replication-aware (word-tagged text, "
                    "sign-flipped embeddings): true answer replicates "
-                   "linearly", "queries": table},
+                   "linearly", "queries": merged},
                   f, indent=1, sort_keys=True)
     print(json.dumps({"r": r, "n_queries": len(table),
                       "flagged": [n for n, v in table.items()
