@@ -58,6 +58,21 @@ from tools.scaling_probe3 import fit  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# per-query caveats emitted into the artifact
+NOTES = {
+    "semantic_clusters": (
+        "output NOT linear under this fixture and cannot be: the "
+        "near-dup threshold is 0.3, and ANY orthogonal decorrelation "
+        "(signs/permutations/rotations) leaves cross-replica cosines "
+        "~N(0, 1/sqrt(64)=0.125), whose tail crosses 0.3 thousands of "
+        "times among the SRP collisions — replicas merge into giant "
+        "components (measured rows 21/3/1). A fixture-math property of "
+        "the low threshold, not a plan property; the timing row stands, "
+        "and the plan-relevant linear-output evidence is dedup_clusters "
+        "(same CC operator, same SRP-bounded pair stage family)."
+    ),
+}
+
 CC_QUERIES = [
     "dedup_clusters",
     "dedup_end_to_end",
@@ -203,6 +218,8 @@ def main() -> None:
             or (row.get("exp_fit") is None and row["exp_tail"] > 1.35)
             else ""
         )
+        if name in NOTES:
+            row["note_fixture"] = NOTES[name]
         table[name] = row
         print(f"# {name}: {t1:.2f}s / {t2:.2f}s / {t3:.2f}s  "
               f"rows {rows[1][name]}/{rows[r][name]}/{rows[r*r][name]}  "
