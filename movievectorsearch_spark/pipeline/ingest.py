@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from movievectorsearch_spark.functions.text import clean_text, normalize_key, slug_id
 from movievectorsearch_spark.operators.dedup import anti_join_new_keys, fuzzy_pairs
-from movievectorsearch_spark.pipeline.featurizer import hash_embed
+from movievectorsearch_spark.pipeline.featurizer import hash_embed_arrow
 
 FIELDS = ("TITLE", "YEAR", "DIRECTOR", "CAST", "GENRES", "PLOT")
 
@@ -138,9 +138,13 @@ def ingest_batch(
     parsed = parse_movie_text(raw, text_col)
     fresh = dedup_against(parsed, existing)
     derived = derive_columns(fresh)
+    # the embed stage sits at the model boundary: hash_embed_arrow is
+    # the Arrow-batched twin of the pure-Column hash_embed (bit-equal,
+    # featurizer parity test) — the exact position a real embedding
+    # model occupies, and ~100x/row cheaper than the interpreted fold
     return derived.withColumn(
         "embedding",
-        hash_embed(
+        hash_embed_arrow(
             F.concat_ws(
                 "\n",
                 F.col("title"),

@@ -120,3 +120,30 @@ def test_upsert_equal_timestamp_prefers_incoming(spark):
     ).withColumn("created_at", F.col("created_at").cast("timestamp"))
     out = upsert_latest_wins(base, incoming).collect()
     assert len(out) == 1 and out[0]["director"] == "new"
+
+
+def test_hash_embed_arrow_bit_equal(spark, sf_dir):
+    """The Arrow-batched featurizer twin must be BIT-equal to the
+    pure-Column fold over the whole fixture corpus (plus edge rows),
+    or it cannot stand in at the model boundary."""
+    from pyspark.sql import functions as F
+
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.pipeline.featurizer import (
+        hash_embed,
+        hash_embed_arrow,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(-1, ""), (-2, "   "), (-3, "\tOne\ntwo  THREE\n"), (-4, None)],
+        "doc_id INT, text STRING",
+    )
+    both = (
+        d.unionByName(edge.withColumn("doc_id", F.col("doc_id").cast("long")))
+        .withColumn("col_emb", hash_embed(F.col("text")))
+        .withColumn("arrow_emb", hash_embed_arrow(F.col("text")))
+        .collect()
+    )
+    for r in both:
+        assert r.col_emb == r.arrow_emb, r.doc_id
