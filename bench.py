@@ -268,6 +268,8 @@ BENCH_QUERIES = [
     "binary_hamming_knn_recall",
     # round 6: unigram-LM Viterbi segmentation (mapInPandas DP)
     "viterbi_segment_cost",
+    # round 8: chunk-first Viterbi over >=1024-char synthetic long docs
+    "viterbi_segment_chunked",
     # round 7: every previously-unbenched query that measures >=0.4s at
     # sf0.1 joins the headline set (round-6 judge item #4: no silent
     # omissions — below ~3x the run-to-run noise floor a per-query
@@ -382,6 +384,50 @@ BENCH_EXCLUDED = {
 }
 
 
+# Pinned drift-calibration set (round-7 judge item #3): a fixed,
+# plan-diverse probe timed FIRST every run and stamped into the output
+# as calibration_sec. Round-over-round comparisons normalize by the
+# calibration ratio instead of an ad-hoc same-code rerun (ROUND7_NOTES
+# §7 did that by hand; this makes it structural). Membership is FROZEN
+# — changing it breaks the normalization chain, so don't.
+CALIBRATION_QUERIES = [
+    "q1_pricing_summary",   # scan-heavy agg, whole-stage codegen
+    "knn_topk",             # vector kernel, JVM higher-order funcs
+    "dedup_minhash_lsh",    # banded LSH self-join, big shuffle
+    "events_hourly",        # timestamp bucketing window agg
+    "pack_sequences",       # two-phase prefix sum, mapInPandas exchange
+]
+
+
+def _timed_min(spark, sf_dir: str, names: list[str],
+               passes: int = 2) -> dict[str, float]:
+    """Per-query min-of-N wall time through the noop sink (full
+    projection computed + serialized executor-side)."""
+    out: dict[str, float] = {}
+    for _ in range(passes):
+        for name in names:
+            fn = Q.QUERIES[name]["spark"]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            out[name] = round(min(out.get(name, dt), dt), 3)
+    return out
+
+
+def _round_number() -> int:
+    """Current build round, inferred from the driver's committed
+    BENCH_r{N}.json artifacts (max existing N + 1)."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for fn in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+    ]
+    return max(rounds, default=0) + 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -391,6 +437,14 @@ def main() -> None:
     # warmup: touch the session + codegen paths once
     Q.QUERIES["count_scan"]["spark"](spark, sf_dir).collect()
 
+    # drift calibration: pinned probe, timed first, own warmup pass
+    for name in CALIBRATION_QUERIES:
+        Q.QUERIES[name]["spark"](spark, sf_dir).count()
+    calibration = _timed_min(spark, sf_dir, CALIBRATION_QUERIES)
+    calibration_sec = round(sum(calibration.values()), 3)
+    print(f"# calibration: {calibration_sec:.3f}s "
+          + json.dumps(calibration), file=sys.stderr)
+
     # two timed passes, min per query: the host shows intermittent
     # multi-second stalls (VM steal) — interleaving decorrelates the
     # repeat from the stall, where back-to-back repeats would both hit it.
@@ -399,36 +453,22 @@ def main() -> None:
     # release_persisted — the advisor's cache-accumulation fix), so every
     # timed run is build+serve over a cold cache; only the DISK-persisted
     # ANN index/store paths keep their serve-path warm second pass.
-    timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
     # row counts (diagnostics only) come from an untimed first pass that
     # doubles as the per-query warmup; the timed passes execute the FULL
     # projection through a noop write — every output column computed and
     # serialized executor-side, nothing driver-collected.
+    rows: dict[str, int] = {}
     for name in BENCH_QUERIES:
         rows[name] = Q.QUERIES[name]["spark"](spark, sf_dir).count()
-    for _pass in range(2):
-        for name in BENCH_QUERIES:
-            fn = Q.QUERIES[name]["spark"]
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            timings[name] = round(min(timings.get(name, dt), dt), 3)
+    timings = _timed_min(spark, sf_dir, BENCH_QUERIES)
     for name in BENCH_QUERIES:
         print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
     # heavy tier: same warmup + 2-pass-min protocol, separate total
-    heavy: dict[str, float] = {}
     heavy_rows: dict[str, int] = {}
     for name in BENCH_HEAVY:
         heavy_rows[name] = Q.QUERIES[name]["spark"](spark, sf_dir).count()
-    for _pass in range(2):
-        for name in BENCH_HEAVY:
-            fn = Q.QUERIES[name]["spark"]
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            heavy[name] = round(min(heavy.get(name, dt), dt), 3)
+    heavy = _timed_min(spark, sf_dir, BENCH_HEAVY)
     for name in BENCH_HEAVY:
         print(f"# heavy {name}: {heavy[name]:.3f}s ({heavy_rows[name]} rows)",
               file=sys.stderr)
@@ -448,6 +488,8 @@ def main() -> None:
               "unit": "sec", "sf": sf_val, "queries": timings, "rows": rows,
               "slowest5": slow5, "heavy": heavy, "heavy_rows": heavy_rows,
               "heavy_total_sec": heavy_total,
+              "calibration_sec": calibration_sec,
+              "calibration": calibration,
               "excluded": BENCH_EXCLUDED}
     # fold in the latest scaling-probe table (tools/scaling_probe.py:
     # per-query exponent from an 8x blown-up copy of the big tables)
@@ -461,6 +503,13 @@ def main() -> None:
             pass
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # per-round snapshot (round-7 judge item #5): BENCH_DETAIL.json is
+    # overwritten each round, so a full round-over-round per-query delta
+    # table needed git archaeology; stamp a committed copy per round.
+    round_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              f"BENCH_DETAIL_r{_round_number():02d}.json")
+    with open(round_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
@@ -472,6 +521,7 @@ def main() -> None:
                 "queries": slow5,
                 "heavy_total_sec": heavy_total,
                 "n_heavy": len(heavy),
+                "calibration_sec": calibration_sec,
             }
         )
     )

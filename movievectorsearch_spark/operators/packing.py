@@ -238,8 +238,12 @@ def viterbi_segment(sample, *lams: dict):
 
     A k-gram absent from its table (possible when the model trained on
     a different corpus than the sample) contributes no candidate —
-    mirroring the oracle's LEFT JOIN + coalesce(…, VIT_INF). Length-1
-    grams must be present (same-corpus training guarantees it).
+    mirroring the oracle's LEFT JOIN + coalesce(…, VIT_INF). A position
+    with NO candidate at all (its length-1 gram missing too) RAISES:
+    silently carrying VIT_INF would emit a ~2^52 cost_ppm row while the
+    oracle's INNER JOIN on l1 drops the doc — a quiet divergence the
+    hash gate would catch only by luck (round-7 advisor). Same-corpus
+    training guarantees l1 coverage, so shipped queries never hit it.
 
     Documents must be shorter than VIT_PACK (1024) characters: the
     packed key reserves log2(VIT_PACK) bits for the piece count, and a
@@ -279,6 +283,14 @@ def viterbi_segment(sample, *lams: dict):
                         cand = dp[i - k] + lam * VIT_PACK + 1
                         if cand < best:
                             best = cand
+                    if best >= VIT_INF:
+                        raise ValueError(
+                            f"viterbi_segment: doc {doc_id} has no "
+                            f"candidate piece ending at position {i} "
+                            f"(char {s[i - 1]!r} absent from the "
+                            "length-1 cost table) — train the model "
+                            "on a corpus covering the sample's alphabet"
+                        )
                     dp[i] = best
                 out.append(
                     (

@@ -82,10 +82,20 @@ def hash_embed_arrow(text: Column, dim: int = DEFAULT_DIM) -> Column:
     integers (order-independent sums), the norm is a sqrt of an exact
     integer-valued double, and the final division is one IEEE op per
     slot — no accumulation-order surface. Tokenization and the
-    polynomial hash are replayed in integer Python: lower+trim+\\s+
-    split and acc = (acc*31 + ord(ch)) % P match the Column/DuckDB
-    forms (functions/text.tokens, functions/hashing.poly_hash) on the
-    corpus charset.
+    polynomial hash are replayed in integer Python matching the JVM
+    semantics EXACTLY, beyond ASCII (round-7 advisor):
+
+    - Java ``\\s`` is ASCII-only, so the split pattern is the literal
+      class ``[ \\t\\n\\x0b\\f\\r]+`` — Python's Unicode-aware ``\\s``
+      would also split on NBSP/U+2028 and diverge;
+    - Spark ``trim`` strips only ' ' (verified: ``\\t``/``\\n``/NBSP
+      survive), so ``strip(' ')``, not bare ``strip()``;
+    - Spark ``split(col, '')`` + ``ascii`` yield full CODE POINTS even
+      for astral chars (verified: one 128512 element for U+1F600, not
+      two surrogates), so Python ``ord`` is the correct fold unit.
+
+    tests/test_ingest.py covers NBSP / U+2028 / emoji / combining-mark
+    rows against the Column form.
 
     This is the same plan position a REAL embedding model occupies
     (embed_with_model below): one Arrow batch in, one array column out
@@ -99,13 +109,14 @@ def hash_embed_arrow(text: Column, dim: int = DEFAULT_DIM) -> Column:
         import pandas as pd
         import re
 
-        ws = re.compile(r"\s+")
+        # Java \s, not Python \s: ASCII whitespace only (see docstring)
+        ws = re.compile("[ \t\n\x0b\f\r]+")
 
         def one(t):
             if t is None:
                 t = ""
             counts = np.zeros(dim)
-            for tok in ws.split(t.strip().lower()):
+            for tok in ws.split(t.strip(" ").lower()):
                 if not tok:
                     continue
                 acc = 0

@@ -191,7 +191,18 @@ class MovieGenDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent session-level registration."""
+    """Idempotent session-level registration.
+
+    Also flips ``spark.sql.python.filterPushdown.enabled`` on: Spark 4
+    refuses to initialize any Python DataSource reader implementing
+    ``pushFilters()`` (DATA_SOURCE_PUSHDOWN_DISABLED) while that conf is
+    false — the default in sessions we don't build ourselves (e.g. the
+    driver harness). Setting it HERE, at the single registration choke
+    point, covers every read path (queries.py:_moviegen_df,
+    pipeline/curator.generated, curate_stream, and any future caller);
+    round 7's only driver red was a second entry point that lacked the
+    guard and had only ever been green by session-ordering luck."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(MovieGenDataSource)
 
 

@@ -136,7 +136,22 @@ def test_hash_embed_arrow_bit_equal(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     edge = spark.createDataFrame(
-        [(-1, ""), (-2, "   "), (-3, "\tOne\ntwo  THREE\n"), (-4, None)],
+        [
+            (-1, ""),
+            (-2, "   "),
+            (-3, "\tOne\ntwo  THREE\n"),
+            (-4, None),
+            # non-ASCII parity (round-7 advisor): NBSP and U+2028 are
+            # whitespace to Python \s but NOT to Java \s (must stay
+            # inside the token); astral chars must hash as one code
+            # point; trim must strip only ' '
+            (-5, "café touch nbsp and ls"),
+            (-6, "emoji \U0001F600mid tok\U0001F680en"),
+            (-9, "İstanbul STRASSE ß ǅungla"),
+            (-10, " \ttab-not-trimmed\n "),
+            (-7, " leading-nbsp kept "),
+            (-8, "combining i̇ mark ǅungla"),
+        ],
         "doc_id INT, text STRING",
     )
     both = (

@@ -183,3 +183,31 @@ def test_moviegen_reads_when_session_disables_filter_pushdown(spark):
         assert n == 100
     finally:
         spark.conf.set(key, prev)
+
+
+def test_curate_roundtrip_first_in_pushdown_disabled_session(spark):
+    """Regression for CORRECTNESS_r07's only red: pipeline/curator.py
+    generated() was a SECOND moviegen entry point without the conf
+    guard, so moviegen_curate_roundtrip failed whenever the driver's
+    50-slot sample drew it WITHOUT its sibling queries (every earlier
+    green was session-ordering luck). The guard now lives in
+    moviegen.register() — the single choke point — so running the FULL
+    roundtrip builder first-in-session with the conf false must work."""
+    from movievectorsearch_spark.plans.queries import QUERIES
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")  # simulate the driver's fresh session
+        df = QUERIES["moviegen_curate_roundtrip"]["spark"](
+            spark, "/root/testdata/sf0.001"
+        )
+        assert df.count() > 0
+        assert spark.conf.get(key) == "true"  # register() enabled it
+        # the other register() caller too: curator.generated directly
+        spark.conf.set(key, "false")
+        from movievectorsearch_spark.pipeline.curator import generated
+
+        assert generated(spark, 32).count() == 32
+    finally:
+        spark.conf.set(key, prev)

