@@ -350,6 +350,9 @@ BENCH_EXCLUDED = {
     "moviegen_source_rows": _MOVIEGEN,
     "moviegen_source_agg": _MOVIEGEN,
     "moviegen_curate_roundtrip": _MOVIEGEN,
+    "curate_stream_corpus": _MOVIEGEN
+    + "; additionally a real StreamingQuery whose wall time is "
+    "micro-batch trigger pacing, not plan work",
     "anti_join_new_keys": _SUB_NOISE + " (0.39s; broadcast anti-join)",
     "count_scan": _SUB_NOISE + " (0.13s; metadata-only count)",
     "cube_lang_source": _SUB_NOISE

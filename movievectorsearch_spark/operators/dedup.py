@@ -287,6 +287,15 @@ def ngram_jaccard_pairs(
     pairs, the standard blocking trick: at 100 TB you NEVER do this
     unblocked — compose with minhash_lsh_pairs as the candidate
     generator and this as the exact verifier.
+
+    Plan shape notes (round 8, measured at sf0.1): persisting the
+    exploded shingle base (it feeds three subtrees) and semi-join
+    pruning of singleton shingles were BOTH tried and both LOST to
+    this plain recompute form (+5% and +40% respectively) — the
+    columnar cache write and the extra frequency shuffle cost more
+    than the recomputed tokenize/shingle/explode at any SF where the
+    corpus fits the cluster; the shuffles AQE already coalesces are
+    not the bottleneck.
     """
     base = df.select(
         F.col(id_col).alias("did"),

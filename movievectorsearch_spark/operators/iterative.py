@@ -107,7 +107,10 @@ def pagerank_bipartite(
         new_src = (
             _half_step(edges, ranks_dst, deg_dst, dst, src)
             .join(ranks_src.select(src, F.col("rank_ppm").alias("old_ppm")), src)
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the L1-delta aggregate below is the
+            # materializing action, so each round is ONE job (the
+            # cluster.py round-8 pattern — eager + collect was two)
+            .localCheckpoint(eager=False)
         )
         row = new_src.agg(
             F.sum(F.abs(F.col("rank_ppm") - F.col("old_ppm"))).alias("l1")
