@@ -109,7 +109,8 @@ def pagerank_bipartite(
             .join(ranks_src.select(src, F.col("rank_ppm").alias("old_ppm")), src)
             # LAZY checkpoint: the L1-delta aggregate below is the
             # materializing action, so each round is ONE job (the
-            # cluster.py round-8 pattern — eager + collect was two)
+            # cluster.py round-8 pattern; interleaved A/B confirmed
+            # lazy <= eager on this loop)
             .localCheckpoint(eager=False)
         )
         row = new_src.agg(
