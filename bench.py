@@ -268,8 +268,10 @@ BENCH_QUERIES = [
     "binary_hamming_knn_recall",
     # round 6: unigram-LM Viterbi segmentation (mapInPandas DP)
     "viterbi_segment_cost",
-    # round 8: chunk-first Viterbi over >=1024-char synthetic long docs
+    # round 8: chunk-first Viterbi over >=1024-char synthetic long docs,
+    # and the full unigram-LM EM round (E + backtrace counts + M + E)
     "viterbi_segment_chunked",
+    "unigram_lm_em_round",
     # round 7: every previously-unbenched query that measures >=0.4s at
     # sf0.1 joins the headline set (round-6 judge item #4: no silent
     # omissions — below ~3x the run-to-run noise floor a per-query

@@ -309,3 +309,78 @@ def viterbi_segment(sample, *lams: dict):
         schema="doc_id bigint, lang string, cost_ppm bigint, "
         "n_pieces bigint",
     )
+
+
+def viterbi_piece_counts(sample, *lams: dict):
+    """Viterbi E-step WITH the argmin segmentation's piece counts — the
+    statistic the M-step of unigram-LM (SentencePiece, Kudo 2018)
+    tokenizer training re-estimates from.
+
+    Same forward DP as :func:`viterbi_segment` (identical packed-key
+    arithmetic, identical guards), then a backtrace: at each position
+    the chosen piece length is the SMALLEST k whose candidate equals
+    the DP optimum (deterministic tie-break, mirrored by the oracle's
+    ``min(k)`` pick — two equal-cost candidates are identical packed
+    values, so any tie is between genuinely cost-identical pieces and
+    the tie-break only fixes WHICH piece gets counted).
+
+    Returns ``(doc_id, lang, piece, cnt)`` — one row per distinct piece
+    per document. Counts are exact ints; aggregating them corpus-wide
+    and re-quantizing costs is the M-step (plans/queries.py
+    unigram_lm_em_round).
+    """
+    max_len = len(lams)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, lang, text in zip(
+                pdf["doc_id"], pdf["lang"], pdf["text"]
+            ):
+                s = text or ""
+                n = len(s)
+                if n >= VIT_PACK:
+                    raise ValueError(
+                        f"viterbi_piece_counts: doc {doc_id} has {n} "
+                        f"chars; max supported is {VIT_PACK - 1} — "
+                        "chunk longer docs first"
+                    )
+                dp = [0] * (n + 1)
+                for i in range(1, n + 1):
+                    best = VIT_INF
+                    for k in range(1, min(max_len, i) + 1):
+                        lam = lams[k - 1].get(s[i - k : i])
+                        if lam is None:
+                            continue
+                        cand = dp[i - k] + lam * VIT_PACK + 1
+                        if cand < best:
+                            best = cand
+                    if best >= VIT_INF:
+                        raise ValueError(
+                            f"viterbi_piece_counts: doc {doc_id} has no "
+                            f"candidate piece ending at position {i}"
+                        )
+                    dp[i] = best
+                counts: dict[str, int] = {}
+                i = n
+                while i > 0:
+                    for k in range(1, min(max_len, i) + 1):  # min-k tie-break
+                        lam = lams[k - 1].get(s[i - k : i])
+                        if lam is not None and dp[i - k] + lam * VIT_PACK + 1 == dp[i]:
+                            piece = s[i - k : i]
+                            counts[piece] = counts.get(piece, 0) + 1
+                            i -= k
+                            break
+                    else:  # unreachable: dp[i] was built from some k
+                        raise AssertionError(f"backtrace stuck at {i}")
+                for piece, cnt in counts.items():
+                    out.append((int(doc_id), lang, piece, cnt))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "lang", "piece", "cnt"]
+            )
+
+    return sample.mapInPandas(
+        run, schema="doc_id bigint, lang string, piece string, cnt bigint"
+    )

@@ -14421,6 +14421,277 @@ def viterbi_segment_cost(spark, sf_dir):
     )
 
 
+# --- full unigram-LM EM round (round 8) -----------------------------------
+#
+# viterbi_segment_cost is the E-step of SentencePiece training (Kudo
+# 2018) — this entry completes a FULL (hard-)EM round: E-step with the
+# argmin segmentation's piece counts recovered by backtrace, M-step
+# re-estimating the piece costs from those counts (vocabulary = chosen
+# pieces ∪ every corpus character, the SentencePiece always-keep-chars
+# rule — also what guarantees the second E-step can never hit a
+# candidate-less position), then a second E-step under the re-estimated
+# model. Fixed at L=2 (the backtrace-choice mirror below hardcodes the
+# two-candidate argmin; the forward-DP generator stays length-generic).
+
+_EM_SAMPLE = 128
+
+
+def _em_round_sql() -> str:
+    """DuckDB mirror: forward DP (recursive CTE) → per-position argmin
+    choice (min-k tie-break, k=1 checked first — exactly the operator's
+    ascending-k first-match) → backtrace walk (recursive CTE following
+    the choice pointers) → piece counts → re-quantized cost table →
+    second DP (recursive CTE) under the new table. Three recursive CTEs
+    in one WITH RECURSIVE; choice and the new cost tables are
+    MATERIALIZED (each is re-read every recursion step)."""
+    inf = 4_611_686_018_427_387_904  # packing.VIT_INF
+    lam_expr = (
+        "CAST(floor(-ln((c + 1)::DOUBLE / (tot + v)) * 1000000) AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE
+ch AS (
+  SELECT doc_id, string_split(text, '') AS cs,
+         len(string_split(text, '')) AS n
+  FROM documents
+),
+u1 AS (
+  SELECT t.g, count(*) AS cnt FROM ch, LATERAL (SELECT unnest(cs) AS g) t
+  GROUP BY t.g
+),
+t1 AS (SELECT sum(cnt) AS tot, count(*) AS v FROM u1),
+l1 AS (
+  SELECT g, CAST(floor(-ln((cnt + 1)::DOUBLE / (tot + v)) * 1000000)
+               AS BIGINT) AS lam
+  FROM u1 CROSS JOIN t1
+),
+u2 AS (
+  SELECT t.g, count(*) AS cnt FROM ch, LATERAL (SELECT unnest(
+    list_transform(range(1, n), i -> cs[i] || cs[i+1])) AS g) t
+  GROUP BY t.g
+),
+t2 AS (SELECT sum(cnt) AS tot, count(*) AS v FROM u2),
+l2 AS (
+  SELECT g, CAST(floor(-ln((cnt + 1)::DOUBLE / (tot + v)) * 1000000)
+               AS BIGINT) AS lam
+  FROM u2 CROSS JOIN t2
+),
+samp AS (
+  SELECT doc_id, lang FROM documents
+  ORDER BY {int_mix_sql('doc_id')}, doc_id LIMIT {_EM_SAMPLE}
+),
+dp AS (
+  SELECT ch.doc_id, 0 AS i, 0::BIGINT AS p0, CAST(NULL AS BIGINT) AS p1
+  FROM ch JOIN samp USING (doc_id)
+  UNION ALL
+  SELECT d.doc_id, d.i + 1,
+         least(d.p0 + g1.lam * 1024 + 1,
+               coalesce(d.p1 + g2.lam * 1024 + 1, {inf})) AS p0,
+         d.p0 AS p1
+  FROM dp d
+  JOIN ch ON ch.doc_id = d.doc_id
+  JOIN l1 g1 ON g1.g = ch.cs[d.i + 1]
+  LEFT JOIN l2 g2 ON d.i >= 1 AND g2.g = ch.cs[d.i] || ch.cs[d.i + 1]
+  WHERE d.i < ch.n
+),
+choice AS MATERIALIZED (
+  -- at position i the chosen piece length: k=1 FIRST (the operator's
+  -- ascending-k first-match tie-break), else k=2
+  SELECT cur.doc_id, cur.i,
+         CASE WHEN prev.p0 + g1.lam * 1024 + 1 = cur.p0 THEN 1
+              ELSE 2 END AS k,
+         CASE WHEN prev.p0 + g1.lam * 1024 + 1 = cur.p0
+              THEN ch.cs[cur.i]
+              ELSE ch.cs[cur.i - 1] || ch.cs[cur.i] END AS piece
+  FROM dp cur
+  JOIN dp prev ON prev.doc_id = cur.doc_id AND prev.i = cur.i - 1
+  JOIN ch ON ch.doc_id = cur.doc_id
+  JOIN l1 g1 ON g1.g = ch.cs[cur.i]
+  WHERE cur.i >= 1
+),
+fin0 AS (
+  SELECT dp.doc_id, ch.n FROM dp JOIN ch
+  ON ch.doc_id = dp.doc_id AND dp.i = ch.n
+),
+bt AS (
+  SELECT doc_id, n AS pos FROM fin0 WHERE n > 0
+  UNION ALL
+  SELECT b.doc_id, b.pos - c.k
+  FROM bt b JOIN choice c ON c.doc_id = b.doc_id AND c.i = b.pos
+  WHERE b.pos - c.k > 0
+),
+pieces AS (
+  SELECT b.doc_id, c.piece
+  FROM bt b JOIN choice c ON c.doc_id = b.doc_id AND c.i = b.pos
+),
+pieces_doc AS (
+  SELECT doc_id, piece, count(*) AS cnt FROM pieces GROUP BY doc_id, piece
+),
+pcnt AS (SELECT piece, count(*) AS c FROM pieces GROUP BY piece),
+vocab AS MATERIALIZED (
+  SELECT coalesce(p.piece, cc.g) AS piece, coalesce(p.c, 0) AS c
+  FROM pcnt p FULL OUTER JOIN u1 cc ON cc.g = p.piece
+),
+tv AS (SELECT sum(c) AS tot, count(*) AS v FROM vocab),
+lamp AS MATERIALIZED (
+  SELECT piece, {lam_expr} AS lam FROM vocab CROSS JOIN tv
+),
+l1b AS MATERIALIZED (SELECT piece AS g, lam FROM lamp WHERE length(piece) = 1),
+l2b AS MATERIALIZED (SELECT piece AS g, lam FROM lamp WHERE length(piece) = 2),
+dp2 AS (
+  SELECT ch.doc_id, 0 AS i, 0::BIGINT AS p0, CAST(NULL AS BIGINT) AS p1
+  FROM ch JOIN samp USING (doc_id)
+  UNION ALL
+  SELECT d.doc_id, d.i + 1,
+         least(d.p0 + g1.lam * 1024 + 1,
+               coalesce(d.p1 + g2.lam * 1024 + 1, {inf})) AS p0,
+         d.p0 AS p1
+  FROM dp2 d
+  JOIN ch ON ch.doc_id = d.doc_id
+  JOIN l1b g1 ON g1.g = ch.cs[d.i + 1]
+  LEFT JOIN l2b g2 ON d.i >= 1 AND g2.g = ch.cs[d.i] || ch.cs[d.i + 1]
+  WHERE d.i < ch.n
+),
+fin2 AS (
+  SELECT dp2.doc_id, dp2.p0 // 1024 AS cost_ppm, dp2.p0 % 1024 AS n_pieces
+  FROM dp2 JOIN ch ON ch.doc_id = dp2.doc_id AND dp2.i = ch.n
+),
+lam_orig AS (
+  SELECT g, lam FROM l1 UNION ALL SELECT g, lam FROM l2
+),
+e1 AS (
+  SELECT s.lang,
+         CAST(sum(pd.cnt * lo.lam) AS BIGINT) AS sum_cost1_ppm,
+         CAST(sum(pd.cnt) AS BIGINT) AS sum_pieces1
+  FROM pieces_doc pd
+  JOIN lam_orig lo ON lo.g = pd.piece
+  JOIN samp s USING (doc_id)
+  GROUP BY s.lang
+),
+e2 AS (
+  SELECT s.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(f.cost_ppm) AS BIGINT) AS sum_cost2_ppm,
+         CAST(sum(f.n_pieces) AS BIGINT) AS sum_pieces2
+  FROM fin2 f JOIN samp s USING (doc_id)
+  GROUP BY s.lang
+)
+SELECT e2.lang, e2.n_docs,
+       (SELECT CAST(v AS BIGINT) FROM tv) AS vocab_v,
+       coalesce(e1.sum_cost1_ppm, 0) AS sum_cost1_ppm,
+       coalesce(e1.sum_pieces1, 0) AS sum_pieces1,
+       e2.sum_cost2_ppm, e2.sum_pieces2
+FROM e2 LEFT JOIN e1 ON e1.lang = e2.lang
+ORDER BY e2.lang
+"""
+
+
+@q("unigram_lm_em_round", _em_round_sql())
+def unigram_lm_em_round(spark, sf_dir):
+    """One full (hard-)EM round of unigram-LM tokenizer training
+    (SentencePiece, Kudo 2018 arXiv:1804.10959) at L=2, oracle-exact:
+
+    - **E-step**: Viterbi-segment the hash-sampled docs under the
+      corpus-trained piece costs AND recover the argmin segmentation's
+      piece counts by backtrace (operators/packing.viterbi_piece_counts
+      — mapInPandas, min-k tie-break mirrored by the oracle's argmin
+      CASE).
+    - **M-step**: re-estimate costs from the chosen-piece counts over
+      the vocabulary = chosen pieces ∪ every corpus character (the
+      SentencePiece always-keep-characters rule, which also guarantees
+      the next E-step always has a candidate) — the same in-engine
+      floor(−ln((c+1)/(tot+V))·1e6) quantization as the initial tables,
+      so cross-engine ln parity is inherited.
+    - **E-step 2**: re-segment under the new model
+      (viterbi_segment with the re-estimated tables split by length).
+
+    Output per language: doc count, vocabulary size, and exact
+    cost/piece sums under the old and new models — the before/after an
+    EM training loop monitors. E-step-1 cost is deliberately computed
+    as Σ count·λ over the backtraced pieces (not read off the DP), so
+    the gate also proves the backtrace reconstructs exactly the DP
+    optimum in both engines. Scale shape: models are kilobyte tables
+    collected from bounded aggregations and broadcast; the DP/backtrace
+    is embarrassingly parallel across docs; nothing corpus-sized
+    reaches the driver."""
+    from movievectorsearch_spark.operators.packing import (
+        ngram_cost_table,
+        viterbi_piece_counts,
+        viterbi_segment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tdfs = [ngram_cost_table(docs, k) for k in (1, 2)]
+    lams = [{r.g: r.lam for r in t.collect()} for t in tdfs]
+    sample = (
+        docs.orderBy(int_mix(F.col("doc_id")), F.col("doc_id"))
+        .limit(_EM_SAMPLE)
+        .select("doc_id", "lang", "text")
+    )
+    _persist(sample)
+    pc = viterbi_piece_counts(sample, *lams)
+    _persist(pc)
+
+    # M-step: vocab = chosen pieces ∪ corpus chars; re-quantize costs
+    # IN-ENGINE (ln parity with the oracle, like ngram_cost_table)
+    gc = pc.groupBy("piece").agg(F.sum("cnt").alias("c"))
+    chars = spark.createDataFrame(
+        [(g,) for g in lams[0]], "piece string"
+    )
+    vocab = (
+        chars.join(gc, "piece", "full")
+        .select("piece", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    tv = vocab.agg(
+        F.sum("c").alias("tot"), F.count("*").alias("v")
+    )
+    lamp = vocab.crossJoin(F.broadcast(tv)).select(
+        "piece",
+        F.floor(
+            -F.log((F.col("c") + 1) / (F.col("tot") + F.col("v")))
+            * 1_000_000
+        ).cast("bigint").alias("lam"),
+        F.col("v"),
+    )
+    rows = lamp.collect()
+    vocab_v = int(rows[0]["v"]) if rows else 0
+    lam1p = {r.piece: r.lam for r in rows if len(r.piece) == 1}
+    lam2p = {r.piece: r.lam for r in rows if len(r.piece) == 2}
+
+    # E-step-1 stats from the backtraced pieces (proves the backtrace
+    # hits the DP optimum), E-step-2 from the re-estimated model
+    lam_orig = tdfs[0].unionByName(tdfs[1])
+    e1 = (
+        pc.join(F.broadcast(lam_orig), pc.piece == lam_orig.g)
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lam")).alias("sum_cost1_ppm"),
+            F.sum("cnt").alias("sum_pieces1"),
+        )
+    )
+    e2 = (
+        viterbi_segment(sample, lam1p, lam2p)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("cost_ppm").alias("sum_cost2_ppm"),
+            F.sum("n_pieces").alias("sum_pieces2"),
+        )
+    )
+    return (
+        e2.join(e1, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.lit(vocab_v).cast("bigint").alias("vocab_v"),
+            F.coalesce("sum_cost1_ppm", F.lit(0)).alias("sum_cost1_ppm"),
+            F.coalesce("sum_pieces1", F.lit(0)).alias("sum_pieces1"),
+            "sum_cost2_ppm",
+            "sum_pieces2",
+        )
+        .orderBy("lang")
+    )
+
+
 # --- chunk-first Viterbi for long documents (round-7 judge item #4) -------
 #
 # viterbi_segment asserts doc length < VIT_PACK (1024 chars) — the packed

@@ -230,3 +230,43 @@ def test_char_ngrams(spark):
     assert rows[1] == []
     assert rows[2] == []
     assert rows[3] == []
+
+
+def test_viterbi_piece_counts_reconstructs_dp_optimum(spark):
+    """The backtraced piece counts must reproduce the DP's exact cost
+    and piece count: sum(cnt * lam(piece)) == cost_ppm and
+    sum(cnt) == n_pieces per document (the cross-engine EM-round gate
+    relies on this identity; here it's checked operator-vs-operator)."""
+    from movievectorsearch_spark.operators.packing import (
+        ngram_cost_table,
+        viterbi_piece_counts,
+        viterbi_segment,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "abab ababab"),
+            (2, "en", "banana bandana"),
+            (3, "de", "x"),
+            (4, "de", ""),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    lams = [
+        {r.g: r.lam for r in ngram_cost_table(docs, k).collect()}
+        for k in (1, 2)
+    ]
+    seg = {
+        r.doc_id: (r.cost_ppm, r.n_pieces)
+        for r in viterbi_segment(docs, *lams).collect()
+    }
+    counts: dict[int, list] = {}
+    for r in viterbi_piece_counts(docs, *lams).collect():
+        counts.setdefault(r.doc_id, []).append((r.piece, r.cnt))
+    for doc_id, (cost, n_pieces) in seg.items():
+        got = counts.get(doc_id, [])
+        lam_of = {**lams[0], **lams[1]}
+        assert sum(c * lam_of[p] for p, c in got) == cost, doc_id
+        assert sum(c for _, c in got) == n_pieces, doc_id
+    assert counts.get(4, []) == []  # empty doc: no pieces, cost 0
+    assert seg[4] == (0, 0)
