@@ -15278,6 +15278,26 @@ def _rotated() -> list[str]:
     from . import fingerprint as _fp
 
     front_auto = _fp.changed_since_green(QUERIES)
+    # Round-8 priority splice: the automated front this round is 51
+    # entries (docstring-only module-hash changes swept the whole dedup
+    # family in), one more than the driver's 50-slot window — so the
+    # queries whose BEHAVIOR or proof actually changed go first and the
+    # one pushed out is a docstring-only recheck that re-proves next
+    # round. Retires automatically once a round-8+ file records these
+    # green (same rule as the older splices).
+    _r8_critical = [
+        "moviegen_curate_roundtrip",   # r7's only red — must re-prove
+        "curate_stream_corpus",        # new (ST1-ST3 driver gate)
+        "viterbi_segment_chunked",     # new (judge item 4 deliverable)
+        "unigram_lm_em_round",         # new (EM round)
+        "viterbi_segment_cost",        # operator raise added
+        "ingest_pipeline",             # Arrow-embed charset semantics
+    ]
+    front_r8 = [
+        n for n in _r8_critical
+        if n in QUERIES and n not in _driver_green_from_files(min_round=8)
+    ]
+    front_auto = front_r8 + [n for n in front_auto if n not in set(front_r8)]
     # queries whose implementation changed or were added this round
     # re-prove even if previously green — but once a round-2+ file
     # records them green, they retire from the front automatically
