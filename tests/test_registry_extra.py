@@ -867,3 +867,37 @@ def test_session_conf_mutations_are_registered():
     )
     # the registered site must still exist (else the rule is stale)
     assert {h[0] for h in hits} == set(allowed)
+
+
+def test_hermetic_reset_restores_first_use_state(spark):
+    """tools/check_oracle.py --hermetic building blocks: conf drift is
+    detected and restored, the driver-default override is applied, and
+    temp views are dropped — the per-query reset that makes the sweep
+    simulate first-in-session execution."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.check_oracle import (
+        DRIVER_DEFAULT_CONF,
+        _conf_snapshot,
+        _hermetic_reset,
+        _restore_conf,
+    )
+
+    initial = _conf_snapshot(spark)
+    spark.conf.set("spark.sql.mvs.test.leak", "42")  # a leaked conf
+    spark.range(3).createOrReplaceTempView("mvs_leaked_view")
+    drifted = _restore_conf(spark, initial)
+    assert "spark.sql.mvs.test.leak" in drifted
+    assert "spark.sql.mvs.test.leak" not in _conf_snapshot(spark)
+
+    spark.range(3).createOrReplaceTempView("mvs_leaked_view2")
+    _hermetic_reset(spark, initial)
+    for k, v in DRIVER_DEFAULT_CONF.items():
+        assert spark.conf.get(k) == v
+    assert not [
+        t for t in spark.catalog.listTables()
+        if t.isTemporary and t.name.startswith("mvs_leaked")
+    ]
+    # restore the session factory's own value for subsequent tests
+    _restore_conf(spark, initial)
