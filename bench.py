@@ -272,6 +272,12 @@ BENCH_QUERIES = [
     # and the full unigram-LM EM round (E + backtrace counts + M + E)
     "viterbi_segment_chunked",
     "unigram_lm_em_round",
+    # round 8 continuation: MOSS winnowing fingerprints, char-entropy
+    # quality signals, CCNet perplexity terciles, SentencePiece prune
+    "winnowing_fingerprints",
+    "char_entropy_quality",
+    "ccnet_ppl_buckets",
+    "unigram_lm_prune_round",
     # round 7: every previously-unbenched query that measures >=0.4s at
     # sf0.1 joins the headline set (round-6 judge item #4: no silent
     # omissions — below ~3x the run-to-run noise floor a per-query
@@ -469,6 +475,16 @@ def main() -> None:
     for name in BENCH_QUERIES:
         print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
+    # mid-suite calibration re-probe (ROUND8_NOTES §9 found the box's
+    # steal windows move WITHIN a 20-minute run, which the run-head
+    # probe alone cannot capture): same frozen probe, timed again after
+    # the headline tier and once more after the heavy tier, so a reader
+    # can see whether the machine drifted DURING the measurement.
+    calibration_mid = _timed_min(spark, sf_dir, CALIBRATION_QUERIES)
+    calibration_mid_sec = round(sum(calibration_mid.values()), 3)
+    print(f"# calibration (post-headline): {calibration_mid_sec:.3f}s",
+          file=sys.stderr)
+
     # heavy tier: same warmup + 2-pass-min protocol, separate total
     heavy_rows: dict[str, int] = {}
     for name in BENCH_HEAVY:
@@ -477,6 +493,11 @@ def main() -> None:
     for name in BENCH_HEAVY:
         print(f"# heavy {name}: {heavy[name]:.3f}s ({heavy_rows[name]} rows)",
               file=sys.stderr)
+
+    calibration_end = _timed_min(spark, sf_dir, CALIBRATION_QUERIES)
+    calibration_end_sec = round(sum(calibration_end.values()), 3)
+    print(f"# calibration (post-heavy): {calibration_end_sec:.3f}s",
+          file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     heavy_total = round(sum(heavy.values()), 3)
@@ -495,6 +516,10 @@ def main() -> None:
               "heavy_total_sec": heavy_total,
               "calibration_sec": calibration_sec,
               "calibration": calibration,
+              "calibration_mid_sec": calibration_mid_sec,
+              "calibration_end_sec": calibration_end_sec,
+              "calibration_mid": calibration_mid,
+              "calibration_end": calibration_end,
               "excluded": BENCH_EXCLUDED}
     # fold in the latest scaling-probe table (tools/scaling_probe.py:
     # per-query exponent from an 8x blown-up copy of the big tables)
@@ -527,6 +552,8 @@ def main() -> None:
                 "heavy_total_sec": heavy_total,
                 "n_heavy": len(heavy),
                 "calibration_sec": calibration_sec,
+                "calibration_mid_sec": calibration_mid_sec,
+                "calibration_end_sec": calibration_end_sec,
             }
         )
     )

@@ -14585,6 +14585,51 @@ ORDER BY e2.lang
 """
 
 
+def _em_state(spark, sf_dir):
+    """Shared E+M machinery of unigram_lm_em_round and
+    unigram_lm_prune_round: initial cost tables, the hash-ordered doc
+    sample, backtraced piece counts (E-step), and the re-estimated
+    vocabulary rows (M-step) — (sample, pc, tdfs, lams, lamp_rows),
+    where each lamp row is (piece, c, lam, v). The vocabulary is
+    model-sized (corpus charset ∪ chosen pieces), so collecting it is
+    the same bounded-model collect the λ-table dicts already do."""
+    from movievectorsearch_spark.operators.packing import (
+        ngram_cost_table,
+        viterbi_piece_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tdfs = [ngram_cost_table(docs, k) for k in (1, 2)]
+    lams = [{r.g: r.lam for r in t.collect()} for t in tdfs]
+    sample = (
+        docs.orderBy(int_mix(F.col("doc_id")), F.col("doc_id"))
+        .limit(_EM_SAMPLE)
+        .select("doc_id", "lang", "text")
+    )
+    _persist(sample)
+    pc = viterbi_piece_counts(sample, *lams)
+    _persist(pc)
+
+    # M-step: vocab = chosen pieces ∪ corpus chars; re-quantize costs
+    # IN-ENGINE (ln parity with the oracle, like ngram_cost_table)
+    gc = pc.groupBy("piece").agg(F.sum("cnt").alias("c"))
+    chars = spark.createDataFrame([(g,) for g in lams[0]], "piece string")
+    vocab = chars.join(gc, "piece", "full").select(
+        "piece", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    tv = vocab.agg(F.sum("c").alias("tot"), F.count("*").alias("v"))
+    lamp = vocab.crossJoin(F.broadcast(tv)).select(
+        "piece",
+        "c",
+        F.floor(
+            -F.log((F.col("c") + 1) / (F.col("tot") + F.col("v")))
+            * 1_000_000
+        ).cast("bigint").alias("lam"),
+        F.col("v"),
+    )
+    return sample, pc, tdfs, lams, lamp.collect()
+
+
 @q("unigram_lm_em_round", _em_round_sql())
 def unigram_lm_em_round(spark, sf_dir):
     """One full (hard-)EM round of unigram-LM tokenizer training
@@ -14613,46 +14658,9 @@ def unigram_lm_em_round(spark, sf_dir):
     collected from bounded aggregations and broadcast; the DP/backtrace
     is embarrassingly parallel across docs; nothing corpus-sized
     reaches the driver."""
-    from movievectorsearch_spark.operators.packing import (
-        ngram_cost_table,
-        viterbi_piece_counts,
-        viterbi_segment,
-    )
+    from movievectorsearch_spark.operators.packing import viterbi_segment
 
-    docs = load_table(spark, sf_dir, "documents")
-    tdfs = [ngram_cost_table(docs, k) for k in (1, 2)]
-    lams = [{r.g: r.lam for r in t.collect()} for t in tdfs]
-    sample = (
-        docs.orderBy(int_mix(F.col("doc_id")), F.col("doc_id"))
-        .limit(_EM_SAMPLE)
-        .select("doc_id", "lang", "text")
-    )
-    _persist(sample)
-    pc = viterbi_piece_counts(sample, *lams)
-    _persist(pc)
-
-    # M-step: vocab = chosen pieces ∪ corpus chars; re-quantize costs
-    # IN-ENGINE (ln parity with the oracle, like ngram_cost_table)
-    gc = pc.groupBy("piece").agg(F.sum("cnt").alias("c"))
-    chars = spark.createDataFrame(
-        [(g,) for g in lams[0]], "piece string"
-    )
-    vocab = (
-        chars.join(gc, "piece", "full")
-        .select("piece", F.coalesce("c", F.lit(0)).alias("c"))
-    )
-    tv = vocab.agg(
-        F.sum("c").alias("tot"), F.count("*").alias("v")
-    )
-    lamp = vocab.crossJoin(F.broadcast(tv)).select(
-        "piece",
-        F.floor(
-            -F.log((F.col("c") + 1) / (F.col("tot") + F.col("v")))
-            * 1_000_000
-        ).cast("bigint").alias("lam"),
-        F.col("v"),
-    )
-    rows = lamp.collect()
+    sample, pc, tdfs, lams, rows = _em_state(spark, sf_dir)
     vocab_v = int(rows[0]["v"]) if rows else 0
     lam1p = {r.piece: r.lam for r in rows if len(r.piece) == 1}
     lam2p = {r.piece: r.lam for r in rows if len(r.piece) == 2}
@@ -14907,6 +14915,343 @@ def viterbi_segment_chunked(spark, sf_dir):
         .select(
             "lang", "n_docs", "n_long_docs", "n_chunks",
             "sum_cost_ppm", "sum_pieces",
+        )
+        .orderBy("lang")
+    )
+
+
+# ===========================================================================
+# Round-8 continuation: winnowing fingerprints (MOSS), character-entropy
+# quality signals, CCNet-style perplexity bucketing, unigram-LM prune round
+# ===========================================================================
+
+_WIN_K = 8  # chars per k-gram (detection guarantee: k + w - 1 = 11 chars)
+_WIN_W = 4  # window of consecutive k-gram hashes → density ≈ 2/(w+1)
+
+
+def _winnow_sql(k: int = _WIN_K, w: int = _WIN_W) -> str:
+    """DuckDB mirror of operators/winnow.winnow_fingerprints — same
+    polynomial k-gram hashes, same rightmost-argmin window selection."""
+    from movievectorsearch_spark.operators.winnow import rightmost_argmin_case
+
+    gram = (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split(substr(norm, i, {k}), ''), "
+        f"c -> ascii(c)::BIGINT)), (acc, c) -> (acc * 31 + c) % {P})"
+    )
+    case = rightmost_argmin_case(w, lambda j: f"H[i+{j}]")
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, array_to_string({tokens_sql('text')}, ' ') AS norm
+  FROM documents
+),
+g AS (
+  SELECT id, length(norm) - {k - 1} AS n_grams,
+         list_transform(range(1, length(norm) - {k - 1} + 1), i -> {gram}) AS H
+  FROM t WHERE length(norm) - {k - 1} >= {w}
+),
+s AS (
+  SELECT id, n_grams, H,
+         list_distinct(list_transform(range(1, n_grams - {w - 1} + 1),
+                                      i -> {case})) AS sel
+  FROM g
+),
+f AS (
+  SELECT id, n_grams, len(sel) AS n_fp,
+         list_distinct(list_transform(sel, p -> H[p])) AS fph
+  FROM s
+),
+e AS (SELECT id, n_grams, n_fp, u.h
+      FROM f, LATERAL (SELECT unnest(fph) AS h) u),
+c AS (SELECT h, count(DISTINCT id) AS nd FROM e GROUP BY h)
+SELECT e.id, CAST(e.n_grams AS BIGINT) AS n_grams,
+       CAST(e.n_fp AS BIGINT) AS n_fp,
+       CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp,
+       CAST((1000000 * e.n_fp) // e.n_grams AS BIGINT) AS density_ppm
+FROM e JOIN c USING (h)
+GROUP BY e.id, e.n_grams, e.n_fp
+ORDER BY e.id
+"""
+
+
+@q("winnowing_fingerprints", _winnow_sql())
+def winnowing_fingerprints_q(spark, sf_dir):
+    """MOSS winnowing fingerprint census (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003; operators/winnow.py): every window of w=4 consecutive
+    character 8-gram hashes contributes its rightmost minimum, giving
+    position-robust LOCAL fingerprints with a hard guarantee — any
+    shared substring of >= k+w-1 chars yields an identical fingerprint
+    in both documents, the local-overlap detection MinHash sketches
+    (dedup_minhash_lsh) cannot promise. Output per doc: gram count,
+    fingerprint count, how many fingerprints are shared with another
+    document (the boilerplate/plagiarism signal), and the selection
+    density (winnowing guarantees ≈ 2/(w+1) ≈ 400000 ppm). All JVM
+    higher-order functions over one materialized hash array — O(len·k)
+    map-side work, then one linear groupBy on the (uniform) fingerprint
+    hash and one back on the doc id. The reference dedupes whole titles
+    only (movie_generator.py:83-94); this is the sub-document tier."""
+    from movievectorsearch_spark.operators.winnow import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=_WIN_K, w=_WIN_W)
+
+
+_ENT_LOW_PPM = 2_750_000  # ≈ p05 of the corpus — flags the repetitive tail
+
+_CHAR_ENTROPY_SQL = f"""
+WITH c AS (
+  SELECT doc_id, lang, source, u.ch, count(*) AS cnt
+  FROM documents, LATERAL (SELECT unnest(string_split(text, '')) AS ch) u
+  GROUP BY doc_id, lang, source, u.ch
+),
+t AS (SELECT *, sum(cnt) OVER (PARTITION BY doc_id) AS n FROM c),
+l AS (SELECT *, CAST(floor(-ln(cnt::DOUBLE / n) * 1000000) AS BIGINT)
+                AS lam_ppm FROM t),
+d AS (
+  SELECT doc_id, lang, source,
+         CAST(sum(cnt * lam_ppm) // max(n) AS BIGINT) AS ent_ppm
+  FROM l GROUP BY doc_id, lang, source
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ent_ppm) // count(*) AS BIGINT) AS avg_ent_ppm,
+       min(ent_ppm) AS min_ent_ppm, max(ent_ppm) AS max_ent_ppm,
+       CAST(sum(CASE WHEN ent_ppm < {_ENT_LOW_PPM} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low
+FROM d GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+@q("char_entropy_quality", _CHAR_ENTROPY_SQL)
+def char_entropy_quality(spark, sf_dir):
+    """Shannon character entropy as a document quality signal — the
+    third classic text-quality lens next to repetition (Gopher,
+    repetition_signals) and LM cross-entropy (CCNet,
+    lm_bigram_xent_by_lang): machine-generated or template text has
+    LOW character entropy. Exact integers end-to-end: per (doc, char)
+    term λ = floor(−ln(count/len)·1e6) quantized once, per-doc entropy
+    Σ count·λ div len, then an exact per-(lang, source) rollup with a
+    low-entropy filter count. One explode shuffle keyed by doc (the
+    window sum rides the same partitioning), one bounded group-by —
+    linear, skew-free, no floats cross an engine boundary unquantized."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            "doc_id", "lang", "source",
+            F.explode(F.split("text", "")).alias("ch"),
+        )
+        .groupBy("doc_id", "lang", "source", "ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wn = Window.partitionBy("doc_id")
+    l = c.withColumn("n", F.sum("cnt").over(wn)).withColumn(
+        "lam_ppm",
+        F.floor(-F.log(F.col("cnt") / F.col("n")) * 1_000_000).cast("bigint"),
+    )
+    d = (
+        l.groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lam_ppm")).alias("s"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "doc_id", "lang", "source",
+            F.expr("s div n").cast("bigint").alias("ent_ppm"),
+        )
+    )
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("sum(ent_ppm) div count(*)").cast("bigint").alias("avg_ent_ppm"),
+            F.min("ent_ppm").alias("min_ent_ppm"),
+            F.max("ent_ppm").alias("max_ent_ppm"),
+            F.sum(F.when(F.col("ent_ppm") < _ENT_LOW_PPM, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_PPL_BUCKETS = 3  # CCNet's head / middle / tail
+
+# the xent CTE chain is shared verbatim with lm_bigram_xent_by_lang —
+# built by slicing _LM_XENT_SQL ahead of its final SELECT, so the two
+# oracles can never drift apart
+_CCNET_SQL = _LM_XENT_SQL.rsplit("SELECT d.lang", 1)[0] + f""",
+b AS (
+  SELECT d.lang, x.xent_ppm,
+         ntile({_PPL_BUCKETS}) OVER (PARTITION BY d.lang
+                                     ORDER BY x.xent_ppm, x.doc_id) AS bucket
+  FROM x JOIN documents d USING (doc_id)
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(xent_ppm) // count(*) AS BIGINT) AS avg_xent_ppm,
+       min(xent_ppm) AS min_xent_ppm, max(xent_ppm) AS max_xent_ppm
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+@q("ccnet_ppl_buckets", _CCNET_SQL)
+def ccnet_ppl_buckets(spark, sf_dir):
+    """CCNet's perplexity bucketing (Wenzek et al. 2020, arXiv
+    1911.00359): score every document with the corpus char-bigram LM
+    (the exact-integer xent of lm_bigram_xent_by_lang), then split each
+    language into head / middle / tail terciles by cross-entropy — the
+    quality stratification CCNet uses to pick pretraining data. ntile
+    over a total order (xent_ppm, doc_id) is deterministic in both
+    engines. Scale: the model is kilobytes broadcast; the per-lang
+    ntile is one sort-shuffle keyed by lang — at 100 TB swap it for
+    approx-quantile boundaries (histogram_quantiles_by_group shows that
+    path) if an exact per-lang sort is too hot; semantics here are the
+    exact reference form."""
+    from movievectorsearch_spark.operators.dsir import bigram_xent
+
+    docs = load_table(spark, sf_dir, "documents")
+    x = bigram_xent(docs, carry=["lang"], persist=_persist)
+    wb = Window.partitionBy("lang").orderBy("xent_ppm", "doc_id")
+    return (
+        x.withColumn("bucket", F.ntile(_PPL_BUCKETS).over(wb).cast("bigint"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("sum(xent_ppm) div count(*)")
+            .cast("bigint")
+            .alias("avg_xent_ppm"),
+            F.min("xent_ppm").alias("min_xent_ppm"),
+            F.max("xent_ppm").alias("max_xent_ppm"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def _prune_round_sql() -> str:
+    """DuckDB mirror of unigram_lm_prune_round: the full EM-round CTE
+    chain (sliced verbatim from _em_round_sql, so the two mirrors
+    cannot drift), then utility-ranked pruning of the multi-char
+    vocabulary and a third DP under the pruned model."""
+    inf = 4_611_686_018_427_387_904  # packing.VIT_INF
+    prefix = _em_round_sql().rsplit("SELECT e2.lang", 1)[0].rstrip()
+    return prefix + f""",
+mult AS (
+  SELECT v.piece, v.c,
+         (c1.lam + c2.lam - lp.lam) * v.c AS delta
+  FROM vocab v JOIN lamp lp USING (piece)
+  JOIN l1b c1 ON c1.g = substr(v.piece, 1, 1)
+  JOIN l1b c2 ON c2.g = substr(v.piece, 2, 1)
+  WHERE length(v.piece) = 2
+),
+ms AS (SELECT count(*) AS n_multi FROM mult),
+kept AS MATERIALIZED (
+  SELECT piece FROM (
+    SELECT piece, row_number() OVER (ORDER BY delta DESC, piece) AS rk
+    FROM mult
+  ) r CROSS JOIN ms
+  WHERE r.rk <= (3 * ms.n_multi + 3) // 4
+),
+l2c AS MATERIALIZED (
+  SELECT g, lam FROM l2b WHERE g IN (SELECT piece FROM kept)
+),
+dp3 AS (
+  SELECT ch.doc_id, 0 AS i, 0::BIGINT AS p0, CAST(NULL AS BIGINT) AS p1
+  FROM ch JOIN samp USING (doc_id)
+  UNION ALL
+  SELECT d.doc_id, d.i + 1,
+         least(d.p0 + g1.lam * 1024 + 1,
+               coalesce(d.p1 + g2.lam * 1024 + 1, {inf})) AS p0,
+         d.p0 AS p1
+  FROM dp3 d
+  JOIN ch ON ch.doc_id = d.doc_id
+  JOIN l1b g1 ON g1.g = ch.cs[d.i + 1]
+  LEFT JOIN l2c g2 ON d.i >= 1 AND g2.g = ch.cs[d.i] || ch.cs[d.i + 1]
+  WHERE d.i < ch.n
+),
+fin3 AS (
+  SELECT dp3.doc_id, dp3.p0 // 1024 AS cost_ppm, dp3.p0 % 1024 AS n_pieces
+  FROM dp3 JOIN ch ON ch.doc_id = dp3.doc_id AND dp3.i = ch.n
+),
+e3 AS (
+  SELECT s.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(f.cost_ppm) AS BIGINT) AS sum_cost3_ppm,
+         CAST(sum(f.n_pieces) AS BIGINT) AS sum_pieces3
+  FROM fin3 f JOIN samp s USING (doc_id)
+  GROUP BY s.lang
+)
+SELECT e3.lang, e3.n_docs,
+       (SELECT CAST(n_multi AS BIGINT) FROM ms) AS n_multi,
+       (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+       e2.sum_cost2_ppm, e2.sum_pieces2,
+       e3.sum_cost3_ppm, e3.sum_pieces3
+FROM e3 JOIN e2 ON e2.lang = e3.lang
+ORDER BY e3.lang
+"""
+
+
+@q("unigram_lm_prune_round", _prune_round_sql())
+def unigram_lm_prune_round(spark, sf_dir):
+    """The vocabulary-prune step that completes the SentencePiece
+    training loop (Kudo 2018 §3.2: after each EM round, drop the
+    lowest-utility pieces and re-segment): run the same E+M as
+    unigram_lm_em_round (shared _em_state), rank every multi-char
+    piece by the exact-integer utility count·(λ'(c₁)+λ'(c₂)−λ'(piece))
+    — the segmentation-cost increase its removal forces when its
+    occurrences fall back to characters — prune the bottom quarter
+    (keep ⌈3n/4⌉, ties broken by piece), and Viterbi-re-segment the
+    sample under the pruned model. Single characters are never pruned
+    (the always-keep-chars rule), so the third DP cannot hit a
+    candidate-less position. Output per language adds the pre/post
+    cost and piece sums — the gate proves cost3 ≥ cost2 exactly (a
+    pruned model can only cost more) and that both engines agree on
+    WHICH pieces survive. The prune ranking runs over the bounded
+    model table (vocab = charset ∪ chosen pieces — the same
+    model-sized collect the λ-dicts already are); nothing corpus-sized
+    reaches the driver."""
+    from movievectorsearch_spark.operators.packing import viterbi_segment
+
+    sample, pc, tdfs, lams, rows = _em_state(spark, sf_dir)
+    lam1p = {r.piece: r.lam for r in rows if len(r.piece) == 1}
+    lam2p = {r.piece: r.lam for r in rows if len(r.piece) == 2}
+    # utility ranking over the bounded vocab — exact int64 arithmetic,
+    # identical to the oracle's (delta DESC, piece ASC) row_number
+    mult = [
+        (r.piece, r.c * (lam1p[r.piece[0]] + lam1p[r.piece[1]] - r.lam))
+        for r in rows
+        if len(r.piece) == 2
+    ]
+    n_multi = len(mult)
+    keep_n = (3 * n_multi + 3) // 4
+    kept = sorted(mult, key=lambda t: (-t[1], t[0]))[:keep_n]
+    lam2k = {p: lam2p[p] for p, _ in kept}
+
+    def _estep(lam2):
+        return (
+            viterbi_segment(sample, lam1p, lam2)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("cost_ppm").alias("sum_cost_ppm"),
+                F.sum("n_pieces").alias("sum_pieces"),
+            )
+        )
+
+    e2 = _estep(lam2p).select(
+        "lang",
+        F.col("sum_cost_ppm").alias("sum_cost2_ppm"),
+        F.col("sum_pieces").alias("sum_pieces2"),
+    )
+    e3 = _estep(lam2k)
+    return (
+        e3.join(e2, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            F.lit(n_multi).cast("bigint").alias("n_multi"),
+            F.lit(keep_n).cast("bigint").alias("n_kept"),
+            "sum_cost2_ppm",
+            "sum_pieces2",
+            F.col("sum_cost_ppm").alias("sum_cost3_ppm"),
+            F.col("sum_pieces").alias("sum_pieces3"),
         )
         .orderBy("lang")
     )
@@ -15292,6 +15637,11 @@ def _rotated() -> list[str]:
         "unigram_lm_em_round",         # new (EM round)
         "viterbi_segment_cost",        # operator raise added
         "ingest_pipeline",             # Arrow-embed charset semantics
+        # round-8 continuation entries
+        "winnowing_fingerprints",      # new (MOSS winnowing census)
+        "char_entropy_quality",        # new (entropy quality signal)
+        "ccnet_ppl_buckets",           # new (CCNet ppl terciles)
+        "unigram_lm_prune_round",      # new (SentencePiece prune step)
     ]
     front_r8 = [
         n for n in _r8_critical
