@@ -119,15 +119,29 @@ def winnow_fingerprints(
     for j in range(1, w):
         g = g.withColumn(f"h{j}", F.lead("h", j).over(ord_w))
     case_p, case_h = _argmin_cases(w)
+    # Winnowing selections are NON-DECREASING in window-start order: if
+    # window i's rightmost min p is still inside window i+1, every
+    # survivor left of p has a strictly larger hash, so window i+1
+    # selects p again or something to its right; if p fell out, all of
+    # window i+1 sits right of p. Duplicate selections are therefore
+    # CONSECUTIVE, and a lag() filter over the same (id, pos) window —
+    # reusing the exchange the lead() columns already built — replaces
+    # what would otherwise be a corpus-sized distinct() shuffle (the
+    # x16 scaling probe flagged that distinct as the superlinear term).
     sel = (
         g.filter(F.col("pos") <= F.col("n_grams") - (w - 1))
         .select(
             "id",
             "n_grams",
+            "pos",
             F.expr(case_p).alias("fp_pos"),
             F.expr(case_h).alias("fp_h"),
         )
-        .distinct()  # distinct selected positions (fp_pos determines fp_h)
+        .withColumn("prev_pos", F.lag("fp_pos").over(ord_w))
+        .filter(
+            F.col("prev_pos").isNull() | (F.col("fp_pos") != F.col("prev_pos"))
+        )
+        .select("id", "n_grams", "fp_pos", "fp_h")
     )
     # cross-document sharing: per-doc distinct hashes, count distinct
     # docs per hash, count shared hashes back per doc

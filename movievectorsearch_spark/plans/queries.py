@@ -15126,6 +15126,139 @@ def ccnet_ppl_buckets(spark, sf_dir):
     )
 
 
+_BPE_TRAIN_N = 8  # merges learned (bpe_apply_encode consumes 8 too)
+
+# symbol machinery shared by both engines: words encode to
+# '|'-delimited symbols ('|t|h|e|'); adjacent-symbol pairs are counted
+# weighted by word occurrences; the winner replace is '|a|b|'→'|ab|'
+_BPE_T_BASE_SQL = "'|' || regexp_replace(word, '(.)', '\\1|', 'g')"
+_BPE_T_BASE_SPK = "'|' || regexp_replace(word, '(.)', '$1|')"
+
+
+def _bpe_syms(enc: str, dialect: str) -> str:
+    if dialect == "duck":
+        return f"list_filter(string_split({enc}, '|'), x -> x <> '')"
+    return f"filter(split({enc}, '\\\\|'), x -> x != '')"
+
+
+def _bpe_pairs(syms: str, dialect: str) -> str:
+    if dialect == "duck":
+        return (
+            f"list_transform(range(1, len({syms})), "
+            f"j -> ({syms})[j] || ' ' || ({syms})[j + 1])"
+        )
+    return (
+        f"zip_with(slice({syms}, 1, size({syms}) - 1), "
+        f"slice({syms}, 2, size({syms}) - 1), "
+        f"(a, b) -> concat(a, ' ', b))"
+    )
+
+
+def _bpe_train_sql(n: int = _BPE_TRAIN_N) -> str:
+    """DuckDB mirror of bpe_train_merges: n chained (encode → weighted
+    pair count → argmax) CTE groups; each iteration's replace pulls the
+    previous winner via scalar subqueries, so the oracle LEARNS the
+    same merges rather than replaying a literal list."""
+    parts = [
+        f"""
+WITH w AS (
+  SELECT u.word, count(*)::BIGINT AS n_occ
+  FROM documents d,
+       LATERAL (SELECT unnest({tokens_sql('d.text')}) AS word) u
+  GROUP BY u.word
+),
+enc_0 AS (SELECT n_occ, {_BPE_T_BASE_SQL} AS enc FROM w)"""
+    ]
+    for i in range(n):
+        syms = _bpe_syms("enc", "duck")
+        pairs = _bpe_pairs("syms", "duck")
+        parts.append(f""",
+pr_{i} AS (
+  SELECT u.pair, sum(e.n_occ)::BIGINT AS n
+  FROM (SELECT n_occ, {syms} AS syms FROM enc_{i}) e,
+       LATERAL (SELECT unnest({pairs}) AS pair) u
+  GROUP BY u.pair
+),
+win_{i} AS MATERIALIZED (
+  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+         pair, n
+  FROM pr_{i} ORDER BY n DESC, pair LIMIT 1
+)""")
+        if i < n - 1:
+            parts.append(f""",
+enc_{i + 1} AS (
+  SELECT n_occ,
+         replace(enc,
+                 '|' || (SELECT a FROM win_{i}) || '|'
+                     || (SELECT b FROM win_{i}) || '|',
+                 '|' || (SELECT a FROM win_{i})
+                     || (SELECT b FROM win_{i}) || '|') AS enc
+  FROM enc_{i}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS it, pair, n AS n_occurrences FROM win_{i}"
+        for i in range(n)
+    )
+    parts.append(f"\n{union}\nORDER BY it")
+    return "".join(parts)
+
+
+@q("bpe_train_merges", _bpe_train_sql())
+def bpe_train_merges(spark, sf_dir):
+    """The actual BPE training LOOP (Sennrich et al. 2016) —
+    bpe_merge_step is one count phase and bpe_apply_encode serves a
+    literal merge table; this entry LEARNS the table: 8 iterations of
+    encode-vocab → weighted adjacent-symbol-pair count → argmax merge
+    (count DESC, pair ASC tie-break), each iteration's encode chain
+    extended by the previous winner. Work per iteration is VOCAB-sized
+    (each distinct word encoded once, weighted by its corpus count —
+    the standard tokenizer-training optimization), so the corpus is
+    touched exactly once for the word count; the per-iteration argmax
+    is a 1-row collect (the same bounded model collect the convergence
+    loops use). The returned frame unions the 8 lazy winner subplans,
+    so every checked value is engine-computed, not driver-assembled.
+    At 100 TB: one corpus-sized word count, then 8 vocab-sized passes
+    over a broadcast-sized frame — the loop cost is independent of
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_occ"))
+    )
+    _persist(w)
+    enc_expr = _BPE_T_BASE_SPK
+    wins = []
+    for i in range(_BPE_TRAIN_N):
+        syms = _bpe_syms(f"({enc_expr})", "spark")
+        pairs = _bpe_pairs("syms", "spark")
+        pr = (
+            w.select("n_occ", F.expr(syms).alias("syms"))
+            .select("n_occ", F.explode(F.expr(pairs)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("n_occ").cast("bigint").alias("n"))
+        )
+        win = pr.orderBy(F.desc("n"), F.asc("pair")).limit(1)
+        wins.append(
+            win.select(
+                F.lit(i + 1).cast("int").alias("it"),
+                "pair",
+                F.col("n").alias("n_occurrences"),
+            )
+        )
+        if i < _BPE_TRAIN_N - 1:
+            row = win.collect()[0]
+            a, b = (
+                s.replace("\\", "\\\\").replace("'", "\\'")
+                for s in row.pair.split(" ", 1)
+            )
+            enc_expr = f"replace({enc_expr}, '|{a}|{b}|', '|{a}{b}|')"
+    out = wins[0]
+    for x in wins[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("it")
+
+
 def _prune_round_sql() -> str:
     """DuckDB mirror of unigram_lm_prune_round: the full EM-round CTE
     chain (sliced verbatim from _em_round_sql, so the two mirrors
@@ -15642,6 +15775,7 @@ def _rotated() -> list[str]:
         "char_entropy_quality",        # new (entropy quality signal)
         "ccnet_ppl_buckets",           # new (CCNet ppl terciles)
         "unigram_lm_prune_round",      # new (SentencePiece prune step)
+        "bpe_train_merges",            # new (BPE training loop)
     ]
     front_r8 = [
         n for n in _r8_critical

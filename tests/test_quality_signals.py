@@ -92,3 +92,61 @@ def test_prune_round_costs_monotone(spark, sf_dir):
         # with equal-or-more pieces
         assert r.sum_cost3_ppm >= r.sum_cost2_ppm
         assert r.sum_pieces3 >= r.sum_pieces2
+
+
+def _ref_bpe_train(words: dict[str, int], n: int):
+    """Reference BPE trainer: weighted adjacent-symbol pair counts,
+    argmax with (count DESC, pair ASC) tie-break."""
+    enc = {w: list(w) for w in words}
+    out = []
+    for _ in range(n):
+        cnt: dict[tuple, int] = {}
+        for w, occ in words.items():
+            s = enc[w]
+            for a, b in zip(s, s[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + occ
+        if not cnt:
+            break
+        # tie-break on the CONCATENATED pair string (the engines order
+        # by 'a b'), not the (a, b) tuple
+        (a, b), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        out.append((f"{a} {b}", c))
+        for w in enc:
+            s, i, ns = enc[w], 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            enc[w] = ns
+    return out
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.functions.text import tokens
+    from pyspark.sql import functions as F2
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = {
+        r.word: r.n
+        for r in docs.select(F2.explode(tokens(F2.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F2.count("*").alias("n"))
+        .collect()
+    }
+    ref = _ref_bpe_train(words, 8)
+    got = [
+        (r.pair, r.n_occurrences)
+        for r in Q.QUERIES["bpe_train_merges"]["spark"](spark, sf_dir)
+        .orderBy("it")
+        .collect()
+    ]
+    assert got == ref
+    # winners are distinct merges with non-increasing... counts need not
+    # be monotone, but every winner must be a distinct pair
+    assert len({p for p, _ in got}) == len(got)
