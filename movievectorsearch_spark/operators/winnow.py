@@ -73,7 +73,12 @@ def _argmin_cases(w: int) -> tuple[str, str]:
 
 
 def winnow_fingerprints(
-    docs: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    persist=None,
 ) -> DataFrame:
     """Per-document winnowing fingerprint census.
 
@@ -144,10 +149,15 @@ def winnow_fingerprints(
         .select("id", "n_grams", "fp_pos", "fp_h")
     )
     # cross-document sharing: per-doc distinct hashes, count distinct
-    # docs per hash, count shared hashes back per doc
+    # docs per hash, count shared hashes back per doc. eh feeds BOTH
+    # the per-hash doc count and the join probe side — cached via the
+    # shared persist registry so the explode+window pipeline runs once
+    # (uncached, Spark plans the whole subtree twice).
     eh = sel.groupBy("id", "n_grams", "fp_h").agg(
         F.count("*").alias("npos")
     )
+    if persist is not None:
+        eh = persist(eh)
     cnt = eh.groupBy("fp_h").agg(F.countDistinct("id").alias("nd"))
     return (
         eh.join(cnt, "fp_h")

@@ -14993,7 +14993,9 @@ def winnowing_fingerprints_q(spark, sf_dir):
     from movievectorsearch_spark.operators.winnow import winnow_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    return winnow_fingerprints(docs, "doc_id", "text", k=_WIN_K, w=_WIN_W)
+    return winnow_fingerprints(
+        docs, "doc_id", "text", k=_WIN_K, w=_WIN_W, persist=_persist
+    )
 
 
 _ENT_LOW_PPM = 2_750_000  # ≈ p05 of the corpus — flags the repetitive tail
@@ -15257,6 +15259,171 @@ def bpe_train_merges(spark, sf_dir):
     for x in wins[1:]:
         out = out.unionByName(x)
     return out.orderBy("it")
+
+
+_ZIPF_SQL = f"""
+WITH tc AS (
+  SELECT d.lang, u.word, count(*)::BIGINT AS c
+  FROM documents d, LATERAL (SELECT unnest({tokens_sql('d.text')}) AS word) u
+  GROUP BY d.lang, u.word
+),
+r AS (
+  SELECT lang, word, c,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, word) AS rk
+  FROM tc
+),
+q AS (
+  SELECT lang,
+         CAST(floor(ln(rk::DOUBLE) * 1000000) AS BIGINT) AS x,
+         CAST(floor(ln(c::DOUBLE) * 1000000) AS BIGINT) AS y
+  FROM r
+),
+s AS (
+  SELECT lang, count(*)::BIGINT AS n_vocab,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy
+  FROM q GROUP BY lang
+),
+t AS (SELECT lang, sum(c)::BIGINT AS n_tokens FROM tc GROUP BY lang)
+SELECT s.lang, s.n_vocab, t.n_tokens,
+       round(CASE WHEN s.n_vocab * s.sxx - s.sx::HUGEINT * s.sx = 0 THEN NULL
+                  ELSE CAST(s.n_vocab * s.sxy - s.sx::HUGEINT * s.sy AS DOUBLE)
+                       / CAST(s.n_vocab * s.sxx - s.sx::HUGEINT * s.sx
+                              AS DOUBLE) END, 6) AS zipf_slope
+FROM s JOIN t USING (lang) ORDER BY s.lang
+"""
+
+
+@q("token_zipf_fit", _ZIPF_SQL)
+def token_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit per language: OLS slope of ln(frequency) against
+    ln(rank) over the token frequency table — natural text sits near
+    −1; template/generated text bends away, making the slope a cheap
+    corpus-health diagnostic next to char_entropy_quality. Exact
+    cross-engine arithmetic via the events_trend_slope recipe: ln's
+    quantized to integer ppm per vocab row, the four OLS sufficient
+    statistics summed exactly (quadratics in DECIMAL(38,0)/HUGEINT),
+    one final IEEE division rounded to 6dp. One corpus explode for the
+    frequency table, one per-lang rank window over the (vocab-sized)
+    counts, one bounded rollup — the rank sort is vocab-sized, not
+    corpus-sized."""
+    toks = tokens(F.col("text"))
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("lang", F.explode(toks).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    _persist(tc)  # feeds the rank/ols path AND the token totals
+    rw = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("word"))
+    q_ = tc.withColumn("rk", F.row_number().over(rw)).select(
+        "lang",
+        F.floor(F.log(F.col("rk").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    s = q_.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_vocab"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+    )
+    t = tc.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    sxd = F.col("sx").cast("decimal(38,0)")
+    den = F.col("n_vocab") * F.col("sxx") - sxd * F.col("sx")
+    num = F.col("n_vocab") * F.col("sxy") - sxd * F.col("sy")
+    return (
+        s.join(t, "lang")
+        .select(
+            "lang",
+            "n_vocab",
+            "n_tokens",
+            F.round(
+                F.when(den == 0, F.lit(None)).otherwise(
+                    num.cast("double") / den.cast("double")
+                ),
+                6,
+            ).alias("zipf_slope"),
+        )
+        .orderBy("lang")
+    )
+
+
+# shares the xent CTE chain verbatim with lm_bigram_xent_by_lang (the
+# chain is label-free; labels join in afterwards)
+_DOREMI_SQL = _LM_XENT_SQL.rsplit("SELECT d.lang", 1)[0] + """,
+xs AS (SELECT x.doc_id, d.source, x.xent_ppm
+       FROM x JOIN documents d USING (doc_id)),
+base AS (SELECT CAST(sum(xent_ppm) // count(*) AS BIGINT) AS b FROM xs),
+dom AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(xent_ppm) // count(*) AS BIGINT) AS dom_xent_ppm
+  FROM xs GROUP BY source
+),
+upd AS (
+  SELECT source, n_docs, dom_xent_ppm,
+         greatest(0, dom_xent_ppm - (SELECT b FROM base)) AS excess_ppm,
+         1000000 + greatest(0, dom_xent_ppm - (SELECT b FROM base)) AS factor
+  FROM dom
+),
+tot AS (SELECT sum(factor) AS tf FROM upd)
+SELECT source, n_docs, dom_xent_ppm, CAST(excess_ppm AS BIGINT) AS excess_ppm,
+       CAST((factor * 1000000) // (SELECT tf FROM tot) AS BIGINT) AS weight_ppm
+FROM upd ORDER BY source
+"""
+
+
+@q("doremi_mixture_update", _DOREMI_SQL)
+def doremi_mixture_update(spark, sf_dir):
+    """One DoReMi-style domain-mixture reweighting step (Xie et al.
+    2023, arXiv 2305.10429): score every document with the corpus
+    char-bigram LM (the exact-integer xent of lm_bigram_xent_by_lang,
+    carried by source), compute each domain's EXCESS loss over the
+    corpus baseline, and apply the multiplicative-weights update in its
+    linear-payoff form w ∝ 1 + η·excess (η=1) — the exact-integer
+    variant of exp(η·excess) that keeps both engines bit-identical
+    without trusting cross-engine exp() parity. Output: per-domain
+    loss, excess, and the normalized next-round sampling weight in ppm
+    — hard-loss domains get upweighted, the DoReMi signal. Scale
+    shape: one corpus pass for the (doc, bigram) counts, kilobyte
+    model broadcast, domain table is group-count-sized."""
+    from movievectorsearch_spark.operators.dsir import bigram_xent
+
+    docs = load_table(spark, sf_dir, "documents")
+    x = bigram_xent(docs, carry=["source"], persist=_persist)
+    _persist(x)  # feeds the baseline AND the per-domain rollup
+    base = x.agg(F.expr("sum(xent_ppm) div count(*)").alias("b"))
+    dom = x.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr("sum(xent_ppm) div count(*)").cast("bigint").alias("dom_xent_ppm"),
+    )
+    upd = dom.crossJoin(F.broadcast(base)).select(
+        "source",
+        "n_docs",
+        "dom_xent_ppm",
+        F.greatest(F.lit(0), F.col("dom_xent_ppm") - F.col("b")).alias(
+            "excess_ppm"
+        ),
+    ).withColumn("factor", F.lit(1_000_000) + F.col("excess_ppm"))
+    tot = upd.agg(F.sum("factor").alias("tf"))
+    return (
+        upd.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "dom_xent_ppm",
+            F.col("excess_ppm").cast("bigint").alias("excess_ppm"),
+            F.expr("(factor * 1000000) div tf").cast("bigint").alias(
+                "weight_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
 
 
 def _prune_round_sql() -> str:
@@ -15776,6 +15943,8 @@ def _rotated() -> list[str]:
         "ccnet_ppl_buckets",           # new (CCNet ppl terciles)
         "unigram_lm_prune_round",      # new (SentencePiece prune step)
         "bpe_train_merges",            # new (BPE training loop)
+        "token_zipf_fit",              # new (Zipf-law OLS fit)
+        "doremi_mixture_update",       # new (DoReMi MW reweighting)
     ]
     front_r8 = [
         n for n in _r8_critical

@@ -789,3 +789,60 @@ def test_pq_and_hamming_map_only_scoring(spark, sf_dir):
         assert "TakeOrderedAndProject" in p, name
         assert "SortMergeJoin" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+# --- round-8 continuation entries -----------------------------------------
+
+_R8C_NO_CARTESIAN = [
+    "winnowing_fingerprints",
+    "char_entropy_quality",
+    "ccnet_ppl_buckets",
+    "token_zipf_fit",
+    "doremi_mixture_update",
+    "bpe_train_merges",
+    "unigram_lm_prune_round",
+]
+
+
+@pytest.mark.parametrize("name", _R8C_NO_CARTESIAN)
+def test_r8c_no_cartesian(spark, sf_dir, name):
+    """None of the round-8-continuation entries may plan a cartesian —
+    their pair/join stages are all keyed (fingerprint hash, lang,
+    piece, source) or broadcast one-row scalar attaches."""
+    p = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in p
+
+
+def test_winnow_share_join_is_equi(spark, sf_dir):
+    """The fingerprint-sharing join must be keyed on the hash — a
+    theta fallback would be O(n²) at corpus scale."""
+    p = plan_of(spark, sf_dir, "winnowing_fingerprints")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+
+
+def test_winnow_pipeline_cached_once_single_window_exchange(spark, sf_dir):
+    """The fingerprint rows (eh) feed both the per-hash doc count and
+    the join probe — they must come from ONE cached pipeline, and
+    inside it the duplicate-selection lag() filter must ride the SAME
+    single-key (id) exchange as the lead() columns (the distinct() it
+    replaced cost a second corpus-sized shuffle; operators/winnow.py)."""
+    p = plan_of(spark, sf_dir, "winnowing_fingerprints")
+    import re
+
+    assert p.count("InMemoryTableScan") >= 2  # both consumers read the cache
+    # exactly one single-key hashpartitioning on the doc id: the window
+    # input exchange (the final groupBy exchange keys on (id, n_grams))
+    single_id = re.findall(r"hashpartitioning\(id#\d+L?, \d+\)", p)
+    assert len(single_id) == 1, single_id
+
+
+def test_ccnet_model_joins_broadcast(spark, sf_dir):
+    """The bigram model tables are kilobytes — they must broadcast;
+    the corpus never shuffles for the model join."""
+    p = plan_of(spark, sf_dir, "ccnet_ppl_buckets")
+    assert "BroadcastHashJoin" in p

@@ -150,3 +150,69 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
     # winners are distinct merges with non-increasing... counts need not
     # be monotone, but every winner must be a distinct pair
     assert len({p for p, _ in got}) == len(got)
+
+
+def test_zipf_slope_near_minus_one(spark, sf_dir):
+    out = Q.QUERIES["token_zipf_fit"]["spark"](spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        # frequency must decay with rank (the synthetic fixture corpus
+        # has a tiny ~30-word vocab per lang, so the slope sits well
+        # above natural text's -1 — only the sign and a sane band are
+        # fixture-independent)
+        assert -3.0 < r.zipf_slope < 0.0
+        assert r.n_vocab <= r.n_tokens
+
+
+def test_zipf_matches_python_ols(spark):
+    import math
+
+    rows = [
+        (0, "a a a a b b c the the the the the quick brown fox", "en", "s0"),
+        (1, "the the quick quick brown fox jumps over a lazy dog a a", "en", "s0"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    # python reference over the same token counts
+    cnt: dict[str, int] = {}
+    for _, text, _, _ in rows:
+        for wtok in text.lower().split():
+            cnt[wtok] = cnt.get(wtok, 0) + 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    xy = [
+        (
+            math.floor(math.log(i + 1) * 1_000_000),
+            math.floor(math.log(c) * 1_000_000),
+        )
+        for i, (_, c) in enumerate(ranked)
+    ]
+    n = len(xy)
+    sx = sum(x for x, _ in xy)
+    sy = sum(y for _, y in xy)
+    sxx = sum(x * x for x, _ in xy)
+    sxy = sum(x * y for x, y in xy)
+    ref = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+
+    # run the registry builder against a temp parquet of this corpus
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = Q.QUERIES["token_zipf_fit"]["spark"](spark, td).collect()
+    assert len(got) == 1
+    assert got[0].zipf_slope == ref
+
+
+def test_doremi_weights_normalize_and_upweight_hard_domains(spark, sf_dir):
+    out = Q.QUERIES["doremi_mixture_update"]["spark"](spark, sf_dir).collect()
+    assert len(out) > 1
+    total = sum(r.weight_ppm for r in out)
+    # truncating div: total in (1e6 - n_domains, 1e6]
+    assert 1_000_000 - len(out) < total <= 1_000_000
+    for r in out:
+        assert r.excess_ppm >= 0
+    # weights are monotone in excess
+    srt = sorted(out, key=lambda r: r.excess_ppm)
+    for a, b in zip(srt, srt[1:]):
+        assert a.weight_ppm <= b.weight_ppm
+    # at least one domain is above baseline (else the update is a no-op)
+    assert any(r.excess_ppm > 0 for r in out)
