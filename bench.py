@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "token_zipf_fit",
     "doremi_mixture_update",
+    "winnow_dup_pairs",
     # round 7: every previously-unbenched query that measures >=0.4s at
     # sf0.1 joins the headline set (round-6 judge item #4: no silent
     # omissions — below ~3x the run-to-run noise floor a per-query

@@ -72,21 +72,13 @@ def _argmin_cases(w: int) -> tuple[str, str]:
     )
 
 
-def winnow_fingerprints(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 8,
-    w: int = 4,
-    persist=None,
+def fingerprint_rows(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
 ) -> DataFrame:
-    """Per-document winnowing fingerprint census.
-
-    Returns (id, n_grams, n_fp, n_shared_fp, density_ppm) where n_fp
-    counts distinct selected positions, n_shared_fp counts the
-    document's distinct fingerprint hashes that also occur in at least
-    one OTHER document (the boilerplate/plagiarism signal), and
-    density_ppm = 1e6·n_fp/n_grams (winnowing guarantees ≈ 2/(w+1)).
+    """(id, n_grams, fp_h, npos): one row per document per DISTINCT
+    selected fingerprint hash, with the count of selected positions
+    carrying that hash — the shared pipeline under both the census
+    (winnow_fingerprints) and the pair miner (winnow_dup_pairs).
 
     Documents whose normalized text yields fewer than ``w`` k-grams
     (len < k + w - 1) carry no window and are excluded — identically in
@@ -148,14 +140,31 @@ def winnow_fingerprints(
         )
         .select("id", "n_grams", "fp_pos", "fp_h")
     )
-    # cross-document sharing: per-doc distinct hashes, count distinct
-    # docs per hash, count shared hashes back per doc. eh feeds BOTH
-    # the per-hash doc count and the join probe side — cached via the
-    # shared persist registry so the explode+window pipeline runs once
-    # (uncached, Spark plans the whole subtree twice).
-    eh = sel.groupBy("id", "n_grams", "fp_h").agg(
+    return sel.groupBy("id", "n_grams", "fp_h").agg(
         F.count("*").alias("npos")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    persist=None,
+) -> DataFrame:
+    """Per-document winnowing fingerprint census.
+
+    Returns (id, n_grams, n_fp, n_shared_fp, density_ppm) where n_fp
+    counts distinct selected positions, n_shared_fp counts the
+    document's distinct fingerprint hashes that also occur in at least
+    one OTHER document (the boilerplate/plagiarism signal), and
+    density_ppm = 1e6·n_fp/n_grams (winnowing guarantees ≈ 2/(w+1)).
+    """
+    # eh feeds BOTH the per-hash doc count and the join probe side —
+    # cached via the shared persist registry so the explode+window
+    # pipeline runs once (uncached, Spark plans the subtree twice).
+    eh = fingerprint_rows(docs, id_col, text_col, k, w)
     if persist is not None:
         eh = persist(eh)
     cnt = eh.groupBy("fp_h").agg(F.countDistinct("id").alias("nd"))
@@ -178,4 +187,72 @@ def winnow_fingerprints(
             ),
         )
         .orderBy("id")
+    )
+
+
+def winnow_dup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = 16,
+    persist=None,
+) -> DataFrame:
+    """Duplicate CANDIDATE PAIRS from shared winnowing fingerprints —
+    the actionable output MOSS reports: (a_id, b_id, n_shared,
+    overlap_ppm) for pairs sharing ≥ ``min_shared`` distinct
+    fingerprint hashes, overlap_ppm = 1e6·n_shared / min(n_fp_a,
+    n_fp_b) (a containment-style score: 1e6 means every fingerprint of
+    the smaller doc also appears in the other).
+
+    Fingerprints occurring in more than ``max_df`` documents are
+    dropped before pairing — MOSS's stop-fingerprint rule: ubiquitous
+    boilerplate carries no pair signal and is exactly the skew that
+    would make the self-join quadratic (a hash shared by m docs emits
+    m² pairs; the cap bounds that to max_df² — the same no-cartesian
+    discipline as the banded-LSH joins)."""
+    eh = fingerprint_rows(docs, id_col, text_col, k, w)
+    if persist is not None:
+        eh = persist(eh)
+    nfp = eh.groupBy("id").agg(F.sum("npos").cast("bigint").alias("n_fp"))
+    cnt = eh.groupBy("fp_h").agg(F.countDistinct("id").alias("nd"))
+    rare = (
+        eh.join(
+            cnt.filter((F.col("nd") >= 2) & (F.col("nd") <= max_df)), "fp_h"
+        )
+        .select("fp_h", "id")
+    )
+    pairs = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.fp_h") == F.col("b.fp_h"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    nfp_a = nfp.select(
+        F.col("id").alias("a_id"), F.col("n_fp").alias("n_fp_a")
+    )
+    nfp_b = nfp.select(
+        F.col("id").alias("b_id"), F.col("n_fp").alias("n_fp_b")
+    )
+    return (
+        pairs.join(nfp_a, "a_id")
+        .join(nfp_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr("(1000000 * n_shared) div least(n_fp_a, n_fp_b)")
+            .cast("bigint")
+            .alias("overlap_ppm"),
+        )
+        .orderBy("a_id", "b_id")
     )

@@ -14929,9 +14929,11 @@ _WIN_K = 8  # chars per k-gram (detection guarantee: k + w - 1 = 11 chars)
 _WIN_W = 4  # window of consecutive k-gram hashes → density ≈ 2/(w+1)
 
 
-def _winnow_sql(k: int = _WIN_K, w: int = _WIN_W) -> str:
-    """DuckDB mirror of operators/winnow.winnow_fingerprints — same
-    polynomial k-gram hashes, same rightmost-argmin window selection."""
+def _winnow_ctes(k: int = _WIN_K, w: int = _WIN_W) -> str:
+    """Shared CTE chain (normalize → k-gram hashes → window argmin →
+    per-doc fingerprint sets) under both winnowing oracles — same
+    polynomial k-gram hashes, same rightmost-argmin selection as
+    operators/winnow.fingerprint_rows."""
     from movievectorsearch_spark.operators.winnow import rightmost_argmin_case
 
     gram = (
@@ -14960,7 +14962,12 @@ f AS (
   SELECT id, n_grams, len(sel) AS n_fp,
          list_distinct(list_transform(sel, p -> H[p])) AS fph
   FROM s
-),
+)"""
+
+
+def _winnow_sql(k: int = _WIN_K, w: int = _WIN_W) -> str:
+    """DuckDB mirror of operators/winnow.winnow_fingerprints."""
+    return _winnow_ctes(k, w) + """,
 e AS (SELECT id, n_grams, n_fp, u.h
       FROM f, LATERAL (SELECT unnest(fph) AS h) u),
 c AS (SELECT h, count(DISTINCT id) AS nd FROM e GROUP BY h)
@@ -14972,6 +14979,56 @@ FROM e JOIN c USING (h)
 GROUP BY e.id, e.n_grams, e.n_fp
 ORDER BY e.id
 """
+
+
+_WIN_MIN_SHARED = 3   # pair survives with >= 3 shared fingerprint hashes
+_WIN_MAX_DF = 16      # stop-fingerprint rule: drop hashes in > 16 docs
+
+
+def _winnow_pairs_sql(k: int = _WIN_K, w: int = _WIN_W) -> str:
+    """DuckDB mirror of operators/winnow.winnow_dup_pairs."""
+    return _winnow_ctes(k, w) + f""",
+e AS (SELECT id, u.h FROM f, LATERAL (SELECT unnest(fph) AS h) u),
+c AS (SELECT h, count(DISTINCT id) AS nd FROM e GROUP BY h),
+rare AS (
+  SELECT e.id, e.h FROM e JOIN c USING (h)
+  WHERE c.nd >= 2 AND c.nd <= {_WIN_MAX_DF}
+),
+p AS (
+  SELECT a.id AS a_id, b.id AS b_id, count(*)::BIGINT AS n_shared
+  FROM rare a JOIN rare b ON a.h = b.h AND a.id < b.id
+  GROUP BY a.id, b.id
+  HAVING count(*) >= {_WIN_MIN_SHARED}
+),
+nf AS (SELECT id, CAST(n_fp AS BIGINT) AS n_fp FROM f)
+SELECT p.a_id, p.b_id, p.n_shared, fa.n_fp AS n_fp_a, fb.n_fp AS n_fp_b,
+       CAST((1000000 * p.n_shared) // least(fa.n_fp, fb.n_fp) AS BIGINT)
+         AS overlap_ppm
+FROM p JOIN nf fa ON fa.id = p.a_id JOIN nf fb ON fb.id = p.b_id
+ORDER BY p.a_id, p.b_id
+"""
+
+
+@q("winnow_dup_pairs", _winnow_pairs_sql())
+def winnow_dup_pairs_q(spark, sf_dir):
+    """The pair-level output MOSS actually reports: duplicate CANDIDATE
+    PAIRS ranked by shared winnowing fingerprints, with the
+    stop-fingerprint rule (hashes in > 16 docs are dropped before
+    pairing — ubiquitous boilerplate carries no pair signal and is
+    exactly the skew that would square the self-join; the cap bounds a
+    hash's pair fanout to max_df², the same no-cartesian discipline as
+    the banded-LSH joins). overlap_ppm is containment-style: 1e6 means
+    every fingerprint of the smaller document also appears in the
+    other. Complements dedup_minhash_lsh (global set similarity) with
+    LOCAL-overlap candidates that banding misses for short shared
+    spans."""
+    from movievectorsearch_spark.operators.winnow import winnow_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_dup_pairs(
+        docs, "doc_id", "text", k=_WIN_K, w=_WIN_W,
+        min_shared=_WIN_MIN_SHARED, max_df=_WIN_MAX_DF, persist=_persist,
+    )
 
 
 @q("winnowing_fingerprints", _winnow_sql())
@@ -15945,6 +16002,7 @@ def _rotated() -> list[str]:
         "bpe_train_merges",            # new (BPE training loop)
         "token_zipf_fit",              # new (Zipf-law OLS fit)
         "doremi_mixture_update",       # new (DoReMi MW reweighting)
+        "winnow_dup_pairs",            # new (MOSS pair miner)
     ]
     front_r8 = [
         n for n in _r8_critical

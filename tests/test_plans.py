@@ -795,6 +795,7 @@ def test_pq_and_hamming_map_only_scoring(spark, sf_dir):
 
 _R8C_NO_CARTESIAN = [
     "winnowing_fingerprints",
+    "winnow_dup_pairs",
     "char_entropy_quality",
     "ccnet_ppl_buckets",
     "token_zipf_fit",

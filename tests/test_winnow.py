@@ -100,3 +100,59 @@ def test_rightmost_tiebreak_case_shape():
         "CASE WHEN H[i+2] <= least(H[i+0], H[i+1]) THEN i+2 "
         "WHEN H[i+1] <= H[i+0] THEN i+1 ELSE i END"
     )
+
+
+def test_dup_pairs_find_planted_duplicate(spark):
+    from movievectorsearch_spark.operators.winnow import winnow_dup_pairs
+
+    long_shared = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays on and the crowd cheers loudly in the summer rain"
+    )
+    rows = [
+        (1, long_shared + " unique tail one for document number one"),
+        (2, "a different opening phrase here then " + long_shared),
+        (3, "completely unrelated content about gardening tomatoes "
+            "and watering schedules for raised beds in early spring"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = winnow_dup_pairs(df, "doc_id", "text", K, W, min_shared=3).collect()
+    pairs = {(r.a_id, r.b_id): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.n_shared >= 3
+    assert 0 < r.overlap_ppm <= 1_000_000
+    assert all(3 not in p for p in pairs)
+
+
+def test_dup_pairs_stop_fingerprint_cap(spark):
+    from movievectorsearch_spark.operators.winnow import winnow_dup_pairs
+
+    # boilerplate shared by MANY docs must be dropped by max_df, so no
+    # pairs survive; with a high cap the pairs appear
+    boiler = "this exact boilerplate footer text appears everywhere in the corpus"
+    rows = [(i, f"doc number {i} says " + boiler) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    capped = winnow_dup_pairs(df, "doc_id", "text", K, W,
+                              min_shared=3, max_df=4).collect()
+    uncapped = winnow_dup_pairs(df, "doc_id", "text", K, W,
+                                min_shared=3, max_df=100).collect()
+    assert len(uncapped) > len(capped)
+    assert len(uncapped) >= 9  # the shared span pairs most docs
+
+
+def test_dup_pairs_consistent_with_census(spark, sf_dir):
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.operators.winnow import (
+        winnow_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    census = {r.id: r for r in winnow_fingerprints(docs, "doc_id", "text").collect()}
+    for r in winnow_dup_pairs(docs, "doc_id", "text").collect():
+        # a pair's shared count cannot exceed either doc's shared census
+        assert r.n_shared <= census[r.a_id].n_shared_fp
+        assert r.n_shared <= census[r.b_id].n_shared_fp
+        assert r.n_fp_a == census[r.a_id].n_fp
+        assert r.n_fp_b == census[r.b_id].n_fp
