@@ -330,6 +330,9 @@ BENCH_HEAVY = [
     "corpus_release_report",
     "pagerank_converged",
     "power_iteration_converged",
+    # round 9: SentencePiece training loop — data-dependent round count
+    # with a driver-side early exit, same tier rationale as the CC loops
+    "unigram_lm_train_converged",
 ]
 
 # Exclusion policy (round-6 judge item #4): every registry query is in

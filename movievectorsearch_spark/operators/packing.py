@@ -188,16 +188,88 @@ def char_ngrams(text: Column, n: int) -> Column:
     return F.when(m >= 1, out).otherwise(F.array().cast("array<string>"))
 
 
-def ngram_cost_table(docs, n: int):
+def gram_counts_arrow(docs, n: int):
+    """(g, cnt) partial char n-gram counts (n = 1 or 2), one output row
+    per distinct gram PER ARROW BATCH — the zero-row-explosion twin of
+    ``explode(...)`` + ``groupBy``. The relational form emits ~1 row
+    per corpus character into a hash-aggregate; this kernel runs one
+    NumPy ``np.unique`` over each batch's concatenated code-point
+    arrays (bigram keys c₁·0x110000+c₂ are formed per document, so no
+    cross-document bigrams), handing the downstream groupBy ≤ |charset|^n
+    rows per batch. BIT-EQUAL global counts (tests/test_packing.py):
+    code points via UTF-32 match Spark ``split('')`` astral semantics,
+    and counts are exact integers. Same doc-local twin-kernel pattern
+    as operators/winnow.fingerprint_rows_arrow."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    if n not in (1, 2):
+        raise ValueError("gram_counts_arrow supports n = 1 or 2")
+    schema = StructType(
+        [StructField("g", StringType()), StructField("cnt", LongType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            parts = []
+            for text in pdf["text"]:
+                if text is None or len(text) < n:
+                    continue
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                parts.append(
+                    codes if n == 1 else codes[:-1] * 0x110000 + codes[1:]
+                )
+            if not parts:
+                yield pd.DataFrame({"g": [], "cnt": []})
+                continue
+            keys, cnts = np.unique(np.concatenate(parts), return_counts=True)
+            if n == 1:
+                gs = [chr(int(k)) for k in keys]
+            else:
+                gs = [
+                    chr(int(k) // 0x110000) + chr(int(k) % 0x110000)
+                    for k in keys
+                ]
+            yield pd.DataFrame({"g": gs, "cnt": cnts.tolist()})
+
+    return docs.select("text").mapInPandas(kernel, schema=schema)
+
+
+def ngram_cost_table(docs, n: int, impl: str = "arrow"):
     """(gram, lam): add-one-smoothed quantized negative log-prob
     floor(−ln((cnt+1)/(T+V))·1e6) for every character n-gram of the
     corpus — the unigram-LM piece costs. Bounded by |charset|^n rows,
     computed in-engine (the ln-parity recipe) and small enough to
-    collect and broadcast into the Viterbi workers."""
+    collect and broadcast into the Viterbi workers.
+
+    ``impl="arrow"`` (default, n ≤ 2) counts grams doc-locally via
+    :func:`gram_counts_arrow`; ``"relational"`` keeps the explode form
+    (the oracle-mirror shape, and the only path for n ≥ 3)."""
     from pyspark.sql import functions as F
 
     from movievectorsearch_spark.operators.dsir import char_bigrams
 
+    if impl == "arrow" and n <= 2:
+        cnt = (
+            gram_counts_arrow(docs, n)
+            .groupBy("g")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        tot = cnt.agg(F.sum("cnt").alias("tot"), F.count("*").alias("v"))
+        return cnt.crossJoin(F.broadcast(tot)).select(
+            "g",
+            F.floor(
+                -F.log((F.col("cnt") + 1) / (F.col("tot") + F.col("v")))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("lam"),
+        )
     if n == 1:
         grams = docs.select(
             F.explode(F.split(F.col("text"), "")).alias("g")

@@ -14609,11 +14609,17 @@ def _em_state(spark, sf_dir):
     _persist(sample)
     pc = viterbi_piece_counts(sample, *lams)
     _persist(pc)
+    return sample, pc, tdfs, lams, _m_step(spark, pc, lams[0])
 
-    # M-step: vocab = chosen pieces ∪ corpus chars; re-quantize costs
-    # IN-ENGINE (ln parity with the oracle, like ngram_cost_table)
+
+def _m_step(spark, pc, char_vocab) -> list:
+    """M-step shared by the EM / prune / converged-training entries:
+    vocab = chosen pieces ∪ corpus chars (the SentencePiece
+    always-keep-characters rule), costs re-quantized IN-ENGINE
+    (ln parity with the oracle, like ngram_cost_table). Returns the
+    collected (piece, c, lam, v) rows — a model-sized table."""
     gc = pc.groupBy("piece").agg(F.sum("cnt").alias("c"))
-    chars = spark.createDataFrame([(g,) for g in lams[0]], "piece string")
+    chars = spark.createDataFrame([(g,) for g in char_vocab], "piece string")
     vocab = chars.join(gc, "piece", "full").select(
         "piece", F.coalesce("c", F.lit(0)).alias("c")
     )
@@ -14627,7 +14633,7 @@ def _em_state(spark, sf_dir):
         ).cast("bigint").alias("lam"),
         F.col("v"),
     )
-    return sample, pc, tdfs, lams, lamp.collect()
+    return lamp.collect()
 
 
 @q("unigram_lm_em_round", _em_round_sql())
@@ -15612,6 +15618,197 @@ def unigram_lm_prune_round(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+_TRAIN_MAX_ROUNDS = 2  # the oracle chains exactly this many round blocks
+
+
+def _train_converged_sql() -> str:
+    """DuckDB mirror of unigram_lm_train_converged: the full prune-round
+    CTE chain (sliced verbatim from _prune_round_sql so the three
+    mirrors cannot drift) is training round 1; round 2 re-runs
+    E (backtrace under the round-1 pruned model) → M → prune → DP as a
+    generated second block, and its row is emitted ONLY when round 1
+    strictly improved on the initial model's cost — the same exact-
+    integer early-exit the Spark driver loop takes."""
+    inf = 4_611_686_018_427_387_904  # packing.VIT_INF
+    lam_expr = (
+        "CAST(floor(-ln((c + 1)::DOUBLE / (tot + v)) * 1000000) AS BIGINT)"
+    )
+    base = _prune_round_sql().rsplit(",\ne3 AS (", 1)[0]
+    return base + f""",
+f0 AS (
+  SELECT CAST(sum(dp.p0 // 1024) AS BIGINT) AS cost
+  FROM dp JOIN ch ON ch.doc_id = dp.doc_id AND dp.i = ch.n
+),
+s3 AS (
+  SELECT CAST(sum(cost_ppm) AS BIGINT) AS cost,
+         CAST(sum(n_pieces) AS BIGINT) AS pieces
+  FROM fin3
+),
+choice2 AS MATERIALIZED (
+  SELECT cur.doc_id, cur.i,
+         CASE WHEN prev.p0 + g1.lam * 1024 + 1 = cur.p0 THEN 1
+              ELSE 2 END AS k,
+         CASE WHEN prev.p0 + g1.lam * 1024 + 1 = cur.p0
+              THEN ch.cs[cur.i]
+              ELSE ch.cs[cur.i - 1] || ch.cs[cur.i] END AS piece
+  FROM dp3 cur
+  JOIN dp3 prev ON prev.doc_id = cur.doc_id AND prev.i = cur.i - 1
+  JOIN ch ON ch.doc_id = cur.doc_id
+  JOIN l1b g1 ON g1.g = ch.cs[cur.i]
+  WHERE cur.i >= 1
+),
+bt2 AS (
+  SELECT doc_id, n AS pos FROM fin0 WHERE n > 0
+  UNION ALL
+  SELECT b.doc_id, b.pos - c.k
+  FROM bt2 b JOIN choice2 c ON c.doc_id = b.doc_id AND c.i = b.pos
+  WHERE b.pos - c.k > 0
+),
+pc2 AS (
+  SELECT c.piece, count(*) AS c
+  FROM bt2 b JOIN choice2 c ON c.doc_id = b.doc_id AND c.i = b.pos
+  GROUP BY c.piece
+),
+vocab2 AS MATERIALIZED (
+  SELECT coalesce(p.piece, cc.g) AS piece, coalesce(p.c, 0) AS c
+  FROM pc2 p FULL OUTER JOIN u1 cc ON cc.g = p.piece
+),
+tv2 AS (SELECT sum(c) AS tot, count(*) AS v FROM vocab2),
+lamp2 AS MATERIALIZED (
+  SELECT piece, c, {lam_expr} AS lam FROM vocab2 CROSS JOIN tv2
+),
+l1c AS MATERIALIZED (SELECT piece AS g, lam FROM lamp2 WHERE length(piece) = 1),
+l2d AS MATERIALIZED (SELECT piece AS g, lam FROM lamp2 WHERE length(piece) = 2),
+mult2 AS (
+  SELECT lp.piece, lp.c, (c1.lam + c2.lam - lp.lam) * lp.c AS delta
+  FROM lamp2 lp
+  JOIN l1c c1 ON c1.g = substr(lp.piece, 1, 1)
+  JOIN l1c c2 ON c2.g = substr(lp.piece, 2, 1)
+  WHERE length(lp.piece) = 2
+),
+ms2 AS (SELECT count(*) AS n_multi FROM mult2),
+kept2 AS MATERIALIZED (
+  SELECT piece FROM (
+    SELECT piece, row_number() OVER (ORDER BY delta DESC, piece) AS rk
+    FROM mult2
+  ) r CROSS JOIN ms2
+  WHERE r.rk <= (3 * ms2.n_multi + 3) // 4
+),
+l2e AS MATERIALIZED (
+  SELECT g, lam FROM l2d WHERE g IN (SELECT piece FROM kept2)
+),
+dp6 AS (
+  SELECT ch.doc_id, 0 AS i, 0::BIGINT AS p0, CAST(NULL AS BIGINT) AS p1
+  FROM ch JOIN samp USING (doc_id)
+  UNION ALL
+  SELECT d.doc_id, d.i + 1,
+         least(d.p0 + g1.lam * 1024 + 1,
+               coalesce(d.p1 + g2.lam * 1024 + 1, {inf})) AS p0,
+         d.p0 AS p1
+  FROM dp6 d
+  JOIN ch ON ch.doc_id = d.doc_id
+  JOIN l1c g1 ON g1.g = ch.cs[d.i + 1]
+  LEFT JOIN l2e g2 ON d.i >= 1 AND g2.g = ch.cs[d.i] || ch.cs[d.i + 1]
+  WHERE d.i < ch.n
+),
+fin6 AS (
+  SELECT dp6.doc_id, dp6.p0 // 1024 AS cost_ppm, dp6.p0 % 1024 AS n_pieces
+  FROM dp6 JOIN ch ON ch.doc_id = dp6.doc_id AND dp6.i = ch.n
+),
+s6 AS (
+  SELECT CAST(sum(cost_ppm) AS BIGINT) AS cost,
+         CAST(sum(n_pieces) AS BIGINT) AS pieces
+  FROM fin6
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS round,
+         (SELECT CAST(v AS BIGINT) FROM tv) AS vocab_v,
+         (SELECT CAST(n_multi AS BIGINT) FROM ms) AS n_multi,
+         (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+         (SELECT cost FROM f0) AS prev_cost_ppm,
+         (SELECT cost FROM s3) AS sum_cost_ppm,
+         (SELECT pieces FROM s3) AS sum_pieces
+  UNION ALL
+  SELECT CAST(2 AS BIGINT),
+         (SELECT CAST(v AS BIGINT) FROM tv2),
+         (SELECT CAST(n_multi AS BIGINT) FROM ms2),
+         (SELECT CAST(count(*) AS BIGINT) FROM kept2),
+         (SELECT cost FROM s3),
+         (SELECT cost FROM s6),
+         (SELECT pieces FROM s6)
+  WHERE (SELECT cost FROM s3) < (SELECT cost FROM f0)
+) ORDER BY round
+"""
+
+
+@q("unigram_lm_train_converged", _train_converged_sql())
+def unigram_lm_train_converged(spark, sf_dir):
+    """SentencePiece training TO CONVERGENCE (Kudo 2018 §3.2's outer
+    loop): repeat {E-step piece counts by Viterbi backtrace → M-step
+    re-quantize over pieces ∪ chars → prune the bottom quarter of
+    multi-char pieces by exact-integer utility} with the
+    pagerank_converged driver-loop shape (operators/iterative.py:66
+    precedent): one bounded-model collect per round, an exact-integer
+    monotone early exit (stop when a round fails to strictly reduce the
+    sample's optimal segmentation cost), capped at _TRAIN_MAX_ROUNDS so
+    the oracle can chain the identical round blocks. One row per
+    EXECUTED round — (round, vocab_v, n_multi, n_kept, prev_cost_ppm,
+    sum_cost_ppm, sum_pieces) — so the gate proves BOTH engines agree
+    on every round's pruned vocabulary AND on when training stops.
+    Scale shape: models are kilobyte tables broadcast into mapInPandas
+    DP workers; per-round driver traffic is one model-sized collect and
+    one 3-scalar aggregate; the corpus passes are embarrassingly
+    parallel across docs."""
+    from movievectorsearch_spark.operators.packing import (
+        viterbi_piece_counts,
+        viterbi_segment,
+    )
+
+    sample, pc, tdfs, lams, rows = _em_state(spark, sf_dir)
+
+    def _cost(lam1, lam2):
+        r = (
+            viterbi_segment(sample, lam1, lam2)
+            .agg(
+                F.sum("cost_ppm").alias("c"), F.sum("n_pieces").alias("p")
+            )
+            .collect()[0]
+        )
+        return int(r["c"]), int(r["p"])
+
+    prev_cost, _ = _cost(*lams)  # the initial model's optimum (oracle f0)
+    out = []
+    lam1p = lam2k = None
+    for rnd in range(1, _TRAIN_MAX_ROUNDS + 1):
+        if rnd > 1:
+            pc = viterbi_piece_counts(sample, lam1p, lam2k)
+            rows = _m_step(spark, pc, lams[0])
+        vocab_v = int(rows[0]["v"]) if rows else 0
+        lam1p = {r.piece: r.lam for r in rows if len(r.piece) == 1}
+        lam2p = {r.piece: r.lam for r in rows if len(r.piece) == 2}
+        mult = [
+            (r.piece, r.c * (lam1p[r.piece[0]] + lam1p[r.piece[1]] - r.lam))
+            for r in rows
+            if len(r.piece) == 2
+        ]
+        n_multi = len(mult)
+        keep_n = (3 * n_multi + 3) // 4
+        kept = sorted(mult, key=lambda t: (-t[1], t[0]))[:keep_n]
+        lam2k = {p: lam2p[p] for p, _ in kept}
+        cost, pieces = _cost(lam1p, lam2k)
+        out.append(
+            (rnd, vocab_v, n_multi, keep_n, prev_cost, cost, pieces)
+        )
+        if cost >= prev_cost:
+            break  # a round that fails to improve ends training
+        prev_cost = cost
+    return spark.createDataFrame(
+        out,
+        "round bigint, vocab_v bigint, n_multi bigint, n_kept bigint, "
+        "prev_cost_ppm bigint, sum_cost_ppm bigint, sum_pieces bigint",
+    ).orderBy("round")
 
 
 # ---------------------------------------------------------------------------

@@ -232,6 +232,37 @@ def test_char_ngrams(spark):
     assert rows[3] == []
 
 
+def test_gram_counts_arrow_bit_equal(spark, sf_dir):
+    """ngram_cost_table's Arrow gram counter must reproduce the
+    relational explode+groupBy EXACTLY (counts → identical λ tables)
+    over the corpus and over unicode edge rows — astral chars are one
+    code point per side, None/short texts contribute nothing."""
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.operators.packing import ngram_cost_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    edge = spark.createDataFrame(
+        [
+            (1, "abca"),
+            (2, "x"),
+            (3, ""),
+            (4, None),
+            (5, "emoji \U0001F600\U0001F600 and café mixed  CASE"),
+        ],
+        ["doc_id", "text"],
+    )
+    for df in (docs, edge):
+        for n in (1, 2):
+            a = sorted(
+                map(tuple, ngram_cost_table(df, n, impl="relational").collect())
+            )
+            b = sorted(
+                map(tuple, ngram_cost_table(df, n, impl="arrow").collect())
+            )
+            assert len(a) > 0
+            assert a == b
+
+
 def test_viterbi_piece_counts_reconstructs_dp_optimum(spark):
     """The backtraced piece counts must reproduce the DP's exact cost
     and piece count: sum(cnt * lam(piece)) == cost_ppm and

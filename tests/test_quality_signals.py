@@ -94,6 +94,30 @@ def test_prune_round_costs_monotone(spark, sf_dir):
         assert r.sum_pieces3 >= r.sum_pieces2
 
 
+def test_train_converged_rounds_strictly_monotone(spark, sf_dir):
+    """The converged-training loop must (a) execute >= 2 full rounds on
+    the test corpus (each EM+prune round strictly reduces the sample's
+    optimal segmentation cost), (b) report strictly-decreasing costs
+    with prev_cost_ppm chaining exactly, and (c) shrink the multi-char
+    vocabulary monotonically (prune only removes; segmentation under a
+    pruned model can never choose a pruned piece back)."""
+    out = (
+        Q.QUERIES["unigram_lm_train_converged"]["spark"](spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    )
+    assert len(out) >= 2
+    for i, r in enumerate(out):
+        assert r.round == i + 1
+        assert r.n_kept == (3 * r.n_multi + 3) // 4
+        if i + 1 < len(out):  # every non-final round strictly improved
+            assert r.sum_cost_ppm < r.prev_cost_ppm
+        if i > 0:
+            assert r.prev_cost_ppm == out[i - 1].sum_cost_ppm
+            assert r.n_multi <= out[i - 1].n_kept
+            assert r.vocab_v <= out[i - 1].vocab_v
+
+
 def _ref_bpe_train(words: dict[str, int], n: int):
     """Reference BPE trainer: weighted adjacent-symbol pair counts,
     argmax with (count DESC, pair ASC) tie-break."""
