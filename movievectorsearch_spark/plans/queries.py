@@ -16206,6 +16206,37 @@ def _rotated() -> list[str]:
         if n in QUERIES and n not in _driver_green_from_files(min_round=8)
     ]
     front_auto = front_r8 + [n for n in front_auto if n not in set(front_r8)]
+    # Round-9 priority splice: the Arrow twin-kernel work (winnow /
+    # bigram / gram-count / shingle-hash kernels) re-fronts the whole
+    # dedup module by module hash — 56 entries, 6 over the window. The
+    # r8 verdict's 9 rotated greens go FIRST (judge task #2), then the
+    # entries whose PLAN actually changed this round (kernel consumers
+    # + the new converged-training entry); module-hash-only rechecks of
+    # already-green entries fill the remaining slots and any spill
+    # re-proves next round (the round-8 pattern). Retires automatically
+    # once a round-9+ file records these green.
+    _r9_critical = [
+        # the 9 rotated driver greens (changed in r8, window-spilled)
+        "covisitation_triangles", "dedup_keep_best_rewrite",
+        "dsir_gumbel_resample", "dsir_importance_topk",
+        "lm_bigram_xent_by_lang", "lsh_candidate_quality",
+        "semantic_clusters", "semantic_decontamination",
+        "shard_balance_report",
+        # round-9 behavior changes: doc-local Arrow kernels + new entry
+        "winnowing_fingerprints", "winnow_dup_pairs",
+        "ccnet_ppl_buckets", "doremi_mixture_update",
+        "unigram_lm_em_round", "unigram_lm_prune_round",
+        "unigram_lm_train_converged", "viterbi_segment_cost",
+        "viterbi_segment_chunked", "contamination_ngram_overlap",
+        "dedup_minhash_signature", "dedup_minhash_lsh",
+        "incremental_dedup_store", "containment_minhash_pairs",
+        "cross_source_dup_matrix", "dedup_oph_pairs",
+    ]
+    front_r9 = [
+        n for n in _r9_critical
+        if n in QUERIES and n not in _driver_green_from_files(min_round=9)
+    ]
+    front_auto = front_r9 + [n for n in front_auto if n not in set(front_r9)]
     # queries whose implementation changed or were added this round
     # re-prove even if previously green — but once a round-2+ file
     # records them green, they retire from the front automatically

@@ -81,6 +81,67 @@ def test_contamination_excludes_benchmark_and_bounds(spark, sf_dir):
         assert r.n_overlap * 100 >= r.n_shingles * 5
 
 
+def test_shingle_hash_kernel_bit_equal(spark, sf_dir):
+    """The prefix-hash shingle kernel (operators/shingle_arrow.py) must
+    reproduce explode(+array_distinct)(word_shingles) + poly_hash
+    row-for-row: corpus, null text (one NULL row), empty/short docs
+    (whole-doc fallback shingle, poly_hash('')=0), NBSP/astral chars,
+    distinct and non-distinct forms."""
+    from movievectorsearch_spark.functions.hashing import poly_hash
+    from movievectorsearch_spark.functions.text import word_shingles
+    from movievectorsearch_spark.operators.shingle_arrow import (
+        shingle_hash_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edge = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "one two"),
+            (4, "a b c d e f seven words here ok"),
+            (5, "x\xa0y nbsp token plus enough extra words to shingle"),
+            (6, "emoji \U0001F600 doc with enough words for five grams"),
+        ],
+        ["doc_id", "text"],
+    )
+    key = lambda t: (t[0], -1 if t[1] is None else t[1])  # noqa: E731
+    for df in (docs, edge):
+        for distinct in (True, False):
+            shexp = word_shingles(F.col("text"), 5)
+            if distinct:
+                shexp = F.array_distinct(shexp)
+            rel = df.select("doc_id", F.explode(shexp).alias("s")).select(
+                F.col("doc_id").alias("id"),
+                poly_hash(F.col("s")).alias("h"),
+            )
+            a = sorted(((r.id, r.h) for r in rel.collect()), key=key)
+            b = sorted(
+                (
+                    (r.id, r.h)
+                    for r in shingle_hash_rows(
+                        df, "doc_id", "text", 5, distinct=distinct
+                    ).collect()
+                ),
+                key=key,
+            )
+            assert len(a) > 0
+            assert a == b
+
+
+def test_contamination_identical_across_impls(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pred = F.col("doc_id") % 97 == 0
+    a = sorted(
+        map(tuple, contamination_overlap(d, pred, impl="arrow").collect())
+    )
+    b = sorted(
+        map(tuple, contamination_overlap(d, pred, impl="relational").collect())
+    )
+    assert len(a) > 0
+    assert a == b
+
+
 def test_quantize_int8_error_bound(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     out = quantize_int8(e).toPandas()

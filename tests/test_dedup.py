@@ -532,3 +532,47 @@ def test_embedding_neardup_unblocked_requires_explicit_opt_in(spark):
         df, "vec_id", "embedding", None, 0.95, allow_all_pairs=True
     ).collect()
     assert {(r["a_id"], r["b_id"]) for r in out} == {(1, 2)}
+
+
+def test_minhash_signature_identical_across_impls(spark, sf_dir):
+    """The Arrow shingle-hash kernel must yield the SAME signatures and
+    distinct counts as the explode + poly_hash form (mins are
+    duplicate-insensitive; n_shingles dedups by STRING in both)."""
+    from movievectorsearch_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        map(
+            tuple,
+            D.minhash_signature(
+                docs, "doc_id", "text", include_size=True, impl="arrow"
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            D.minhash_signature(
+                docs, "doc_id", "text", include_size=True, impl="relational"
+            ).collect(),
+        )
+    )
+    assert len(a) > 0
+    assert a == b
+
+
+def test_oph_signature_identical_across_impls(spark, sf_dir):
+    from movievectorsearch_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        map(tuple, D.oph_signature(docs, "doc_id", "text", impl="arrow").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            D.oph_signature(docs, "doc_id", "text", impl="relational").collect(),
+        )
+    )
+    assert len(a) > 0
+    assert a == b
