@@ -38,7 +38,15 @@ def vector_lit(vec: Sequence[float]) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product, sequential left-fold (same order as the oracle)."""
+    """Dot product, sequential left-fold (same order as the oracle).
+
+    REJECTED alternative (round 9, measured): unrolling to a fixed-dim
+    ``get(a,0)*get(b,0) + …`` chain — bit-equal (same left-assoc IEEE
+    order) and nominally codegen-friendly, but 2× SLOWER at both 2k
+    rows and 100k broadcast pairs at dim 64 (the 128-node expression
+    tree defeats whole-stage codegen's method-size limits and the
+    per-element ``get``+cast pairs cost more than the interpreted
+    fold's single array traversal). The fold form stands."""
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
         F.lit(0.0),
