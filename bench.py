@@ -467,19 +467,42 @@ def _normalized_delta(detail: dict, here: str, round_no: int) -> dict | None:
         return None
     if prev.get("sf") != detail.get("sf"):
         return None  # cross-sf deltas are meaningless
-    seg_ratios = {}
-    for seg, key in (("head", "calibration_sec"),
-                     ("mid", "calibration_mid_sec"),
-                     ("end", "calibration_end_sec")):
-        if prev.get(key):
-            seg_ratios[seg] = round(detail[key] / prev[key], 4)
+    def _median(vals):
+        s = sorted(vals)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    # Per-PROBE ratios, not total/total: a calibration probe whose PLAN
+    # changed between rounds (round 9: dedup_minhash_lsh gained the
+    # shingle kernel) would otherwise launder its own speedup into the
+    # "machine" ratio and inflate every other query's normalized time.
+    # The per-segment median over the 5 probes is robust to 1-2 changed
+    # probes; probes deviating >15% from their segment median are
+    # reported as outliers so a changed-plan probe is visible.
+    seg_ratios, probe_ratios, outliers = {}, {}, {}
+    for seg, key in (("head", "calibration"),
+                     ("mid", "calibration_mid"),
+                     ("end", "calibration_end")):
+        cur_m, prev_m = detail.get(key) or {}, prev.get(key) or {}
+        common_p = [n for n in cur_m if prev_m.get(n)]
+        if common_p:
+            rs = {n: round(cur_m[n] / prev_m[n], 4) for n in common_p}
+            probe_ratios[seg] = rs
+            med = _median(rs.values())
+            seg_ratios[seg] = round(med, 4)
+            outliers[seg] = {
+                n: r for n, r in rs.items() if abs(r / med - 1) > 0.15
+            }
+        elif prev.get(key + "_sec"):
+            seg_ratios[seg] = round(
+                detail[key + "_sec"] / prev[key + "_sec"], 4
+            )
     if not seg_ratios:
         return None
-    srt = sorted(seg_ratios.values())
-    cal_ratio = srt[len(srt) // 2] if len(srt) % 2 else round(
-        (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2, 4
-    )
+    cal_ratio = round(_median(seg_ratios.values()), 4)
     out: dict = {"prev_round": round_no - 1, "segment_ratios": seg_ratios,
+                 "probe_ratios": probe_ratios,
+                 "probe_outliers": {k: v for k, v in outliers.items() if v},
                  "calibration_ratio": cal_ratio}
     for tier, cur_key, prev_key in (("common", "queries", "queries"),
                                     ("heavy", "heavy", "heavy")):
