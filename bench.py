@@ -406,14 +406,26 @@ BENCH_EXCLUDED = {
 # plan-diverse probe timed FIRST every run and stamped into the output
 # as calibration_sec. Round-over-round comparisons normalize by the
 # calibration ratio instead of an ad-hoc same-code rerun (ROUND7_NOTES
-# §7 did that by hand; this makes it structural). Membership is FROZEN
-# — changing it breaks the normalization chain, so don't.
+# §7 did that by hand; this makes it structural).
+#
+# Membership policy (revised round 10, judge item #7): probes must be
+# PLAN-STABLE — drawn only from queries whose implementation closure
+# (plans/fingerprint.py) lives in modules not under active development,
+# so a probe's own plan change can never masquerade as machine drift
+# (round 9: dedup_minhash_lsh gained the shingle kernel and had to be
+# median-ed out). tests/test_bench_policy.py asserts every probe's
+# fingerprint matches the frozen QUERY_FPRINTS_HEAD.json snapshot — a
+# same-round probe-plan change fails CI instead of contaminating the
+# ratio. The round-10 swap (dedup_minhash_lsh, pack_sequences →
+# q5_region_revenue, pandas_mad_by_type) degrades one round of deltas
+# gracefully: _normalized_delta ratios are computed over the probes
+# COMMON to both rounds (3 survivors for r10-vs-r9), full 5 from r11.
 CALIBRATION_QUERIES = [
     "q1_pricing_summary",   # scan-heavy agg, whole-stage codegen
     "knn_topk",             # vector kernel, JVM higher-order funcs
-    "dedup_minhash_lsh",    # banded LSH self-join, big shuffle
+    "q5_region_revenue",    # multi-table join chain, shuffle path
     "events_hourly",        # timestamp bucketing window agg
-    "pack_sequences",       # two-phase prefix sum, mapInPandas exchange
+    "pandas_mad_by_type",   # GROUPED_AGG pandas UDF, Python workers
 ]
 
 
@@ -500,6 +512,23 @@ def _normalized_delta(detail: dict, here: str, round_no: int) -> dict | None:
     if not seg_ratios:
         return None
     cal_ratio = round(_median(seg_ratios.values()), 4)
+
+    # Tier-specific ratios (round-10 judge item #1): the headline tier
+    # executes between the head and mid probes, the heavy tier between
+    # the mid and end probes — normalizing the heavy tier by the
+    # headline-bracketing median left a late-run contention window
+    # invisible (r9's heavy "+28.2%" was unattributable: three
+    # same-tree runs spanned 60.5/75.6/95.9 s). Each tier's delta is
+    # normalized by the median of the per-probe ratios from ITS OWN
+    # bracketing probe pair; the overall 3-segment median is kept as
+    # calibration_ratio for the stdout line and cross-round context.
+    def _bracket_ratio(segs: tuple[str, ...]) -> float | None:
+        vals = [r for s in segs for r in probe_ratios.get(s, {}).values()]
+        if not vals:
+            vals = [seg_ratios[s] for s in segs if s in seg_ratios]
+        return round(_median(vals), 4) if vals else None
+
+    tier_brackets = {"common": ("head", "mid"), "heavy": ("mid", "end")}
     out: dict = {"prev_round": round_no - 1, "segment_ratios": seg_ratios,
                  "probe_ratios": probe_ratios,
                  "probe_outliers": {k: v for k, v in outliers.items() if v},
@@ -510,22 +539,30 @@ def _normalized_delta(detail: dict, here: str, round_no: int) -> dict | None:
         common = sorted(set(cur_t) & set(prev_t))
         if not common:
             continue
+        ratio = _bracket_ratio(tier_brackets[tier]) or cal_ratio
         deltas = {
-            n: round(cur_t[n] / cal_ratio - prev_t[n], 3) for n in common
+            n: round(cur_t[n] / ratio - prev_t[n], 3) for n in common
         }
         raw = round(sum(cur_t[n] for n in common), 3)
-        norm = round(raw / cal_ratio, 3)
+        norm = round(raw / ratio, 3)
         was = round(sum(prev_t[n] for n in common), 3)
         ranked = sorted(deltas.items(), key=lambda kv: kv[1])
+        # trim each list at the zero crossing: with a small tier every
+        # delta can share a sign, and ranked[:8] would list the smallest
+        # regressions as "improvements" (r9 heavy block did exactly that)
+        improvements = [(n, d) for n, d in ranked[:8] if d < 0]
+        regressions = [(n, d) for n, d in ranked[-8:][::-1] if d > 0]
         out[tier] = {
             "n_common": len(common),
+            "tier_ratio": ratio,
+            "tier_probe_pair": list(tier_brackets[tier]),
             "prev_total_sec": was,
             "cur_total_raw_sec": raw,
             "cur_total_normalized_sec": norm,
             "normalized_delta_sec": round(norm - was, 3),
             "normalized_delta_pct": round(100 * (norm - was) / was, 2),
-            "top_improvements": dict(ranked[:8]),
-            "top_regressions": dict(ranked[-8:][::-1]),
+            "top_improvements": dict(improvements),
+            "top_regressions": dict(regressions),
         }
     return out
 

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from movievectorsearch_spark.operators import check_impl
+
 from movievectorsearch_spark.functions.hashing import (
     P,
     minhash_permute,
@@ -64,6 +66,7 @@ def contamination_overlap(
     is tiny (an eval set) → Catalyst broadcasts it and the corpus never
     shuffles.
     """
+    check_impl(impl)
     if impl == "arrow":
         from movievectorsearch_spark.operators.shingle_arrow import (
             shingle_hash_rows,

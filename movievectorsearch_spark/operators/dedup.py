@@ -34,6 +34,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from movievectorsearch_spark.operators import check_impl
+
 from movievectorsearch_spark.functions.hashing import (
     P,
     minhash_coeffs,
@@ -176,6 +178,7 @@ def minhash_signature(
     count) in the SAME groupBy — the set cardinality the asymmetric
     containment estimator needs, at zero extra passes."""
     coeffs = minhash_coeffs(num_hashes)
+    check_impl(impl)
     if impl == "arrow":
         from movievectorsearch_spark.operators.shingle_arrow import (
             shingle_hash_rows,
@@ -184,7 +187,10 @@ def minhash_signature(
         sh = shingle_hash_rows(
             df, id_col, text_col, shingle_n, distinct=True
         ).select(F.col("id").alias(id_col), "h")
-        size_agg = F.count("*").cast("bigint").alias("n_shingles")
+        # count('h'), not count('*'): null text emits one (id, NULL) row
+        # in both forms, and countDistinct('shingle') ignores the NULL —
+        # the NULL-ignoring count keeps n_shingles bit-equal (0, not 1).
+        size_agg = F.count("h").cast("bigint").alias("n_shingles")
     else:
         sh = df.select(
             F.col(id_col),
@@ -1038,6 +1044,7 @@ def oph_signature(
     Returns ``(id_col, slot, slot_val)`` — ``k`` rows per document.
     """
     a0, b0 = minhash_coeffs(1, seed=97)[0]
+    check_impl(impl)
     if impl == "arrow":
         # per-bin minima are duplicate-insensitive, so the doc-local
         # prefix-hash kernel feeds this with distinct=True — identical

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from movievectorsearch_spark.operators import check_impl
+
 from movievectorsearch_spark.functions.hashing import (
     P,
     int_mix,
@@ -272,6 +274,7 @@ def bigram_xent(
     build and scoring are map-side joins against broadcast model
     tables built from the cached histogram."""
     carry = carry or []
+    check_impl(impl)
     if impl == "arrow":
         bg = bigram_counts_arrow(docs, carry)
     else:

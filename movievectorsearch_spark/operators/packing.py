@@ -39,6 +39,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from movievectorsearch_spark.operators import check_impl
+
 __all__ = ["global_prefix_sum", "global_rank_cumsum", "pack_sequences"]
 
 
@@ -254,7 +256,7 @@ def ngram_cost_table(docs, n: int, impl: str = "arrow"):
 
     from movievectorsearch_spark.operators.dsir import char_bigrams
 
-    if impl == "arrow" and n <= 2:
+    if check_impl(impl) == "arrow" and n <= 2:
         cnt = (
             gram_counts_arrow(docs, n)
             .groupBy("g")

@@ -84,11 +84,14 @@ def shingle_hash_rows(
         ws = re.compile("[ \t\n\x0b\f\r]+")
 
         for pdf in batches:
-            out_id, out_h = [], []
+            # normalize first so the 31-power / inverse-power tables are
+            # built ONCE per batch (sized to the longest doc) instead of
+            # twice per document — prefix sums below just slice them.
+            normed: list[tuple] = []
+            max_ln = 0
             for doc_id, text in zip(pdf["id"], pdf["text"]):
                 if text is None:
-                    out_id.append(doc_id)
-                    out_h.append(None)
+                    normed.append((doc_id, None, None, None))
                     continue
                 toks = [
                     t for t in ws.split(text.strip(" ").lower()) if t
@@ -97,9 +100,20 @@ def shingle_hash_rows(
                 codes = np.frombuffer(
                     norm.encode("utf-32-le"), dtype="<u4"
                 ).astype(np.int64)
+                if len(codes) > max_ln:
+                    max_ln = len(codes)
+                normed.append((doc_id, toks, norm, codes))
+            pw = _geom_table(31, max_ln)
+            ipw_all = _geom_table(inv31, max(max_ln - 1, 0))
+
+            out_id, out_h = [], []
+            for doc_id, toks, norm, codes in normed:
+                if toks is None:
+                    out_id.append(doc_id)
+                    out_h.append(None)
+                    continue
                 ln = len(codes)
-                pw = _geom_table(31, ln)
-                ipw = _geom_table(inv31, max(ln - 1, 0))[:ln]
+                ipw = ipw_all[:ln]
                 w = codes * ipw % P
                 s_cum = np.concatenate(
                     [np.zeros(1, np.int64), np.cumsum(w) % P]

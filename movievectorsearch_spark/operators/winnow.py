@@ -50,6 +50,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from movievectorsearch_spark.operators import check_impl
+
 from movievectorsearch_spark.functions.hashing import P
 from movievectorsearch_spark.functions.text import tokens
 
@@ -275,7 +277,11 @@ def winnow_fingerprints(
     # eh feeds BOTH the per-hash doc count and the join probe side —
     # cached via the shared persist registry so the doc-local kernel
     # runs once (uncached, Spark plans the subtree twice).
-    rows_fn = fingerprint_rows_arrow if impl == "arrow" else fingerprint_rows
+    rows_fn = (
+        fingerprint_rows_arrow
+        if check_impl(impl) == "arrow"
+        else fingerprint_rows
+    )
     eh = rows_fn(docs, id_col, text_col, k, w)
     if persist is not None:
         eh = persist(eh)
@@ -326,7 +332,11 @@ def winnow_dup_pairs(
     would make the self-join quadratic (a hash shared by m docs emits
     m² pairs; the cap bounds that to max_df² — the same no-cartesian
     discipline as the banded-LSH joins)."""
-    rows_fn = fingerprint_rows_arrow if impl == "arrow" else fingerprint_rows
+    rows_fn = (
+        fingerprint_rows_arrow
+        if check_impl(impl) == "arrow"
+        else fingerprint_rows
+    )
     eh = rows_fn(docs, id_col, text_col, k, w)
     if persist is not None:
         eh = persist(eh)

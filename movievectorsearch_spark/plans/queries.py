@@ -15143,7 +15143,23 @@ _PPL_BUCKETS = 3  # CCNet's head / middle / tail
 # the xent CTE chain is shared verbatim with lm_bigram_xent_by_lang —
 # built by slicing _LM_XENT_SQL ahead of its final SELECT, so the two
 # oracles can never drift apart
-_CCNET_SQL = _LM_XENT_SQL.rsplit("SELECT d.lang", 1)[0] + f""",
+def _slice_sql(sql: str, anchor: str) -> str:
+    """Prefix of a rendered oracle SQL up to (excluding) ``anchor``.
+
+    The oracle-mirror builders share CTE chains by slicing an already-
+    rendered sibling SQL; an incidental reformat (whitespace, a CTE
+    rename) used to yield a silently malformed splice caught only by
+    the next parity sweep (ADVICE r9). Asserting the anchor occurs
+    exactly once turns that into an import-time error."""
+    n = sql.count(anchor)
+    if n != 1:
+        raise AssertionError(
+            f"SQL splice anchor {anchor!r} occurs {n} times (expected 1)"
+        )
+    return sql.split(anchor, 1)[0]
+
+
+_CCNET_SQL = _slice_sql(_LM_XENT_SQL, "SELECT d.lang") + f""",
 b AS (
   SELECT d.lang, x.xent_ppm,
          ntile({_PPL_BUCKETS}) OVER (PARTITION BY d.lang
@@ -15419,7 +15435,7 @@ def token_zipf_fit(spark, sf_dir):
 
 # shares the xent CTE chain verbatim with lm_bigram_xent_by_lang (the
 # chain is label-free; labels join in afterwards)
-_DOREMI_SQL = _LM_XENT_SQL.rsplit("SELECT d.lang", 1)[0] + """,
+_DOREMI_SQL = _slice_sql(_LM_XENT_SQL, "SELECT d.lang") + """,
 xs AS (SELECT x.doc_id, d.source, x.xent_ppm
        FROM x JOIN documents d USING (doc_id)),
 base AS (SELECT CAST(sum(xent_ppm) // count(*) AS BIGINT) AS b FROM xs),
@@ -15495,7 +15511,7 @@ def _prune_round_sql() -> str:
     cannot drift), then utility-ranked pruning of the multi-char
     vocabulary and a third DP under the pruned model."""
     inf = 4_611_686_018_427_387_904  # packing.VIT_INF
-    prefix = _em_round_sql().rsplit("SELECT e2.lang", 1)[0].rstrip()
+    prefix = _slice_sql(_em_round_sql(), "SELECT e2.lang").rstrip()
     return prefix + f""",
 mult AS (
   SELECT v.piece, v.c,
@@ -15635,7 +15651,7 @@ def _train_converged_sql() -> str:
     lam_expr = (
         "CAST(floor(-ln((c + 1)::DOUBLE / (tot + v)) * 1000000) AS BIGINT)"
     )
-    base = _prune_round_sql().rsplit(",\ne3 AS (", 1)[0]
+    base = _slice_sql(_prune_round_sql(), ",\ne3 AS (")
     return base + f""",
 f0 AS (
   SELECT CAST(sum(dp.p0 // 1024) AS BIGINT) AS cost
@@ -16237,6 +16253,26 @@ def _rotated() -> list[str]:
         if n in QUERIES and n not in _driver_green_from_files(min_round=9)
     ]
     front_auto = front_r9 + [n for n in front_auto if n not in set(front_r9)]
+    # Round-10 priority splice (judge task #2): the 6 rechecks the
+    # _r9_critical splice pushed past the 50-slot window go FIRST this
+    # round — nothing may displace them again — then the one entry whose
+    # observable behavior round 10 touches (containment_minhash_pairs
+    # consumes minhash_signature(include_size=True), whose arrow-path
+    # n_shingles count became NULL-ignoring per ADVICE r9). Every other
+    # round-10 edit is behavior-neutral (impl validation, byte-identical
+    # SQL-splice refactor, bit-equal per-batch power-table hoist);
+    # module-hash rechecks fill the remaining slots automatically.
+    _r10_critical = [
+        "parts_abc_pareto", "vocab_coverage_curve",
+        "dedup_threshold_sweep", "corpus_shard_manifest",
+        "parallel_text_mining", "quality_classifier_funnel",
+        "containment_minhash_pairs",
+    ]
+    front_r10 = [
+        n for n in _r10_critical
+        if n in QUERIES and n not in _driver_green_from_files(min_round=10)
+    ]
+    front_auto = front_r10 + [n for n in front_auto if n not in set(front_r10)]
     # queries whose implementation changed or were added this round
     # re-prove even if previously green — but once a round-2+ file
     # records them green, they retire from the front automatically

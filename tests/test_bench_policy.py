@@ -59,3 +59,88 @@ def test_heavy_tier_is_the_iterative_family():
             f"{name} reaches {closure & iter_mods} but is excluded from "
             "both bench tiers"
         )
+
+
+def test_calibration_probes_are_plan_stable():
+    """Round-10 judge item #7: no calibration probe's implementation
+    fingerprint may change within a round — a probe plan change would
+    launder its own speedup into the machine-drift ratio. Compares
+    against the frozen QUERY_FPRINTS_HEAD.json snapshot; if this fails,
+    either revert the probe's module edit or swap the probe for a
+    plan-stable query AND document the normalization-chain break in the
+    round notes."""
+    import json
+
+    import movievectorsearch_spark.plans.fingerprint as FP
+
+    with open(FP.HEAD_PATH) as f:
+        head = json.load(f)
+    cur = FP.query_fingerprints(Q.QUERIES)
+    drifted = [
+        n for n in bench.CALIBRATION_QUERIES
+        if n in head and head[n] != cur.get(n)
+    ]
+    assert drifted == [], (
+        f"calibration probes changed plan this round: {drifted} — "
+        "swap them for plan-stable queries or revert the module edit"
+    )
+    missing = [n for n in bench.CALIBRATION_QUERIES if n not in Q.QUERIES]
+    assert missing == []
+
+
+def _detail(queries, heavy, cal, cal_mid, cal_end, sf=0.1):
+    return {
+        "sf": sf,
+        "queries": queries,
+        "heavy": heavy,
+        "calibration": cal,
+        "calibration_mid": cal_mid,
+        "calibration_end": cal_end,
+    }
+
+
+def test_normalized_delta_uses_bracketing_probe_pair(tmp_path):
+    """The heavy tier runs between the mid and end probes; its delta
+    must be normalized by THAT pair, not the headline median (round-10
+    judge item #1). Machine runs 2x slow from mid onward: headline
+    (head+mid bracket → median 1.5) and heavy (mid+end → 2.0) see
+    different ratios."""
+    import json
+
+    probes = {"p1": 1.0}
+    prev = _detail({"a": 10.0}, {"h": 10.0}, probes, probes, probes)
+    with open(tmp_path / "BENCH_DETAIL_r09.json", "w") as f:
+        json.dump(prev, f)
+    cur = _detail({"a": 15.0}, {"h": 20.0},
+                  {"p1": 1.0}, {"p1": 2.0}, {"p1": 2.0})
+    out = bench._normalized_delta(cur, str(tmp_path), 10)
+    assert out["common"]["tier_ratio"] == 1.5
+    assert out["common"]["tier_probe_pair"] == ["head", "mid"]
+    assert out["common"]["cur_total_normalized_sec"] == 10.0
+    assert out["common"]["normalized_delta_sec"] == 0.0
+    assert out["heavy"]["tier_ratio"] == 2.0
+    assert out["heavy"]["tier_probe_pair"] == ["mid", "end"]
+    assert out["heavy"]["cur_total_normalized_sec"] == 10.0
+    assert out["heavy"]["normalized_delta_sec"] == 0.0
+
+
+def test_top_lists_trim_at_zero_crossing(tmp_path):
+    """An all-regression tier must report NO improvements (round-9
+    heavy block listed +2.07 in both lists)."""
+    import json
+
+    probes = {"p1": 1.0}
+    prev = _detail({f"q{i}": 1.0 for i in range(3)},
+                   {"h1": 1.0, "h2": 1.0}, probes, probes, probes)
+    with open(tmp_path / "BENCH_DETAIL_r09.json", "w") as f:
+        json.dump(prev, f)
+    cur = _detail(
+        {"q0": 2.0, "q1": 3.0, "q2": 0.5},   # two regress, one improves
+        {"h1": 2.0, "h2": 4.0},               # all regress
+        probes, probes, probes,
+    )
+    out = bench._normalized_delta(cur, str(tmp_path), 10)
+    assert set(out["common"]["top_improvements"]) == {"q2"}
+    assert set(out["common"]["top_regressions"]) == {"q0", "q1"}
+    assert out["heavy"]["top_improvements"] == {}
+    assert set(out["heavy"]["top_regressions"]) == {"h1", "h2"}

@@ -540,7 +540,14 @@ def test_minhash_signature_identical_across_impls(spark, sf_dir):
     duplicate-insensitive; n_shingles dedups by STRING in both)."""
     from movievectorsearch_spark.catalog import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # null-text doc: both impls must agree on n_shingles=0 / NULL mins
+    # (the arrow branch's count('*') used to read 1 here — ADVICE r9)
+    docs = docs.union(
+        spark.createDataFrame(
+            [(-1, None)], "doc_id BIGINT, text STRING"
+        )
+    )
     a = sorted(
         map(
             tuple,
