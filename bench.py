@@ -426,7 +426,89 @@ CALIBRATION_QUERIES = [
     "q5_region_revenue",    # multi-table join chain, shuffle path
     "events_hourly",        # timestamp bucketing window agg
     "pandas_mad_by_type",   # GROUPED_AGG pandas UDF, Python workers
+    # round 11 (judge task #2): second Python-worker-path probe so that
+    # class has in-run redundancy — r10's drift hit Python workers
+    # 1.7-2.5x while JVM queries ran flat, and the 3 surviving probes
+    # were all JVM-path, so the normalization could not see it.
+    # functions/sentences.py is not under active development (probe
+    # plan-stability policy above).
+    "sentence_split_udtf",  # Arrow Python UDTF, Python workers
 ]
+
+# Execution-path class per probe (round-11 judge task #2): machine
+# drift is not uniform across paths — contention hits the Python
+# worker pool (mapInPandas / GROUPED_AGG / UDTF, Arrow IPC + pickled
+# control plane) disproportionately vs whole-stage-codegen JVM stages.
+# _normalized_delta normalizes each benched query by the probe ratios
+# of ITS OWN path class (benched queries are classified at run time
+# from their physical plan, see _exec_path).
+CALIBRATION_PATHS = {
+    "q1_pricing_summary": "jvm",
+    "knn_topk": "jvm",
+    "q5_region_revenue": "jvm",
+    "events_hourly": "jvm",
+    "pandas_mad_by_type": "python",
+    "sentence_split_udtf": "python",
+}
+
+# Quiet-floor set (round-11 judge task #1): the ~20 most expensive
+# headline entries by the r10 driver table — together ≈33% of raw
+# common-209 wall time, and the entire population in which the r10
+# driver-vs-builder discrepancy (+7.16% vs −3.0% normalized)
+# concentrated. tools/heavy_quiet.py --tier headline times these on a
+# quiet box (min-of-N, probe-bracketed, cross-run min-merged at the
+# same commit) into QUIET_r{N}.json; _floor_cross_check stamps the
+# driver's per-query reading against that committed floor so a
+# contended driver run is adjudicated per query instead of argued
+# about per round.
+QUIET_FLOOR_QUERIES = [
+    "unigram_lm_em_round",
+    "winnowing_fingerprints",
+    "viterbi_segment_cost",
+    "winnow_dup_pairs",
+    "semantic_decontamination",
+    "knn_hubness_report",
+    "dedup_embedding_cosine",
+    "parallel_text_mining",
+    "doremi_mixture_update",
+    "unigram_lm_prune_round",
+    "viterbi_segment_chunked",
+    "ccnet_ppl_buckets",
+    "lm_bigram_xent_by_lang",
+    "orders_market_basket",
+    "pq_adc_knn_recall",
+    "table_checksum_audit",
+    "ingest_pipeline",
+    "embedding_quantize_int8",
+    "dedup_minhash_lsh",
+    "dedup_oph_pairs",
+]
+
+# physical-plan markers of Python-worker execution (Arrow-batched
+# pandas UDF / mapInPandas / applyInPandas / UDTF / row-pickling UDF)
+_PY_PLAN_MARKERS = (
+    "InPandas", "ArrowEvalPython", "BatchEvalPython", "PythonUDTF",
+    "MapInArrow", "EvalPythonUDTF",
+    # Spark 4.1 names the GROUPED_AGG pandas-UDF node ArrowAggregatePython
+    "AggregatePython",
+)
+
+
+def _exec_path(df) -> str:
+    """'python' if the query's physical plan runs any Python-worker
+    stage, else 'jvm'. Read from the executed plan of the DataFrame the
+    registry builder returns — for multi-job queries this sees the
+    final job's plan, which is the right label for the dominant serve
+    path (the heavy CC loops are normalized by their own tier anyway).
+    """
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        try:
+            plan = df._jdf.queryExecution().toString()
+        except Exception:
+            return "unknown"
+    return "python" if any(m in plan for m in _PY_PLAN_MARKERS) else "jvm"
 
 
 def _timed_min(spark, sf_dir: str, names: list[str],
@@ -522,13 +604,30 @@ def _normalized_delta(detail: dict, here: str, round_no: int) -> dict | None:
     # normalized by the median of the per-probe ratios from ITS OWN
     # bracketing probe pair; the overall 3-segment median is kept as
     # calibration_ratio for the stdout line and cross-round context.
+    def _bracket_vals(segs: tuple[str, ...], path: str | None = None):
+        return [
+            r
+            for s in segs
+            for n, r in probe_ratios.get(s, {}).items()
+            if path is None or CALIBRATION_PATHS.get(n) == path
+        ]
+
     def _bracket_ratio(segs: tuple[str, ...]) -> float | None:
-        vals = [r for s in segs for r in probe_ratios.get(s, {}).values()]
+        vals = _bracket_vals(segs)
         if not vals:
             vals = [seg_ratios[s] for s in segs if s in seg_ratios]
         return round(_median(vals), 4) if vals else None
 
     tier_brackets = {"common": ("head", "mid"), "heavy": ("mid", "end")}
+    # execution-path class per benched query, recorded by main() from
+    # each query's physical plan (round-11 judge task #2): drift can be
+    # path-specific — r10's contention hit Python-worker queries
+    # 1.7-2.5x while JVM queries ran flat, and a single per-tier median
+    # under-corrects exactly that mode. Each query is normalized by the
+    # median of ITS path's probe ratios from the tier's bracketing pair;
+    # queries with no path label (older artifacts) fall back to the
+    # all-probe tier ratio, so pre-r11 comparisons are unchanged.
+    paths = detail.get("paths") or {}
     out: dict = {"prev_round": round_no - 1, "segment_ratios": seg_ratios,
                  "probe_ratios": probe_ratios,
                  "probe_outliers": {k: v for k, v in outliers.items() if v},
@@ -540,12 +639,40 @@ def _normalized_delta(detail: dict, here: str, round_no: int) -> dict | None:
         if not common:
             continue
         ratio = _bracket_ratio(tier_brackets[tier]) or cal_ratio
+        path_ratios = {}
+        for p in ("jvm", "python"):
+            vals = _bracket_vals(tier_brackets[tier], p)
+            if vals:
+                path_ratios[p] = round(_median(vals), 4)
+
+        def _ratio_for(name: str) -> float:
+            return path_ratios.get(paths.get(name)) or ratio
+
         deltas = {
-            n: round(cur_t[n] / ratio - prev_t[n], 3) for n in common
+            n: round(cur_t[n] / _ratio_for(n) - prev_t[n], 3)
+            for n in common
         }
         raw = round(sum(cur_t[n] for n in common), 3)
-        norm = round(raw / ratio, 3)
+        norm = round(sum(cur_t[n] / _ratio_for(n) for n in common), 3)
         was = round(sum(prev_t[n] for n in common), 3)
+        # per-path aggregates: the audit trail for path-specific drift
+        path_totals = {}
+        for p in ("jvm", "python", "unknown"):
+            ns = [n for n in common if paths.get(n) == p]
+            if not ns:
+                continue
+            p_raw = round(sum(cur_t[n] for n in ns), 3)
+            p_norm = round(sum(cur_t[n] / _ratio_for(n) for n in ns), 3)
+            p_was = round(sum(prev_t[n] for n in ns), 3)
+            path_totals[p] = {
+                "n": len(ns),
+                "ratio": path_ratios.get(p, ratio),
+                "prev_total_sec": p_was,
+                "cur_total_raw_sec": p_raw,
+                "cur_total_normalized_sec": p_norm,
+                "normalized_delta_pct": round(
+                    100 * (p_norm - p_was) / p_was, 2),
+            }
         ranked = sorted(deltas.items(), key=lambda kv: kv[1])
         # trim each list at the zero crossing: with a small tier every
         # delta can share a sign, and ranked[:8] would list the smallest
@@ -556,6 +683,9 @@ def _normalized_delta(detail: dict, here: str, round_no: int) -> dict | None:
             "n_common": len(common),
             "tier_ratio": ratio,
             "tier_probe_pair": list(tier_brackets[tier]),
+            "path_ratios": path_ratios,
+            "path_totals": path_totals,
+            "n_path_classified": sum(1 for n in common if n in paths),
             "prev_total_sec": was,
             "cur_total_raw_sec": raw,
             "cur_total_normalized_sec": norm,
@@ -565,6 +695,68 @@ def _normalized_delta(detail: dict, here: str, round_no: int) -> dict | None:
             "top_regressions": dict(regressions),
         }
     return out
+
+
+def _floor_cross_check(detail: dict, here: str, round_no: int) -> dict | None:
+    """Stamp the run's per-query readings against the committed
+    quiet-box floors (round-11 judge task #1): QUIET_r{N}.json for the
+    headline floor set, HEAVY_QUIET_r{N}.json for the heavy tier —
+    produced by tools/heavy_quiet.py (min-of-N, probe-bracketed,
+    cross-run min-merged). This is the instrument that settled the r9
+    heavy-tier "+28.2%" as drift: a driver reading far above a
+    committed same-tree floor on untouched queries is contention, not
+    regression; a reading above floor on a changed query is real. The
+    newest artifact at or before this round is used (floors are
+    committed at round end, so the driver's round-N run compares
+    against the round-N floor of the same tree)."""
+    import re
+
+    out = {}
+    for tier, prefix, cur_key in (("common", "QUIET", "queries"),
+                                  ("heavy", "HEAVY_QUIET", "heavy")):
+        best = None
+        for fn in os.listdir(here):
+            m = re.fullmatch(prefix + r"_r(\d+)\.json", fn)
+            if m and int(m.group(1)) <= round_no:
+                if best is None or int(m.group(1)) > best[0]:
+                    best = (int(m.group(1)), fn)
+        if best is None:
+            continue
+        try:
+            with open(os.path.join(here, best[1])) as f:
+                art = json.load(f)
+        except (OSError, ValueError):
+            continue
+        floor_sf = str(art.get("sf", "")).rstrip("/").rsplit("sf", 1)[-1]
+        if floor_sf and str(detail.get("sf")) != floor_sf:
+            continue  # cross-sf floors are meaningless
+        cur_t = detail.get(cur_key, {})
+        per_query = {}
+        for name, row in art.get("queries", {}).items():
+            if name in cur_t and isinstance(row, dict) and row.get("min"):
+                per_query[name] = {
+                    "floor": row["min"],
+                    "cur": cur_t[name],
+                    "ratio": round(cur_t[name] / row["min"], 3),
+                }
+        if not per_query:
+            continue
+        total_floor = round(sum(v["floor"] for v in per_query.values()), 3)
+        total_cur = round(sum(v["cur"] for v in per_query.values()), 3)
+        out[tier] = {
+            "artifact": best[1],
+            "floor_round": best[0],
+            "floor_commit": art.get("commit"),
+            "floor_runs": art.get("runs"),
+            "n": len(per_query),
+            "total_floor_sec": total_floor,
+            "total_cur_sec": total_cur,
+            "total_ratio": round(total_cur / total_floor, 3),
+            "above_1p5x": sorted(
+                n for n, v in per_query.items() if v["ratio"] >= 1.5),
+            "per_query": per_query,
+        }
+    return out or None
 
 
 def main() -> None:
@@ -597,8 +789,11 @@ def main() -> None:
     # projection through a noop write — every output column computed and
     # serialized executor-side, nothing driver-collected.
     rows: dict[str, int] = {}
+    paths: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        rows[name] = Q.QUERIES[name]["spark"](spark, sf_dir).count()
+        df = Q.QUERIES[name]["spark"](spark, sf_dir)
+        rows[name] = df.count()
+        paths[name] = _exec_path(df)
     timings = _timed_min(spark, sf_dir, BENCH_QUERIES)
     for name in BENCH_QUERIES:
         print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
@@ -616,7 +811,9 @@ def main() -> None:
     # heavy tier: same warmup + 2-pass-min protocol, separate total
     heavy_rows: dict[str, int] = {}
     for name in BENCH_HEAVY:
-        heavy_rows[name] = Q.QUERIES[name]["spark"](spark, sf_dir).count()
+        df = Q.QUERIES[name]["spark"](spark, sf_dir)
+        heavy_rows[name] = df.count()
+        paths[name] = _exec_path(df)
     heavy = _timed_min(spark, sf_dir, BENCH_HEAVY)
     for name in BENCH_HEAVY:
         print(f"# heavy {name}: {heavy[name]:.3f}s ({heavy_rows[name]} rows)",
@@ -640,6 +837,7 @@ def main() -> None:
     slow5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     detail = {"metric": "headline_query_wall_time", "value": total,
               "unit": "sec", "sf": sf_val, "queries": timings, "rows": rows,
+              "paths": paths,
               "slowest5": slow5, "heavy": heavy, "heavy_rows": heavy_rows,
               "heavy_total_sec": heavy_total,
               "calibration_sec": calibration_sec,
@@ -658,6 +856,13 @@ def main() -> None:
             {k: v for k, v in norm.items() if k != "common"}
             | {"common": {k: v for k, v in norm.get("common", {}).items()
                           if not k.startswith("top_")}}), file=sys.stderr)
+    floors = _floor_cross_check(
+        detail, os.path.dirname(os.path.abspath(__file__)), round_no)
+    if floors is not None:
+        detail["floor_cross_check"] = floors
+        print("# floor_cross_check: " + json.dumps(
+            {t: {k: v for k, v in blk.items() if k != "per_query"}
+             for t, blk in floors.items()}), file=sys.stderr)
     # fold in the latest scaling-probe table (tools/scaling_probe.py:
     # per-query exponent from an 8x blown-up copy of the big tables)
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -699,6 +904,16 @@ def main() -> None:
                         ],
                     }
                     if norm is not None and "common" in norm
+                    else {}
+                ),
+                **(
+                    {
+                        "floor_total_ratio": {
+                            t: blk["total_ratio"]
+                            for t, blk in floors.items()
+                        }
+                    }
+                    if floors is not None
                     else {}
                 ),
             }

@@ -50,6 +50,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from movievectorsearch_spark.catalog import TABLES, table_path
+from movievectorsearch_spark.plans import fingerprint as FP
 from movievectorsearch_spark.plans import queries as Q
 from movievectorsearch_spark.session import get_spark
 
@@ -204,7 +205,24 @@ def main() -> None:
     # fitting: the 3-point exact fit is fragile to a single steal-window
     # contamination (observed 2-3x rep swings on this box), so repeated
     # invocations tighten the floor instead of replacing it — same
-    # protocol as tools/heavy_quiet.py
+    # protocol as tools/heavy_quiet.py. r10 ADVICE (medium): the merge
+    # is additionally gated per query on an UNCHANGED implementation —
+    # a stale faster floor from older code must not mask a scaling
+    # regression. Each row records the git commit and the query's plan
+    # fingerprint (plans/fingerprint.py) at measurement time; a prior
+    # row min-merges only when its recorded fingerprint equals the
+    # current one (commit equality implies it, fingerprint equality
+    # also survives unrelated commits). Rows without a recorded
+    # fingerprint (pre-r11 artifacts) never merge.
+    import subprocess
+
+    commit = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "HEAD"],
+        capture_output=True, text=True).stdout.strip()
+    dirty = bool(subprocess.run(
+        ["git", "-C", REPO, "status", "--porcelain"],
+        capture_output=True, text=True).stdout.strip())
+    cur_fps = {n: FP.query_fingerprints(Q.QUERIES).get(n) for n in names}
     prior_rows: dict = {}
     if os.path.exists(out_path):
         try:
@@ -223,12 +241,15 @@ def main() -> None:
         t1, t2, t3 = t[1][name], t[r][name], t[r * r][name]
         runs = 1
         pr = prior_rows.get(name)
-        if pr and all(k in pr for k in ("t_1", f"t_{r}", f"t_{r * r}")):
+        if (pr and all(k in pr for k in ("t_1", f"t_{r}", f"t_{r * r}"))
+                and pr.get("fp") is not None
+                and pr.get("fp") == cur_fps.get(name)):
             t1 = min(t1, pr["t_1"])
             t2 = min(t2, pr[f"t_{r}"])
             t3 = min(t3, pr[f"t_{r * r}"])
             runs = pr.get("runs", 1) + 1
         row = {"t_1": t1, f"t_{r}": t2, f"t_{r * r}": t3, "runs": runs,
+               "commit": commit, "fp": cur_fps.get(name),
                "rows_1": rows[1][name], f"rows_{r}": rows[r][name],
                f"rows_{r * r}": rows[r * r][name],
                "exp_2pt_bound": round(
@@ -270,8 +291,19 @@ def main() -> None:
         except (OSError, ValueError):
             pass
     merged.update(table)
+    # retained rows (present in the artifact but not re-run this
+    # invocation) are annotated when their recorded fingerprint no
+    # longer matches the current implementation — the timing describes
+    # older code and must be re-probed, not trusted
+    all_fps = FP.query_fingerprints(Q.QUERIES)
+    for name, row in merged.items():
+        if name in table or not isinstance(row, dict):
+            continue
+        if row.get("fp") != all_fps.get(name):
+            row["stale_impl"] = True
     with open(out_path, "w") as f:
         json.dump({"r": r, "factors": [1, r, r * r], "src": src_dir,
+                   "commit": commit, "dirty": dirty,
                    "fixture": "replication-aware (word-tagged text, "
                    "sign-flipped embeddings): true answer replicates "
                    "linearly", "queries": merged,

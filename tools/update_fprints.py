@@ -125,8 +125,9 @@ def staleness() -> dict:
          "QUERY_FPRINTS_HEAD.json"],
         capture_output=True, text=True,
     ).stdout.split()
-    last_change: dict[str, int] = {}
+    last_change: dict[str, int | None] = {}
     prev_map: dict[str, str] = {}
+    first_snap = True
     for rev in revs:
         blob = subprocess.run(
             ["git", "-C", REPO, "show", f"{rev}:QUERY_FPRINTS_HEAD.json"],
@@ -138,9 +139,17 @@ def staleness() -> dict:
             continue
         rnd = _round_of_commit(rev)
         for name, fp in snap.items():
-            if prev_map.get(name) != fp:
+            if first_snap:
+                # r10 ADVICE: the first freeze is a baseline, not a
+                # change — diffing it against an empty prev_map stamped
+                # every pre-existing entry with the first-freeze round.
+                # Entries whose fingerprint never moves after the seed
+                # snapshot report None (= unknown / no observed change).
+                last_change.setdefault(name, None)
+            elif prev_map.get(name) != fp:
                 last_change[name] = rnd
         prev_map = snap
+        first_snap = False
     # the working tree itself: anything whose fingerprint differs from
     # the latest committed snapshot changed THIS round
     cur_fps = FP.query_fingerprints(Q.QUERIES)
