@@ -16273,6 +16273,40 @@ def _rotated() -> list[str]:
         if n in QUERIES and n not in _driver_green_from_files(min_round=10)
     ]
     front_auto = front_r10 + [n for n in front_auto if n not in set(front_r10)]
+    # Round-11 priority splice (judge tasks #3/#8): drain the 32-entry
+    # driver-green backlog STALENESS.json names (the r9 Arrow-twin
+    # families + recall curves — every one green in the r10 hermetic
+    # sweep and the judge's own 254/254, but last DRIVER-green in r8 or
+    # earlier). The five highest-traffic perf-surface entries the judge
+    # calls out by name go first (they are also the queries the r11
+    # quiet-floor cross-check measures), then the rest of the backlog in
+    # registry order. All 32 fit the 50-slot window; pinning the order
+    # here guarantees their slots even if a late-round edit re-fronts
+    # additional entries. Retires automatically on round-11+ greens.
+    _r11_critical = [
+        "winnowing_fingerprints", "winnow_dup_pairs",
+        "unigram_lm_em_round", "ccnet_ppl_buckets",
+        "doremi_mixture_update",
+        # remainder of the r10 staleness backlog, registry order
+        "dedup_rewrite_survivors", "leakage_safe_split",
+        "corpus_release_report", "dedup_graph_stats", "dedup_oph_pairs",
+        "ann_probe_recall_curve", "ivf_probe_recall_curve",
+        "dedup_keep_best_rewrite", "semantic_clusters",
+        "lsh_candidate_quality", "ivf_cell_balance_report",
+        "covisitation_triangles", "knn_hubness_report",
+        "retrieval_rank_correlation", "shard_balance_report",
+        "embedding_norm_histogram", "semantic_decontamination",
+        "embedding_source_centroid_drift", "dsir_importance_topk",
+        "dsir_gumbel_resample", "lm_bigram_xent_by_lang",
+        "pq_adc_knn_recall", "binary_hamming_knn_recall",
+        "viterbi_segment_cost", "viterbi_segment_chunked",
+        "unigram_lm_prune_round", "unigram_lm_train_converged",
+    ]
+    front_r11 = [
+        n for n in _r11_critical
+        if n in QUERIES and n not in _driver_green_from_files(min_round=11)
+    ]
+    front_auto = front_r11 + [n for n in front_auto if n not in set(front_r11)]
     # queries whose implementation changed or were added this round
     # re-prove even if previously green — but once a round-2+ file
     # records them green, they retire from the front automatically
