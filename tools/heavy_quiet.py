@@ -112,8 +112,10 @@ def main() -> None:
     commit = subprocess.run(
         ["git", "-C", REPO, "rev-parse", "HEAD"],
         capture_output=True, text=True).stdout.strip()
+    # tracked-file changes only: the tool's own (untracked) artifact
+    # from a prior invocation must not mark the measurement dirty
     dirty = bool(subprocess.run(
-        ["git", "-C", REPO, "status", "--porcelain"],
+        ["git", "-C", REPO, "status", "--porcelain", "--untracked-files=no"],
         capture_output=True, text=True).stdout.strip())
     round_no = bench._round_number()
     path = os.path.join(REPO, fname_tpl.format(round_no))
