@@ -56,6 +56,39 @@ TIERS = {
 }
 
 
+def merge_prior(queries: dict, prior: dict, commit: str,
+                reps_arg: int) -> tuple[int, list[int], list]:
+    """Cross-run min-merge (pure; unit-tested in tests/test_quiet_floor.py).
+
+    Same-commit prior: per-query reps lists concatenate and the min is
+    recomputed over the union (separate invocations decorrelate from
+    any one steal window, so the committed floor only tightens);
+    queries present only in the prior are retained as-is; runs and the
+    per-invocation reps history accumulate. A prior from a DIFFERENT
+    commit is discarded wholesale — its floors describe another tree.
+    Mutates `queries`; returns (runs, reps_per_run, prior_checks)."""
+    if prior.get("commit") != commit:
+        return 1, [reps_arg], []
+    runs = prior.get("runs", 1) + 1
+    reps_per_run = (prior.get("reps_per_run")
+                    or [prior.get("reps", 0)]) + [reps_arg]
+    prior_checks = prior.get("calibration_checks_prior", [])
+    if prior.get("calibration_checks"):
+        prior_checks = prior_checks + [prior["calibration_checks"]]
+    elif prior.get("calibration_pre"):
+        prior_checks = prior_checks + [[
+            {"after_n": 0, "probes": prior["calibration_pre"]},
+            {"after_n": -1, "probes": prior["calibration_post"]},
+        ]]
+    for name, row in prior.get("queries", {}).items():
+        if name in queries:
+            queries[name]["reps"] = row["reps"] + queries[name]["reps"]
+            queries[name]["min"] = min(queries[name]["reps"])
+        else:
+            queries[name] = row
+    return runs, reps_per_run, prior_checks
+
+
 def _time_one(spark, sf_dir: str, name: str, reps: int) -> list[float]:
     fn = Q.QUERIES[name]["spark"]
     fn(spark, sf_dir).count()  # warmup / build
@@ -131,27 +164,8 @@ def main() -> None:
         try:
             with open(path) as f:
                 prior = json.load(f)
-            if prior.get("commit") == commit:
-                runs = prior.get("runs", 1) + 1
-                reps_per_run = (prior.get("reps_per_run")
-                                or [prior.get("reps", 0)]) + [args.reps]
-                prior_checks = prior.get("calibration_checks_prior", [])
-                if prior.get("calibration_checks"):
-                    prior_checks = prior_checks + [
-                        prior["calibration_checks"]]
-                elif prior.get("calibration_pre"):
-                    prior_checks = prior_checks + [[
-                        {"after_n": 0, "probes": prior["calibration_pre"]},
-                        {"after_n": -1, "probes": prior["calibration_post"]},
-                    ]]
-                for name, row in prior.get("queries", {}).items():
-                    if name in queries:
-                        queries[name]["reps"] = (
-                            row["reps"] + queries[name]["reps"]
-                        )
-                        queries[name]["min"] = min(queries[name]["reps"])
-                    else:
-                        queries[name] = row
+            runs, reps_per_run, prior_checks = merge_prior(
+                queries, prior, commit, args.reps)
         except (OSError, ValueError):
             pass
     out = {
