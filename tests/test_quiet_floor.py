@@ -36,14 +36,40 @@ def test_same_commit_merge_tightens_and_accumulates():
     assert prior_checks == [[{"after_n": 0, "probes": {"p": 1.0}}]]
 
 
-def test_cross_commit_prior_is_discarded():
-    queries = {"a": {"min": 9.0, "reps": [9.0]}}
+def test_cross_commit_prior_without_fingerprints_is_discarded():
+    queries = {"a": {"min": 9.0, "reps": [9.0], "fp": "f_a"}}
     prior = {"commit": "old", "runs": 5, "reps_per_run": [3] * 5,
              "queries": {"a": {"min": 1.0, "reps": [1.0]}}}
-    runs, reps_per_run, prior_checks = hq.merge_prior(queries, prior, "new", 3)
+    runs, reps_per_run, prior_checks = hq.merge_prior(
+        queries, prior, "new", 3, {"a": "f_a"})
     assert (runs, reps_per_run, prior_checks) == (1, [3], [])
-    # the stale 1.0s floor from another tree must NOT leak in
+    # the unverifiable 1.0s floor from another tree must NOT leak in
     assert queries["a"]["min"] == 9.0 and queries["a"]["reps"] == [9.0]
+
+
+def test_cross_commit_merge_is_keyed_on_plan_fingerprint():
+    """A floor is a property of the implementation, not the commit:
+    an infra-only commit (bench/tools) must not discard the floor of
+    an untouched query, while a query whose plan changed must not
+    inherit the old one — per-row fingerprint gate, same principle as
+    the r10 ADVICE fix to SCALING_CC.json."""
+    queries = {
+        "same": {"min": 9.0, "reps": [9.0], "fp": "f1"},
+        "changed": {"min": 9.0, "reps": [9.0], "fp": "f2_new"},
+    }
+    prior = {"commit": "old", "runs": 2, "reps_per_run": [3, 3],
+             "queries": {
+                 "same": {"min": 4.0, "reps": [4.0], "fp": "f1"},
+                 "changed": {"min": 1.0, "reps": [1.0], "fp": "f2_old"},
+                 "retained": {"min": 2.0, "reps": [2.0], "fp": "f3"},
+             }}
+    cur_fps = {"same": "f1", "changed": "f2_new", "retained": "f3"}
+    runs, reps_per_run, _ = hq.merge_prior(queries, prior, "new", 3, cur_fps)
+    assert runs == 3 and reps_per_run == [3, 3, 3]
+    assert queries["same"]["min"] == 4.0          # unchanged impl: merged
+    assert queries["changed"]["min"] == 9.0       # changed impl: dropped
+    assert queries["changed"]["reps"] == [9.0]
+    assert queries["retained"]["min"] == 2.0      # unchanged, not re-run
 
 
 def test_legacy_pre_post_artifact_upgrades():

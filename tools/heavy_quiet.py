@@ -39,6 +39,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from movievectorsearch_spark.plans import fingerprint as FP
 from movievectorsearch_spark.plans import queries as Q
 from movievectorsearch_spark.session import get_spark
 
@@ -56,18 +57,40 @@ TIERS = {
 }
 
 
-def merge_prior(queries: dict, prior: dict, commit: str,
-                reps_arg: int) -> tuple[int, list[int], list]:
+def merge_prior(queries: dict, prior: dict, commit: str, reps_arg: int,
+                cur_fps: dict | None = None) -> tuple[int, list[int], list]:
     """Cross-run min-merge (pure; unit-tested in tests/test_quiet_floor.py).
 
-    Same-commit prior: per-query reps lists concatenate and the min is
-    recomputed over the union (separate invocations decorrelate from
-    any one steal window, so the committed floor only tightens);
-    queries present only in the prior are retained as-is; runs and the
-    per-invocation reps history accumulate. A prior from a DIFFERENT
-    commit is discarded wholesale — its floors describe another tree.
-    Mutates `queries`; returns (runs, reps_per_run, prior_checks)."""
-    if prior.get("commit") != commit:
+    A prior row is COMPATIBLE — and min-merges (reps lists concatenate,
+    min recomputed over the union; separate invocations decorrelate
+    from any one steal window, so the committed floor only tightens) —
+    when either the whole prior artifact is from the same commit, or
+    the row's recorded plan fingerprint (plans/fingerprint.py) equals
+    the query's current one: a floor is a property of the
+    IMPLEMENTATION, not of the commit hash, so infra-only commits
+    (bench/tools/tests) must not discard it — the same principle the
+    r10 ADVICE prescribed for SCALING_CC.json, where a stale floor
+    from CHANGED code masking a regression is the failure mode both
+    gates exist to prevent. Incompatible rows are dropped. Queries
+    present only in the prior are retained when compatible. Mutates
+    `queries`; returns (runs, reps_per_run, prior_checks) — history
+    accumulates only when at least one prior row merged."""
+    cur_fps = cur_fps or {}
+    same_commit = prior.get("commit") == commit
+    merged_any = False
+    for name, row in prior.get("queries", {}).items():
+        row_fp = row.get("fp")
+        compatible = same_commit or (
+            row_fp is not None and row_fp == cur_fps.get(name))
+        if not compatible:
+            continue
+        if name in queries:
+            queries[name]["reps"] = row["reps"] + queries[name]["reps"]
+            queries[name]["min"] = min(queries[name]["reps"])
+        else:
+            queries[name] = row
+        merged_any = True
+    if not merged_any:
         return 1, [reps_arg], []
     runs = prior.get("runs", 1) + 1
     reps_per_run = (prior.get("reps_per_run")
@@ -80,12 +103,6 @@ def merge_prior(queries: dict, prior: dict, commit: str,
             {"after_n": 0, "probes": prior["calibration_pre"]},
             {"after_n": -1, "probes": prior["calibration_post"]},
         ]]
-    for name, row in prior.get("queries", {}).items():
-        if name in queries:
-            queries[name]["reps"] = row["reps"] + queries[name]["reps"]
-            queries[name]["min"] = min(queries[name]["reps"])
-        else:
-            queries[name] = row
     return runs, reps_per_run, prior_checks
 
 
@@ -131,11 +148,13 @@ def main() -> None:
               file=sys.stderr, flush=True)
         return row
 
+    cur_fps = FP.query_fingerprints(Q.QUERIES)
     checks = [_probe_check(0)]
     queries = {}
     for i, name in enumerate(names, start=1):
         reps = _time_one(spark, args.sf, name, args.reps)
-        queries[name] = {"min": min(reps), "reps": reps}
+        queries[name] = {"min": min(reps), "reps": reps,
+                         "fp": cur_fps.get(name)}
         print(f"# {name}: min={min(reps):.3f}s reps={reps}",
               file=sys.stderr, flush=True)
         if i % args.probe_every == 0 and i < len(names):
@@ -165,7 +184,7 @@ def main() -> None:
             with open(path) as f:
                 prior = json.load(f)
             runs, reps_per_run, prior_checks = merge_prior(
-                queries, prior, commit, args.reps)
+                queries, prior, commit, args.reps, cur_fps)
         except (OSError, ValueError):
             pass
     out = {
