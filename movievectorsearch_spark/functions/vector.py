@@ -65,9 +65,18 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
     Semantics of reference ai_service.py:49-52 (sklearn
     cosine_similarity), re-expressed declaratively.
+
+    ``dot / nullif(denom, 0)`` instead of ``when(denom != 0, dot /
+    denom)`` (round 11): CaseWhen evaluates the norm folds once in the
+    condition and AGAIN in the value branch — 5 array folds per row
+    where 3 suffice — and HOF folds are CodegenFallback, so codegen
+    subexpression elimination never dedupes them. nullif evaluates the
+    denominator once; x / NULL is NULL, so the NULL-on-zero-norm (and
+    NULL-on-NULL-input) semantics are unchanged value-for-value
+    (-0.0 == 0.0 in Spark SQL, matching the old ``!= 0.0`` test; NaN
+    flows through both forms identically).
     """
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom != 0.0, dot(a, b) / denom)
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def l2_normalize(a: Column) -> Column:
@@ -115,8 +124,11 @@ def cosine_to_query(query_vec: Sequence[float], b: Column) -> Column:
     the plan) only bloats the expression tree. One literal array for
     the dot product, one scalar literal for the norm."""
     qn = py_l2_norm(query_vec)
-    denom = F.lit(qn) * l2_norm(b)
-    return F.when(denom != 0.0, dot(vector_lit(query_vec), b) / denom)
+    # nullif instead of when(denom != 0, ...): one norm fold per row
+    # instead of two, identical values — see cosine_similarity.
+    return dot(vector_lit(query_vec), b) / F.nullif(
+        F.lit(qn) * l2_norm(b), F.lit(0.0)
+    )
 
 
 def dot_sql(a: str, b: str) -> str:

@@ -281,10 +281,24 @@ def quantize_int8(emb: DataFrame, head: int = 8) -> DataFrame:
     shard format. All list math is JVM-side higher-order functions;
     one narrow pass, no shuffle.
     """
+    # STAGED projections (round 11): inlining `scale` into the qcodes
+    # lambda and `qcodes` into all four summary columns made the single
+    # Project re-evaluate the O(dim) scale fold PER ELEMENT inside each
+    # of four qcodes copies — ~dim² × 4 interpreted HOF ops per row
+    # (HOFs are CodegenFallback, so codegen subexpression elimination
+    # never sees them). Aliasing each expensive expression in its own
+    # Project computes it once per row: CollapseProject does not
+    # re-inline a non-cheap alias referenced more than once, so the
+    # plan keeps the stages. Same expressions, same order, bit-equal
+    # output values.
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    scale = F.array_max(F.transform(x, F.abs))
+    staged = emb.select("vec_id", x.alias("x"))
+    staged = staged.select(
+        "vec_id", "x", F.array_max(F.transform(F.col("x"), F.abs)).alias("scale")
+    )
+    scale = F.col("scale")
     qcodes = F.transform(
-        x,
+        F.col("x"),
         lambda v: F.when(scale == 0, F.lit(0.0))
         .otherwise(
             F.greatest(
@@ -294,15 +308,17 @@ def quantize_int8(emb: DataFrame, head: int = 8) -> DataFrame:
         )
         .cast("bigint"),
     )
-    return emb.select(
+    staged = staged.select("vec_id", "scale", qcodes.alias("q"))
+    q = F.col("q")
+    return staged.select(
         "vec_id",
         F.round(scale, 6).alias("scale_r6"),
-        F.aggregate(qcodes, F.lit(0).cast("bigint"), lambda a, b: a + b).alias(
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, b: a + b).alias(
             "q_sum"
         ),
-        F.array_min(qcodes).alias("q_min"),
-        F.array_max(qcodes).alias("q_max"),
-        F.array_join(F.slice(qcodes, 1, head), ",").alias("q_head"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.array_join(F.slice(q, 1, head), ",").alias("q_head"),
     )
 
 

@@ -7071,9 +7071,21 @@ def table_checksum_audit(spark, sf_dir):
     shard the sum per partition-grain beyond that). Any engine holding
     the same rows produces the same two numbers, making
     source-vs-destination comparison one tiny agg per side — no sort,
-    no row shipping."""
+    no row shipping.
+
+    Hashing runs through the batch-vectorized Arrow twin of poly_hash
+    (functions/hashing_arrow.py, round 11): the relational per-char
+    fold dispatched an interpreted lambda ~25M times at sf0.1 (~2 s of
+    the query's 2.7 s floor); the kernel hashes each Arrow batch in
+    one NumPy pass with bit-equal values (the relational form stays
+    the oracle mirror, and tests/test_functions.py pins the
+    equality)."""
+    from movievectorsearch_spark.functions.hashing_arrow import (
+        poly_hash_rows_arrow,
+    )
+
     def hashed(df, cols_expr):
-        return df.select(poly_hash(cols_expr).alias("h")).agg(
+        return poly_hash_rows_arrow(df, cols_expr).agg(
             F.count("*").cast("bigint").alias("n_rows"),
             F.expr("bit_xor(h)").cast("bigint").alias("xor_hash"),
             F.sum("h").cast("bigint").alias("sum_hash"),
@@ -7603,10 +7615,16 @@ def int8_knn_recall(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & (F.size("embedding") > 0)
     )
+    # STAGED projections (round 11, same fix as quantize_int8): the
+    # inline form re-evaluated the O(dim) absmax fold PER ELEMENT
+    # inside the qcodes lambda (HOFs are CodegenFallback — no codegen
+    # subexpression elimination). Aliasing x then s in their own
+    # Projects computes each once per row; CollapseProject keeps
+    # non-cheap aliases referenced >1× staged. Bit-equal output.
     x = F.col("embedding").cast("array<double>")
-    s = F.array_max(F.transform(x, F.abs))
+    s = F.col("s")
     qcodes = F.transform(
-        x,
+        F.col("x"),
         lambda v: F.when(s == 0, F.lit(0))
         .otherwise(
             F.greatest(
@@ -7620,9 +7638,17 @@ def int8_knn_recall(spark, sf_dir):
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    coded = e.select(
-        "vec_id", s.alias("s"), qcodes.alias("q"), l2_norm(x).alias("nrm")
-    ).filter(F.col("nrm") != 0)
+    coded = (
+        e.select("vec_id", x.alias("x"))
+        .select(
+            "vec_id",
+            "x",
+            F.array_max(F.transform(F.col("x"), F.abs)).alias("s"),
+            l2_norm(F.col("x")).alias("nrm"),
+        )
+        .select("vec_id", "s", qcodes.alias("q"), "nrm")
+        .filter(F.col("nrm") != 0)
+    )
     approx = coded.select(
         "vec_id",
         (
@@ -11393,6 +11419,14 @@ def ann_probe_recall_curve(spark, sf_dir):
 
     planes = random_hyperplanes(8, len(QUERY_VEC), 42)
     qb = _bucket_of(QUERY_VEC, planes)
+    # lazy checkpoint (round 11): the exact-top-10 subtree is consumed
+    # by every curve point's join — uncut, each of the 3 parts re-ran
+    # the full cosine scan + heap (3 identical TakeOrderedAndProject
+    # subtrees in one plan; ReuseExchange can't dedupe a non-exchange).
+    # The checkpoint materializes the 10-row result once inside the
+    # query's own action and the parts share the RDD — recomputed per
+    # invocation, nothing cached across runs.
+    exact = exact.localCheckpoint(eager=False)
     parts = []
     for h in _PROBE_CURVE_HAMMINGS:
         n_buckets = len(sorted(set(_probe_buckets(qb, 8, h))))
@@ -11576,6 +11610,10 @@ def ivf_probe_recall_curve(spark, sf_dir):
         .limit(10)
         .select("vec_id")
     )
+    # lazy checkpoint: share the exact-top-10 result across the three
+    # curve points instead of re-planning its scan+heap per part (same
+    # fix as ann_probe_recall_curve, round 11)
+    exact = exact.localCheckpoint(eager=False)
     parts = []
     for n in _IVF_CURVE_NPROBES:
         ann = ivf_search(assigned, cents, QUERY_VEC, k=10, nprobe=n).select(
@@ -14077,6 +14115,15 @@ def pq_adc_knn_recall(spark, sf_dir):
         .collect()
     )
     cwords = [list(r.qx) for r in samp]  # j = 1..16 in sample order
+    # STAGED projections (round 11): each subspace's 16-codeword
+    # distance array is referenced twice (array_position + array_min),
+    # and HOF folds are CodegenFallback — inlined, every per-subspace
+    # 16×8 fold ran twice per row. Aliasing the distance arrays in
+    # their own Project computes each once (CollapseProject keeps
+    # non-cheap aliases referenced >1× staged); the code/LUT lookup and
+    # the term sum read the columns. Same expressions, bit-equal dist.
+    dist_cols = []
+    term_cols = []
     dist = None
     for s in range(_PQ_M):
         lo = s * _PQ_SUB
@@ -14102,9 +14149,10 @@ def pq_adc_knn_recall(spark, sf_dir):
                 lambda acc, x: acc + x,
             ),
         )
+        dist_cols.append(dists.alias(f"d{s}"))
         # first occurrence of the min → lowest codeword index on ties,
         # matching the oracle's arg_min(j, d*16 + j)
-        code = F.array_position(dists, F.array_min(dists))
+        code = F.array_position(F.col(f"d{s}"), F.array_min(F.col(f"d{s}")))
         lut = [
             sum(
                 (_PQ_QQ[lo + i] - cwords[j][lo + i]) ** 2
@@ -14115,8 +14163,14 @@ def pq_adc_knn_recall(spark, sf_dir):
         term = F.element_at(
             F.array(*[F.lit(int(v)) for v in lut]), code.cast("int")
         )
-        dist = term if dist is None else dist + term
-    adc = base.select("vec_id", dist.alias("dist"))
+        term_cols.append(term.alias(f"t{s}"))
+        t = F.col(f"t{s}")
+        dist = t if dist is None else dist + t
+    adc = (
+        base.select("vec_id", *dist_cols)
+        .select("vec_id", *term_cols)
+        .select("vec_id", dist.alias("dist"))
+    )
     # ONE TakeOrderedAndProject over the scored scan; the top-20 is a
     # re-sort of the 100-row candidate set (same total order), so the
     # ADC expression appears once in the plan, not three times

@@ -37,6 +37,40 @@ def test_poly_hash_matches_python_model(spark):
         assert got[s] == py_poly_hash(s), s
 
 
+def test_poly_hash_arrow_twin_bit_equal(spark):
+    """The batch-vectorized kernel (functions/hashing_arrow.py) must
+    reproduce the relational fold exactly — including the empty-string
+    zero, NULL passthrough, long strings (several fold wraps past P),
+    and non-ASCII code points (UTF-32 replay)."""
+    from movievectorsearch_spark.functions.hashing_arrow import (
+        poly_hash_rows_arrow,
+    )
+
+    samples = [
+        (1, ""),
+        (2, None),
+        (3, "a"),
+        (4, "hello world|42|O|12345"),
+        (5, "The quick brown fox jumps over the lazy dog " * 40),
+        (6, "naïve café — ünïcode ✓ 𝒳"),
+        (7, "|||"),
+    ]
+    df = spark.createDataFrame(samples, "k INT, s STRING")
+    rel = {
+        r["k"]: r["h"]
+        for r in df.select("k", poly_hash(F.col("s")).alias("h")).collect()
+    }
+    arrow = {
+        r["k"]: r["h"]
+        for r in poly_hash_rows_arrow(df, F.col("s"), "k").collect()
+    }
+    assert arrow == rel
+    # and both match the Python model on non-null rows
+    for k, s in samples:
+        if s is not None:
+            assert arrow[k] == py_poly_hash(s), k
+
+
 def py_int_mix(x: int) -> int:
     h = ((x % P) + P) % P
     h = (h * 1_103_515_245 + 12_345) % P
