@@ -47,12 +47,41 @@ def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
 
 def srp_bucket(vec_col: Column, planes: np.ndarray) -> Column:
     """Bucket id = bit-packed signs of v·r_j. All literal arithmetic —
-    whole-stage codegen, no shuffle, no UDF."""
-    bits = [
-        F.when(dot(vec_col, vector_lit(p)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        for j, p in enumerate(planes)
-    ]
-    return sum(bits).cast("int")
+    no shuffle, no UDF.
+
+    ONE expression over a nested plane literal (round 11), not
+    n_planes separate when(dot(...)) subtrees: the per-plane form cost
+    ~200 py4j round-trips per call site building the fold chains —
+    measured 1.8-3.6 s of pure driver-side DataFrame CONSTRUCTION per
+    SRP query at sf0.1, as large as the execution itself — and a
+    n_planes× bigger tree for every optimizer walk (the pq_adc nested
+    codeword-literal precedent). The dot here is the same cast +
+    zip_with + sequential left-fold ``functions.vector.dot`` builds,
+    over the same float64 plane rows, so every per-plane dot — and
+    therefore every sign bit and bucket id — is bit-identical to the
+    unrolled form (tests/test_ann.py pins bucket equality)."""
+    planes2d = F.array(*[vector_lit(p) for p in np.asarray(planes, dtype=np.float64)])
+    weights = F.lit(np.array([1 << j for j in range(len(planes))], dtype=np.int64))
+    bits = F.zip_with(
+        planes2d,
+        weights,
+        lambda p, w: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col.cast("array<double>"),
+                    p.cast("array<double>"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            w,
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda a, b: a + b).cast(
+        "int"
+    )
 
 
 def _bucket_of(vec: Sequence[float], planes: np.ndarray) -> int:

@@ -76,3 +76,32 @@ def test_ivf_self_query_with_full_probe_is_exact(spark, sf_dir):
     # probing ALL cells degenerates to exact KNN
     got = [r["vec_id"] for r in ann.ivf_search(assigned, cents, QVECS[1], k=10, nprobe=4).collect()]
     assert got == _exact_ids(spark, sf_dir, QVECS[1], 10)
+
+
+def test_srp_bucket_nested_form_bit_equal_to_unrolled(spark, sf_dir):
+    """The nested-plane-literal srp_bucket (round 11) must assign every
+    corpus vector the exact bucket the original per-plane unrolled
+    expression did — same cast + zip_with + sequential left-fold dot,
+    same >= 0 sign test, same bit weights."""
+    from movievectorsearch_spark.functions.vector import dot, vector_lit
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    planes = ann.random_hyperplanes(8, 64, seed=42)
+
+    def unrolled(vec_col, planes):
+        bits = [
+            F.when(dot(vec_col, vector_lit(p)) >= 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            for j, p in enumerate(planes)
+        ]
+        return sum(bits).cast("int")
+
+    rows = emb.select(
+        "vec_id",
+        ann.srp_bucket(F.col("embedding"), planes).alias("nested"),
+        unrolled(F.col("embedding"), planes).alias("flat"),
+    ).collect()
+    assert rows and all(r["nested"] == r["flat"] for r in rows)

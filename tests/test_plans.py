@@ -701,19 +701,22 @@ def exec_plan_of(spark, sf_dir, name: str) -> str:
 
 
 def test_hubness_first_exchange_candidate_sized(spark, sf_dir):
-    """Round-4 weak item: knn_hubness_report's phase-1 top-k must run
-    INSIDE the scan task (mapInPandas bounded carry), so NO hash
-    exchange sits between the broadcast-NL scoring pass and candidate
-    emission — the old Window.partitionBy(qid, _pid) form shuffled all
-    sample·|corpus| scored rows (a ~PB exchange at the 100 TB design
-    point). The scoring subtree is the last branch under the join, so
-    everything after the MapInPandas line is its child subtree."""
+    """Round-4 weak item (tightened round 11): knn_hubness_report's
+    scoring AND phase-1 top-k both run INSIDE the scan task (the
+    mapInPandas kernel scores each corpus batch against the collected
+    fixed sample and keeps a bounded carry), so NO exchange — and no
+    join at all — sits below candidate emission; the old
+    Window.partitionBy(qid, _pid) form shuffled all sample·|corpus|
+    scored rows (a ~PB exchange at the 100 TB design point), and the
+    round-4..10 broadcast-NL form still evaluated sample·|corpus|
+    interpreted dot folds JVM-side. Everything after the MapInPandas
+    line is its child subtree — it must be a bare corpus scan."""
     p = exec_plan_of(spark, sf_dir, "knn_hubness_report")
     assert "MapInPandas" in p
     below = p.split("MapInPandas", 1)[1]
     assert "Exchange hashpartitioning" not in below
     assert "Exchange rangepartitioning" not in below
-    assert "BroadcastNestedLoopJoin" in below  # scoring stays broadcast-NL
+    assert "Join" not in below  # scoring needs no join: sample is in-closure
 
 
 def test_market_basket_no_self_join(spark, sf_dir):
