@@ -535,6 +535,30 @@ def _timed_min(spark, sf_dir: str, names: list[str],
     return out
 
 
+def _timed_probes(spark, sf_dir: str) -> dict[str, float]:
+    """Calibration probes timed with the catalog plan cache OFF.
+
+    Round 12 memoized per-session scan-plan construction
+    (catalog.load_table / films_view), which removes ~20-50 ms of py4j
+    construction from every builder call INCLUDING the probes'. The
+    probes exist to measure MACHINE drift round-over-round; letting the
+    memo speed them up would launder an implementation win into the
+    drift ratio (exactly the knn_topk failure mode, in time instead of
+    plan shape). Fresh reads keep a probe's construction cost identical
+    to every prior round, so probe ratios stay a machine instrument.
+    This is a measurement-methodology fix, documented in
+    OPTIMIZATION_r12.md; the timed-query protocol (_timed_min through
+    the noop sink) is unchanged."""
+    import movievectorsearch_spark.catalog as _cat
+
+    prev = _cat.PLAN_CACHE_ENABLED
+    _cat.PLAN_CACHE_ENABLED = False
+    try:
+        return _timed_min(spark, sf_dir, CALIBRATION_QUERIES)
+    finally:
+        _cat.PLAN_CACHE_ENABLED = prev
+
+
 def _round_number() -> int:
     """Current build round, inferred from the driver's committed
     BENCH_r{N}.json artifacts (max existing N + 1)."""
@@ -780,7 +804,7 @@ def main() -> None:
     # drift calibration: pinned probe, timed first, own warmup pass
     for name in CALIBRATION_QUERIES:
         Q.QUERIES[name]["spark"](spark, sf_dir).count()
-    calibration = _timed_min(spark, sf_dir, CALIBRATION_QUERIES)
+    calibration = _timed_probes(spark, sf_dir)
     calibration_sec = round(sum(calibration.values()), 3)
     print(f"# calibration: {calibration_sec:.3f}s "
           + json.dumps(calibration), file=sys.stderr)
@@ -812,7 +836,7 @@ def main() -> None:
     # probe alone cannot capture): same frozen probe, timed again after
     # the headline tier and once more after the heavy tier, so a reader
     # can see whether the machine drifted DURING the measurement.
-    calibration_mid = _timed_min(spark, sf_dir, CALIBRATION_QUERIES)
+    calibration_mid = _timed_probes(spark, sf_dir)
     calibration_mid_sec = round(sum(calibration_mid.values()), 3)
     print(f"# calibration (post-headline): {calibration_mid_sec:.3f}s",
           file=sys.stderr)
@@ -828,7 +852,7 @@ def main() -> None:
         print(f"# heavy {name}: {heavy[name]:.3f}s ({heavy_rows[name]} rows)",
               file=sys.stderr)
 
-    calibration_end = _timed_min(spark, sf_dir, CALIBRATION_QUERIES)
+    calibration_end = _timed_probes(spark, sf_dir)
     calibration_end_sec = round(sum(calibration_end.values()), 3)
     print(f"# calibration (post-heavy): {calibration_end_sec:.3f}s",
           file=sys.stderr)

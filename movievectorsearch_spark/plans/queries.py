@@ -12794,6 +12794,13 @@ def knn_hubness_report(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
+        # r11 ADVICE: degrade like the old join form instead of
+        # crashing — an empty sample yields no candidates (the old
+        # BroadcastNL join produced zero rows), and rows whose
+        # embedding length differs from the sample's dim are skipped
+        # (the old zip_with dot gave NULL cosines, which were filtered)
+        if not qvs_l:
+            return
         Q = np.asarray(qvs_l, dtype=np.float64)        # (nq, dim)
         qid_arr = np.asarray(qids_l, dtype=np.int64)
         qn = np.asarray(qns_l, dtype=np.float64)
@@ -12802,6 +12809,14 @@ def knn_hubness_report(spark, sf_dir):
         for pdf in batches:
             if not len(pdf):
                 continue
+            ok = np.fromiter(
+                (len(v) == dim for v in pdf["embedding"]),
+                dtype=bool, count=len(pdf),
+            )
+            if not ok.all():
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
             cid = pdf["vec_id"].to_numpy(dtype=np.int64)
             X = np.vstack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
@@ -15389,7 +15404,18 @@ def bpe_train_merges(spark, sf_dir):
             .groupBy("pair")
             .agg(F.sum("n_occ").cast("bigint").alias("n"))
         )
-        win = pr.orderBy(F.desc("n"), F.asc("pair")).limit(1)
+        # LAZY localCheckpoint (round 12, guide §5 / the r11 recall-curve
+        # pattern): each iteration's argmax collect below already
+        # materializes this 1-row winner — checkpointing it lets the
+        # returned union read the SAME engine-computed row from cached
+        # blocks instead of re-running every iteration's full
+        # encode→pair-count→argmax job a second time inside the final
+        # action (the old plan executed 15 pair-count jobs per
+        # invocation where 8 suffice). Nothing crosses invocations:
+        # the checkpoint lives and dies inside this builder's run.
+        win = pr.orderBy(F.desc("n"), F.asc("pair")).limit(1).localCheckpoint(
+            eager=False
+        )
         wins.append(
             win.select(
                 F.lit(i + 1).cast("int").alias("it"),

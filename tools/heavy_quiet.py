@@ -141,7 +141,9 @@ def main() -> None:
     Q.QUERIES["count_scan"]["spark"](spark, args.sf).collect()
 
     def _probe_check(after_n: int) -> dict:
-        probes = bench._timed_min(spark, args.sf, bench.CALIBRATION_QUERIES)
+        # fresh-read probe protocol (bench._timed_probes): probes time
+        # the machine, not the round-12 plan-construction memo
+        probes = bench._timed_probes(spark, args.sf)
         row = {"after_n": after_n, "probes": probes,
                "total": round(sum(probes.values()), 3)}
         print(f"# probes after {after_n}: {row['total']:.3f}s",
