@@ -59,28 +59,94 @@ CLF_SEED = 13  # affine coefficients for the deterministic weight vector
 
 
 def doc_bucket_tf(
-    docs: DataFrame, dim: int, carry: list[str] | None = None
+    docs: DataFrame, dim: int, carry: list[str] | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(doc_id, *carry, bucket, tf): hashed-unigram term frequencies.
 
-    One explode + groupBy; the result is corpus-sized but never
-    shuffled wider than (doc_id, bucket) — downstream model joins
-    broadcast the model side. ``carry`` lists doc-level columns
-    (lang, source, ...) threaded through the explode so no consumer
-    ever needs a corpus×corpus join back to ``docs`` just to label
-    results — they are functionally dependent on doc_id, so adding
-    them to the grouping key changes no cardinality, only avoids a
-    second shuffle of the documents table."""
+    ``carry`` lists doc-level columns (lang, source, ...) threaded
+    through so no consumer ever needs a corpus×corpus join back to
+    ``docs`` just to label results — they are functionally dependent on
+    doc_id, so adding them to the grouping key changes no cardinality.
+
+    ``impl="arrow"`` (default, round 12): a document's bucket histogram
+    depends only on that document's text, so the tokenize → poly_hash →
+    (doc, bucket) count all collapse into the map task — the doc-local
+    twin-kernel argument of :func:`bigram_counts_arrow`. The relational
+    explode form (``"relational"``, the oracle-mirror shape and the
+    bit-equality cross-check) dispatched the interpreted per-character
+    poly_hash fold once per TOKEN and carried ~1 row per corpus token
+    into a hash-aggregate; the kernel hashes every token of a batch in
+    one closed-form pass (functions/hashing_arrow._hash_flat — the
+    identical int64 values) and reduces the batch with one np.unique
+    over ``row·dim + bucket``. Tokenization replays Spark exactly:
+    ``strip(' ')`` (Spark trim strips spaces only), ``.lower()``, an
+    ASCII-``\\s`` split, empties dropped — the proven
+    operators/shingle_arrow recipe. Only the pre-aggregated per-doc
+    histogram reaches any shuffle."""
+    from movievectorsearch_spark.operators import check_impl
+
     carry = carry or []
-    return (
-        docs.select(
-            "doc_id", *carry, F.explode(tokens(F.col("text"))).alias("tok")
+    if check_impl(impl) == "relational":
+        return (
+            docs.select(
+                "doc_id", *carry, F.explode(tokens(F.col("text"))).alias("tok")
+            )
+            .select(
+                "doc_id", *carry,
+                (poly_hash(F.col("tok")) % dim).alias("bucket"),
+            )
+            .groupBy("doc_id", *carry, "bucket")
+            .agg(F.count("*").alias("tf"))
         )
-        .select(
-            "doc_id", *carry, (poly_hash(F.col("tok")) % dim).alias("bucket")
-        )
-        .groupBy("doc_id", *carry, "bucket")
-        .agg(F.count("*").alias("tf"))
+
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from movievectorsearch_spark.functions.hashing_arrow import _hash_flat
+
+    fields = [StructField("doc_id", docs.schema["doc_id"].dataType)]
+    fields += [StructField(c, docs.schema[c].dataType) for c in carry]
+    fields += [StructField("bucket", LongType()), StructField("tf", LongType())]
+    schema = StructType(fields)
+    dim = int(dim)
+
+    def kernel(batches):
+        ws = re.compile("[ \t\n\x0b\f\r]+")  # Java \s: ASCII only
+        for pdf in batches:
+            texts = pdf["text"]
+            n_rows = len(texts)
+            counts = np.zeros(n_rows, dtype=np.int64)
+            flat: list[str] = []
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                toks = [x for x in ws.split(t.strip(" ").lower()) if x]
+                counts[i] = len(toks)
+                flat.extend(toks)
+            if not flat:
+                yield pd.DataFrame(
+                    {name: []
+                     for name in ["doc_id", *carry, "bucket", "tf"]}
+                )
+                continue
+            bucket = _hash_flat(flat) % dim  # poly_hash ∈ [0, P) ⇒ same %
+            row_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+            ukeys, tf = np.unique(row_of * dim + bucket, return_counts=True)
+            urow = ukeys // dim
+            out = {"doc_id": pdf["doc_id"].to_numpy()[urow]}
+            for c in carry:
+                out[c] = pdf[c].to_numpy()[urow]
+            out["bucket"] = ukeys % dim
+            out["tf"] = tf
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", *carry, "text").mapInPandas(
+        kernel, schema=schema
     )
 
 
@@ -207,7 +273,17 @@ def bigram_counts_arrow(
     Code points via UTF-32 (astral chars are ONE element, matching
     Spark ``split('')``); bigram keys as int64 c₁·0x110000+c₂ for the
     NumPy unique, decoded back to the 2-char string Spark's concat
-    produces."""
+    produces.
+
+    Round 12: the whole BATCH is reduced in one ``np.unique`` over the
+    combined key ``row_index·2⁴¹ + bigram_key`` (bigram_key < 0x110000²
+    ≈ 2⁴⁰·² fits, row index per Arrow batch ≪ 2²¹, so the combined key
+    stays far inside int64) instead of one per-document unique plus
+    Python list appends, and the bg strings are decoded once per
+    DISTINCT bigram value per batch (≤ |charset|², a few hundred)
+    rather than once per (doc, bigram) row. The (doc, bg, cnt) row SET
+    is identical — np.unique on the combined key groups exactly by
+    (doc, bigram) — only per-batch Python work changes."""
     import numpy as np
     import pandas as pd
 
@@ -218,38 +294,53 @@ def bigram_counts_arrow(
     fields += [StructField(c, docs.schema[c].dataType) for c in carry]
     fields += [StructField("bg", StringType()), StructField("cnt", LongType())]
     schema = StructType(fields)
-    ncarry = len(carry)
 
     def kernel(batches):
         for pdf in batches:
-            cols: list[list] = [[] for _ in range(ncarry + 3)]
-            carry_vals = [pdf[c] for c in carry]
-            for i, (doc_id, text) in enumerate(zip(pdf["doc_id"], pdf["text"])):
-                if text is None or len(text) < 2:
-                    continue
-                codes = np.frombuffer(
-                    text.encode("utf-32-le"), dtype="<u4"
-                ).astype(np.int64)
-                keys, cnts = np.unique(
-                    codes[:-1] * 0x110000 + codes[1:], return_counts=True
-                )
-                n = len(keys)
-                cols[0].extend([doc_id] * n)
-                for j in range(ncarry):
-                    cols[1 + j].extend([carry_vals[j].iloc[i]] * n)
-                cols[ncarry + 1].extend(
-                    chr(int(k) // 0x110000) + chr(int(k) % 0x110000)
-                    for k in keys
-                )
-                cols[ncarry + 2].extend(cnts.tolist())
-            yield pd.DataFrame(
-                {
-                    name: cols[m]
-                    for m, name in enumerate(
-                        ["doc_id", *carry, "bg", "cnt"]
-                    )
-                }
+            texts = pdf["text"]
+            n_rows = len(texts)
+            lens = np.fromiter(
+                (0 if t is None else len(t) for t in texts),
+                dtype=np.int64,
+                count=n_rows,
             )
+            m = np.maximum(lens - 1, 0)  # bigrams per row
+            if not m.any():
+                yield pd.DataFrame(
+                    {name: [] for name in ["doc_id", *carry, "bg", "cnt"]}
+                )
+                continue
+            joined = "".join("" if t is None else t for t in texts)
+            codes = np.frombuffer(
+                joined.encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            total = int(m.sum())
+            row_of = np.repeat(np.arange(n_rows, dtype=np.int64), m)
+            seg0 = np.repeat(np.cumsum(m) - m, m)
+            pos = (
+                np.arange(total, dtype=np.int64) - seg0 + np.repeat(starts, m)
+            )
+            key = codes[pos] * 0x110000 + codes[pos + 1]
+            combined = (row_of << 41) | key
+            ukeys, cnts = np.unique(combined, return_counts=True)
+            urow = (ukeys >> 41).astype(np.int64)
+            ubg = ukeys & ((1 << 41) - 1)
+            bg_vals = np.unique(ubg)
+            bg_strs = np.array(
+                [
+                    chr(int(k) // 0x110000) + chr(int(k) % 0x110000)
+                    for k in bg_vals
+                ],
+                dtype=object,
+            )
+            out = {"doc_id": pdf["doc_id"].to_numpy()[urow]}
+            for c in carry:
+                out[c] = pdf[c].to_numpy()[urow]
+            out["bg"] = bg_strs[np.searchsorted(bg_vals, ubg)]
+            out["cnt"] = cnts
+            yield pd.DataFrame(out)
 
     return docs.select("doc_id", *carry, "text").mapInPandas(
         kernel, schema=schema

@@ -299,27 +299,134 @@ def ngram_cost_table(docs, n: int, impl: str = "arrow"):
     )
 
 
+def gram_counts_arrow_multi(docs, ks: list[int]):
+    """(k, g, cnt) partial char n-gram counts for EVERY k in ``ks``
+    out of ONE corpus scan — the multi-length extension of
+    :func:`gram_counts_arrow` (round 12). The per-k union form scanned
+    and re-shipped the documents' text once per length, and k = 3 fell
+    back to the relational ``explode(char_ngrams)`` (~1 row per corpus
+    character through an interpreted zip chain); here every length is
+    counted from the same concatenated code-point array with one
+    ``np.unique`` per (batch, k), n-gram positions built per ROW so no
+    gram ever crosses a document boundary. Keys pack as
+    ``(c₁·K + c₂)·K + c₃`` with K = 0x110000: K³ ≈ 2⁶⁰·³ < 2⁶³, so
+    lengths up to 3 are exact in int64 (asserted). BIT-EQUAL counts to
+    gram_counts_arrow / the relational form per k
+    (tests/test_packing.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ks = sorted({int(k) for k in ks})
+    if not all(1 <= k <= 3 for k in ks):
+        raise ValueError("gram_counts_arrow_multi supports k in 1..3")
+    K = 0x110000
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("g", StringType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            texts = pdf["text"]
+            n_rows = len(texts)
+            lens = np.fromiter(
+                (0 if t is None else len(t) for t in texts),
+                dtype=np.int64,
+                count=n_rows,
+            )
+            joined = "".join("" if t is None else t for t in texts)
+            codes = np.frombuffer(
+                joined.encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            starts = np.cumsum(lens) - lens
+            out_k: list[int] = []
+            out_g: list[str] = []
+            out_c: list[int] = []
+            for k in ks:
+                m = np.maximum(lens - (k - 1), 0)
+                if not m.any():
+                    continue
+                total = int(m.sum())
+                seg0 = np.repeat(np.cumsum(m) - m, m)
+                pos = (
+                    np.arange(total, dtype=np.int64)
+                    - seg0
+                    + np.repeat(starts, m)
+                )
+                key = codes[pos]
+                for j in range(1, k):
+                    key = key * K + codes[pos + j]
+                keys, cnts = np.unique(key, return_counts=True)
+                if k == 1:
+                    gs = [chr(int(x)) for x in keys]
+                elif k == 2:
+                    gs = [
+                        chr(int(x) // K) + chr(int(x) % K) for x in keys
+                    ]
+                else:
+                    gs = [
+                        chr(int(x) // (K * K))
+                        + chr((int(x) // K) % K)
+                        + chr(int(x) % K)
+                        for x in keys
+                    ]
+                out_k.extend([k] * len(keys))
+                out_g.extend(gs)
+                out_c.extend(cnts.tolist())
+            yield pd.DataFrame({"k": out_k, "g": out_g, "cnt": out_c})
+
+    return docs.select("text").mapInPandas(kernel, schema=schema)
+
+
 def ngram_cost_tables(docs, ks, impl: str = "arrow") -> list[dict]:
     """The λ-table dicts for several piece lengths out of ONE job.
 
     Collecting :func:`ngram_cost_table` per k ran one full model-build
     job per length — L corpus-counting actions back to back where one
     suffices (round 11: viterbi_segment_cost spent 3.2 s of its 3.5 s
-    wall in these driver-blocking collects). Tagging each per-k table
-    with its length and unioning lets a single collect materialize all
-    L tables; the branches share the scan inside one plan and run
-    concurrently. Row content per k is exactly ngram_cost_table's —
-    same counts, same smoothing, same quantized lam values — so every
-    consumer's output is unchanged."""
+    wall in these driver-blocking collects). Round 12 collapses the
+    remaining L parallel UNION branches (each its own scan + kernel
+    pass over the text, with k = 3 falling back to the interpreted
+    relational explode) into ONE :func:`gram_counts_arrow_multi` pass
+    when every k ≤ 3; per-k totals and the add-one-smoothed quantized
+    λ use the same expressions on the same counts, so every table's
+    values are unchanged (tests/test_packing.py pins equality). The
+    per-k union path remains for ``impl="relational"`` and k > 3."""
     ks = list(ks)
-    tagged = None
-    for k in ks:
-        t = ngram_cost_table(docs, k, impl=impl).select(
-            F.lit(int(k)).alias("k"), "g", "lam"
+    if not ks:  # r11 ADVICE: empty ks left tagged=None → AttributeError
+        return []
+    if check_impl(impl) == "arrow" and all(1 <= int(k) <= 3 for k in ks):
+        multi = gram_counts_arrow_multi(docs, ks)
+        cnt = multi.groupBy("k", "g").agg(F.sum("cnt").alias("cnt"))
+        tot = cnt.groupBy("k").agg(
+            F.sum("cnt").alias("tot"), F.count("*").alias("v")
         )
-        tagged = t if tagged is None else tagged.unionByName(t)
+        lam = cnt.join(F.broadcast(tot), "k").select(
+            "k",
+            "g",
+            F.floor(
+                -F.log((F.col("cnt") + 1) / (F.col("tot") + F.col("v")))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("lam"),
+        )
+        rows = lam.collect()
+    else:
+        tagged = None
+        for k in ks:
+            t = ngram_cost_table(docs, k, impl=impl).select(
+                F.lit(int(k)).alias("k"), "g", "lam"
+            )
+            tagged = t if tagged is None else tagged.unionByName(t)
+        rows = tagged.collect()
     out: dict[int, dict] = {k: {} for k in ks}
-    for r in tagged.collect():
+    for r in rows:
         out[r.k][r.g] = r.lam
     return [out[k] for k in ks]
 

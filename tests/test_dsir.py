@@ -100,6 +100,44 @@ def test_bigram_xent_counts(spark):
     assert row.n_bigrams == 4  # len-1
 
 
+def test_doc_bucket_tf_arrow_bit_equal(spark, sf_dir):
+    """Round 12: the doc-local token-bucket kernel must reproduce the
+    relational explode + poly_hash + groupBy EXACTLY — over the corpus
+    (with carry) and over unicode/whitespace edge rows (astral chars,
+    non-ASCII lowercasing, leading/trailing/mixed whitespace, empty and
+    NULL text contribute nothing)."""
+    from movievectorsearch_spark.operators.dsir import doc_bucket_tf
+
+    docs = _docs(spark, sf_dir)
+    edge = spark.createDataFrame(
+        [
+            (1, "en", "  Hello   hello\tWORLD\nworld  "),
+            (2, "de", "x"),
+            (3, "fr", ""),
+            (4, "fr", None),
+            (5, "es", "emoji \U0001F600\U0001F600 café CAFÉ İstanbul"),
+            (6, "en", " \t\n "),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    for df, carry in ((docs, ["lang"]), (docs, []), (edge, ["lang"])):
+        for dim in (DSIR_DIM, CLF_DIM):
+            a = sorted(
+                map(
+                    tuple,
+                    doc_bucket_tf(df, dim, carry, impl="relational").collect(),
+                )
+            )
+            b = sorted(
+                map(
+                    tuple,
+                    doc_bucket_tf(df, dim, carry, impl="arrow").collect(),
+                )
+            )
+            assert len(a) > 0
+            assert a == b
+
+
 def test_bigram_counts_arrow_bit_equal_on_corpus(spark, sf_dir):
     """The zero-shuffle mapInPandas bigram histogram must produce
     EXACTLY the relational explode+groupBy's row set over the real

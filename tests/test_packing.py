@@ -263,6 +263,58 @@ def test_gram_counts_arrow_bit_equal(spark, sf_dir):
             assert a == b
 
 
+def test_ngram_cost_tables_multi_bit_equal(spark, sf_dir):
+    """Round 12: the one-scan multi-k kernel path of ngram_cost_tables
+    must produce the IDENTICAL λ dicts as the per-k relational union
+    path for every length 1..3 — over the corpus and over unicode edge
+    rows (astral chars one code point, None/short texts contribute
+    nothing, k=3 exercises the packed-key decode)."""
+    from movievectorsearch_spark.catalog import load_table
+    from movievectorsearch_spark.operators.packing import (
+        gram_counts_arrow_multi,
+        ngram_cost_tables,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edge = spark.createDataFrame(
+        [
+            (1, "abcabc"),
+            (2, "xy"),
+            (3, ""),
+            (4, None),
+            (5, "emoji \U0001F600\U0001F600ab and café mixed  CASE"),
+        ],
+        ["doc_id", "text"],
+    )
+    for df in (docs, edge):
+        arrow = ngram_cost_tables(df, [1, 2, 3], impl="arrow")
+        rel = ngram_cost_tables(df, [1, 2, 3], impl="relational")
+        assert all(len(t) > 0 for t in arrow)
+        assert arrow == rel
+        # raw multi-kernel counts per k equal the single-k arrow kernel's
+        multi: dict[int, dict] = {}
+        for r in (
+            gram_counts_arrow_multi(df, [1, 2])
+            .groupBy("k", "g")
+            .sum("cnt")
+            .collect()
+        ):
+            multi.setdefault(r.k, {})[r.g] = r["sum(cnt)"]
+        from movievectorsearch_spark.operators.packing import (
+            gram_counts_arrow,
+        )
+
+        for k in (1, 2):
+            single = {}
+            for r in gram_counts_arrow(df, k).groupBy("g").sum(
+                "cnt"
+            ).collect():
+                single[r.g] = r["sum(cnt)"]
+            assert multi[k] == single
+    # empty ks guard (r11 ADVICE)
+    assert ngram_cost_tables(docs, []) == []
+
+
 def test_viterbi_piece_counts_reconstructs_dp_optimum(spark):
     """The backtraced piece counts must reproduce the DP's exact cost
     and piece count: sum(cnt * lam(piece)) == cost_ppm and
